@@ -1,0 +1,14 @@
+"""alegre_spark — a from-scratch PySpark-native reimplementation of the
+query/data-processing capabilities of meedan/alegre as a batch quality
+filter + similarity engine over tables of source-code files.
+
+Reference behavior (NOT code) is taken from /root/reference (meedan/alegre,
+snapshot 2025-05-23); docstrings cite `file:line` there for parity checks.
+
+Architecture: DataFrame/Catalyst-first. Model-ish pieces (language ID,
+perplexity, regex scrub, >64-bit popcount, cosine-vs-matrix) are
+Arrow-vectorized pandas UDFs / mapInPandas; everything else is built-in
+`pyspark.sql.functions` so whole-stage codegen and pushdown apply.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,574 @@
+"""Language identification — from-scratch, deterministic, no network.
+
+Reproduces the *behavior* of the reference's langid stack
+(`app/main/lib/langid.py`, `app/main/controller/langid_controller.py`):
+
+- input cleanup: URL + emoji excision then strip
+  (`langid_controller.py:84-98`, reimplemented as compiled-regex excision);
+- empty text -> {language: 'und', confidence: 1.0}
+  (`langid_controller.py:50-57`);
+- newline flattening before classification (`langid.py:90`);
+- result cleanup: region-code strip `hi-Latn`->`hi`, special-case
+  `tl`->`fil` (`langid_controller.py:74-79`, `langid.py:96-98`);
+- hybrid rule: two independent providers must agree AND
+  min(confidence) >= 0.7, return the higher-confidence one, else fall
+  back (`langid.py:114-136`). The reference falls back to Google; we
+  have no network, so the deterministic fallback is ('und', 0.0) —
+  conservative, mirroring the intent of the ticket cited there.
+
+Providers (both pure-Python/NumPy, built only from public knowledge of
+Unicode script ranges + small embedded seed texts; no model files):
+
+- ScriptStopwordProvider ("fastText slot"): Unicode-script histogram
+  routes non-Latin scripts directly; Latin-script text is scored against
+  per-language function-word sets.
+- TrigramProvider ("CLD3 slot"): cosine similarity of character-trigram
+  count vectors against embedded per-language profiles.
+
+Spark integration: `with_language(df, text_col)` — a single
+`mapInPandas`-compatible pandas-UDF stage; per-executor profile tables
+are module-level constants (equivalent to a broadcast: shipped once in
+the python zip, not per task).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import unicodedata
+from collections import Counter
+from typing import Iterable
+
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Cleanup (P9): URL + emoji excision. The reference uses twitter-text
+# index-range extraction + slice_around (`langid_controller.py:92-98`);
+# excising the matched ranges is equivalent to regex substitution with ''.
+# ---------------------------------------------------------------------------
+
+# URL characters are ASCII-only (per twitter-text extraction): the match
+# must stop at the first non-URL char so surrounding CJK text survives.
+_URL_CHARS = r"[A-Za-z0-9\-._~:/?#@!$&*+,;=%()\[\]]"
+_URL_RE = re.compile(
+    rf"""(?:https?://|www\.){_URL_CHARS}+|"""
+    r"""(?<![\w@.])[a-zA-Z0-9][a-zA-Z0-9\-]*(?:\.[a-zA-Z0-9][a-zA-Z0-9\-]*)*"""
+    rf"""\.(?:com|org|net|edu|gov|io|co|me|info|biz)(?:/{_URL_CHARS}*)?""",
+    re.UNICODE,
+)
+
+# Emoji & pictograph blocks (public Unicode ranges), incl. ZWJ sequences,
+# variation selectors, skin-tone modifiers.
+_EMOJI_RE = re.compile(
+    "["
+    "\U0001F000-\U0001FAFF"   # symbols, emoticons, transport, supplemental
+    "\U00002600-\U000027BF"   # misc symbols + dingbats
+    "\U0001F1E6-\U0001F1FF"   # regional indicators
+    "\U0000FE00-\U0000FE0F"   # variation selectors
+    "\U0000200D"              # zero-width joiner
+    "\U000020E3"              # combining enclosing keycap
+    "\U00002B00-\U00002BFF"
+    "]+",
+    re.UNICODE,
+)
+
+
+def cleanup_input(text: str) -> str:
+    """URL + emoji excision then strip (`langid_controller.py:84-90`)."""
+    if text is None:
+        return ""
+    clean = _URL_RE.sub("", text)
+    clean = _EMOJI_RE.sub("", clean)
+    return clean.strip()
+
+
+def cleanup_result_language(language: str) -> str:
+    """Region-code strip + tl->fil (`langid_controller.py:67-82`)."""
+    if not language:
+        return language
+    language = language.split("-", 1)[0]
+    if language == "tl":
+        language = "fil"
+    return language
+
+
+# ---------------------------------------------------------------------------
+# Script detection: Unicode block -> language (public Unicode ranges).
+# ---------------------------------------------------------------------------
+
+_SCRIPT_RANGES: list[tuple[int, int, str]] = [
+    (0x0900, 0x097F, "devanagari"),
+    (0x0980, 0x09FF, "bengali"),
+    (0x0A00, 0x0A7F, "gurmukhi"),
+    (0x0A80, 0x0AFF, "gujarati"),
+    (0x0B00, 0x0B7F, "oriya"),
+    (0x0B80, 0x0BFF, "tamil"),
+    (0x0C00, 0x0C7F, "telugu"),
+    (0x0C80, 0x0CFF, "kannada"),
+    (0x0D00, 0x0D7F, "malayalam"),
+    (0x0D80, 0x0DFF, "sinhala"),
+    (0x0600, 0x06FF, "arabic"),
+    (0x0750, 0x077F, "arabic"),
+    (0x0590, 0x05FF, "hebrew"),
+    (0x0400, 0x04FF, "cyrillic"),
+    (0x0370, 0x03FF, "greek"),
+    (0x0E00, 0x0E7F, "thai"),
+    (0x0E80, 0x0EFF, "lao"),
+    (0x1000, 0x109F, "myanmar"),
+    (0x1780, 0x17FF, "khmer"),
+    (0x10A0, 0x10FF, "georgian"),
+    (0x0530, 0x058F, "armenian"),
+    (0x1200, 0x137F, "ethiopic"),
+    (0x3040, 0x309F, "hiragana"),
+    (0x30A0, 0x30FF, "katakana"),
+    (0xAC00, 0xD7AF, "hangul"),
+    (0x1100, 0x11FF, "hangul"),
+    (0x4E00, 0x9FFF, "han"),
+    (0x3400, 0x4DBF, "han"),
+    (0x0041, 0x024F, "latin"),
+]
+
+# Unambiguous script -> ISO 639-1 language.
+_SCRIPT_TO_LANG = {
+    "bengali": "bn", "gurmukhi": "pa", "gujarati": "gu", "oriya": "or",
+    "tamil": "ta", "telugu": "te", "kannada": "kn", "malayalam": "ml",
+    "sinhala": "si", "hebrew": "he", "greek": "el", "thai": "th",
+    "lao": "lo", "myanmar": "my", "khmer": "km", "georgian": "ka",
+    "armenian": "hy", "ethiopic": "am", "hiragana": "ja", "katakana": "ja",
+    "hangul": "ko",
+}
+
+
+def _script_histogram(text: str) -> Counter:
+    counts: Counter = Counter()
+    for ch in text:
+        cp = ord(ch)
+        if cp < 0x41:  # ascii punctuation/digits/space: scriptless
+            continue
+        for lo, hi, name in _SCRIPT_RANGES:
+            if lo <= cp <= hi:
+                counts[name] += 1
+                break
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# Provider 1: script + stopword classifier.
+# ---------------------------------------------------------------------------
+
+# Devanagari disambiguation (hi vs mr vs ne): function words.
+_DEVANAGARI_WORDS = {
+    "hi": {"है", "हैं", "मेरा", "मेरी", "नाम", "और", "का", "की", "के", "यह",
+           "वह", "हूँ", "हूं", "से", "को", "में", "नहीं", "क्या", "आप",
+           "कैसे", "हम", "तुम", "वे", "इस", "उस", "पर", "ही", "भी", "तो"},
+    "mr": {"आहे", "आहेत", "माझे", "माझी", "नाव", "आणि", "हे", "ते", "मी",
+           "तू", "काय", "नाही", "होते", "तुझे"},
+    "ne": {"छ", "छन्", "मेरो", "नाम", "र", "को", "मा", "हो", "छु"},
+}
+# Marathi-specific codepoints: ळ; the candra-e matra (ॅ) is common in
+# Marathi loanword spelling (हॅलो) and rare in Hindi.
+_MR_CHARS = {"ळ", "ॅ"}
+
+# Arabic-script disambiguation (ar vs ur vs fa): distinctive letters.
+_UR_CHARS = {"ے", "ڈ", "ٹ", "ڑ", "ں", "ھ"}
+_FA_CHARS = {"گ", "چ", "پ", "ژ"}
+
+# Latin-script function-word profiles (public common-word lists).
+_LATIN_STOPWORDS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+           "was", "for", "are", "with", "his", "they", "this", "have",
+           "from", "or", "had", "by", "not", "but", "what", "were", "we",
+           "when", "your", "can", "there", "an", "which", "their", "how",
+           "will", "up", "other", "about", "out", "then", "them", "these",
+           "so", "some", "her", "would", "make", "him", "into", "time",
+           "has", "look", "two", "more", "go", "see", "no", "way", "my",
+           "than", "been", "who", "its", "did", "get", "may", "as", "he",
+           "she", "on", "at", "be", "do", "if", "all", "one"},
+    "es": {"el", "la", "de", "que", "y", "a", "en", "un", "ser", "se",
+           "no", "haber", "por", "con", "su", "para", "como", "estar",
+           "tener", "le", "lo", "todo", "pero", "más", "hacer", "o",
+           "poder", "decir", "este", "ir", "otro", "ese", "si", "me",
+           "ya", "ver", "porque", "dar", "cuando", "él", "muy", "sin",
+           "vez", "mucho", "saber", "qué", "sobre", "mi", "alguno",
+           "mismo", "yo", "también", "hasta", "una", "los", "las", "es",
+           "del", "al", "como", "está", "plátano", "cómo"},
+    "pt": {"o", "a", "de", "que", "e", "do", "da", "em", "um", "para",
+           "é", "com", "não", "uma", "os", "no", "se", "na", "por",
+           "mais", "as", "dos", "como", "mas", "foi", "ao", "ele",
+           "das", "tem", "à", "seu", "sua", "ou", "ser", "quando",
+           "muito", "há", "nos", "já", "está", "eu", "também", "só",
+           "pelo", "pela", "até", "isso", "ela", "entre", "era",
+           "depois", "sem", "mesmo", "aos", "ter", "seus", "quem",
+           "nas", "me", "esse", "eles", "estão", "você", "tinha",
+           "foram", "essa", "num", "nem", "suas", "meu", "às", "minha",
+           "têm", "numa", "pelos", "elas", "havia", "seja", "qual",
+           "será", "nós", "tenho", "lhe", "deles", "essas", "esses",
+           "pelas", "este", "fosse", "dele"},
+    "fr": {"le", "la", "les", "de", "des", "du", "et", "est", "en",
+           "un", "une", "que", "qui", "dans", "pour", "pas", "sur",
+           "ne", "se", "ce", "il", "elle", "nous", "vous", "ils",
+           "je", "tu", "au", "aux", "avec", "son", "sa", "ses", "ont",
+           "mais", "ou", "où", "comme", "plus", "cette", "ces", "être",
+           "avoir", "fait", "par", "très", "mon", "ma", "mes", "nom"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein",
+           "eine", "zu", "den", "mit", "von", "sie", "auf", "für",
+           "als", "auch", "es", "an", "werden", "aus", "er", "hat",
+           "dass", "war", "wird", "bei", "einer", "um", "am", "sind",
+           "noch", "wie", "einem", "über", "einen", "so", "zum", "haben",
+           "nur", "oder", "aber", "vor", "zur", "bis", "mehr", "durch",
+           "man", "sein", "wurde", "sei", "mein", "name"},
+    "id": {"yang", "dan", "di", "itu", "dengan", "ini", "untuk", "dari",
+           "dalam", "tidak", "akan", "pada", "juga", "saya", "ke",
+           "karena", "tersebut", "bisa", "ada", "mereka", "lebih",
+           "kata", "tahun", "sudah", "atau", "saat", "oleh", "menjadi",
+           "orang", "ia", "telah", "adalah", "seperti", "sebagai",
+           "bahwa", "dapat", "para", "harus", "namun", "kita", "dua",
+           "nama", "adalah"},
+    "fil": {"ang", "ng", "sa", "na", "ay", "mga", "ako", "siya", "ito",
+            "at", "para", "niya", "ko", "kung", "may", "hindi", "ka",
+            "ni", "kay", "aking", "akin", "naman", "po", "kamusta",
+            "kumusta", "pangalan", "ikaw", "tayo", "kami", "nila"},
+    # Romanized Hindi ("hi-Latn" in CLD3 terms; cleanup strips to "hi").
+    "hi-Latn": {"hai", "hain", "mera", "meri", "naam", "aap", "kaise",
+                "kya", "nahi", "nahin", "tum", "main", "hum", "aur",
+                "namaste", "acha", "theek", "ho", "ji", "ek", "yeh",
+                "woh", "kar", "raha", "rahi", "karo", "kaun"},
+    "it": {"il", "la", "di", "che", "e", "è", "un", "una", "per",
+           "non", "sono", "mi", "si", "lo", "ma", "con", "come", "le",
+           "del", "della", "questo", "nome", "mio", "ciao"},
+    "nl": {"de", "het", "een", "en", "van", "ik", "te", "dat", "die",
+           "in", "is", "niet", "zijn", "op", "aan", "met", "als",
+           "voor", "er", "maar", "om", "dan", "zou", "naam", "mijn"},
+    "tr": {"bir", "bu", "ve", "için", "ile", "da", "de", "ben", "benim",
+           "adım", "ne", "gibi", "çok", "daha", "var", "yok", "ama",
+           "merhaba", "nasıl"},
+    "ha": {"da", "ya", "ta", "na", "a", "ba", "ne", "ce", "yadda",
+           "ake", "yanka", "ayaba", "suna", "wannan", "amma", "ko",
+           "kuma", "cikin", "wata", "wani", "su", "mu", "ku"},
+}
+
+
+_PUNCT_STRIP = ".,;:!?\"'()[]{}<>«»„“”‘’`~|/\\@#$%^&*+=_-—–…0123456789"
+
+
+def _tokenize_words(text: str) -> list[str]:
+    # Whitespace split + edge-punctuation strip. NOT `\w+`: Python's re
+    # excludes combining marks (Devanagari matras etc.) from \w, which
+    # would shred words like मेरा into fragments.
+    out = []
+    for tok in text.lower().split():
+        tok = tok.strip(_PUNCT_STRIP)
+        if tok:
+            out.append(tok)
+    return out
+
+
+def _classify_devanagari(words: list[str], text: str) -> tuple[str, float]:
+    scores = {
+        lang: sum(1 for w in words if w in vocab)
+        for lang, vocab in _DEVANAGARI_WORDS.items()
+    }
+    if any(c in text for c in _MR_CHARS):
+        scores["mr"] = scores.get("mr", 0) + 2
+    # tie-break by speaker-population prior: hi > mr > ne
+    _prior = {"hi": 2, "mr": 1, "ne": 0}
+    best = max(scores, key=lambda k: (scores[k], _prior[k]))
+    total = sum(scores.values())
+    if total == 0:
+        return "hi", 0.55  # majority-language prior, low confidence
+    conf = 0.6 + 0.4 * (scores[best] / max(total, 1))
+    return best, min(conf, 0.99)
+
+
+def _classify_arabic_script(text: str) -> tuple[str, float]:
+    if any(c in text for c in _UR_CHARS):
+        return "ur", 0.9
+    if any(c in text for c in _FA_CHARS):
+        return "fa", 0.85
+    return "ar", 0.85
+
+
+def _classify_latin(words: list[str]) -> tuple[str, float]:
+    if not words:
+        return "und", 0.0
+    scores: dict[str, float] = {}
+    wordset = Counter(words)
+    for lang, vocab in _LATIN_STOPWORDS.items():
+        hit = sum(cnt for w, cnt in wordset.items() if w in vocab)
+        if hit:
+            scores[lang] = hit
+    if not scores:
+        return "en", 0.2  # fastText-style always-answer, low confidence
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    best, best_score = ranked[0]
+    second = ranked[1][1] if len(ranked) > 1 else 0.0
+    coverage = best_score / len(words)
+    margin = (best_score - second) / best_score if best_score else 0.0
+    conf = min(0.35 + 0.5 * coverage + 0.35 * margin, 0.99)
+    return best, conf
+
+
+def script_stopword_langid(text: str) -> tuple[str, float]:
+    """Provider 1 (the fastText slot). Returns (language, confidence).
+
+    Mirrors FastTextLangidProvider semantics (`langid.py:85-112`): text is
+    newline-flattened first; always returns *some* label; tl->fil handled
+    in result cleanup.
+    """
+    flat = (text or "").replace("\n", " ")
+    hist = _script_histogram(flat)
+    if not hist:
+        return "und", 0.0
+    total = sum(hist.values())
+    script, n = hist.most_common(1)[0]
+    share = n / total
+    words = _tokenize_words(flat)
+    if script == "devanagari":
+        lang, conf = _classify_devanagari(words, flat)
+        return lang, conf * share
+    if script == "arabic":
+        lang, conf = _classify_arabic_script(flat)
+        return lang, conf * share
+    if script == "han":
+        # Han + kana => ja, else zh.
+        if hist.get("hiragana") or hist.get("katakana"):
+            return "ja", 0.9 * share
+        return "zh", 0.85 * share
+    if script in _SCRIPT_TO_LANG:
+        return _SCRIPT_TO_LANG[script], 0.9 * share
+    if script == "cyrillic":
+        return "ru", 0.7 * share
+    # latin
+    lang, conf = _classify_latin(words)
+    return lang, conf
+
+
+# ---------------------------------------------------------------------------
+# Provider 2: char-trigram cosine profiles (the CLD3 slot).
+# Profiles are built at import from embedded seed sentences — public,
+# deterministic, tiny. Seeds intentionally include the reference's
+# fixture languages (FIXTURES.md §2).
+# ---------------------------------------------------------------------------
+
+_SEED_TEXTS: dict[str, str] = {
+    "en": "the quick brown fox jumps over the lazy dog and this is a test of "
+          "the english language how to slice a banana what is your name my "
+          "name is important we are going to the market today something "
+          "different is happening here the earthquake struck near the small "
+          "town in the northern region and people were running through the "
+          "streets looking for information about their families the report "
+          "said that everything would be fine in the coming days strong "
+          "magnitude readings were recorded during the event formation "
+          "action nothing management interesting development government "
+          "station question attention direction condition things working "
+          "making taking getting starting another other water after first "
+          "sound great thought right where most know place years live back "
+          "give very just think say help line turn cause much mean before "
+          "move same tell does set three want air well also play small end "
+          "put home read hand port large spell add even land must big high "
+          "such follow act why ask men change went light kind off need "
+          "house picture try us again animal point mother world near build "
+          "self earth father head stand own page should country found "
+          "answer school grow study still learn plant cover food sun four "
+          "between state keep eye never last let city tree cross farm hard "
+          "start might story saw far sea draw left late run while press "
+          "close night real life few north open seem together next white "
+          "children begin got walk example ease paper group always music "
+          "those both mark often letter until mile river car feet care "
+          "second book carry took science eat room friend began idea fish "
+          "mountain stop once base hear horse cut sure watch color face "
+          "wood main enough plain girl usual young ready above ever red "
+          "list though feel talk bird soon body dog family direct pose "
+          "leave song measure door product black short numeral class wind "
+          "question happen complete ship area half rock order fire south "
+          "problem piece told knew pass since top whole king space heard "
+          "best hour better true during hundred five remember step early "
+          "hold west ground interest reach fast verb sing listen six table "
+          "travel less morning ten simple several vowel toward war lay "
+          "against pattern slow center love person money serve appear road "
+          "map rain rule govern pull cold notice voice unit power town "
+          "fine certain fly fall lead cry dark machine note wait plan "
+          "figure star box noun field rest correct able pound done beauty "
+          "drive stood contain front teach week final gave green oh quick "
+          "develop ocean warm free minute strong special mind behind clear "
+          "tail produce fact street inch multiply",
+    "es": "el rápido zorro marrón salta sobre el perro perezoso esto es una "
+          "prueba del idioma español como rebanar un plátano cómo está usted "
+          "me llamo karim y vivo en la ciudad hoy vamos al mercado",
+    "pt": "a rápida raposa marrom pula sobre o cachorro preguiçoso isto é um "
+          "teste da língua portuguesa como fatiar uma fruta madura qual é o "
+          "seu nome meu nome é karim hoje vamos ao mercado",
+    "fr": "le rapide renard brun saute par dessus le chien paresseux ceci "
+          "est un test de la langue française comment trancher une banane "
+          "quel est votre nom je m'appelle karim nous allons au marché",
+    "de": "der schnelle braune fuchs springt über den faulen hund dies ist "
+          "ein test der deutschen sprache wie schneidet man eine banane wie "
+          "heißen sie mein name ist karim wir gehen heute zum markt",
+    "id": "rubah coklat cepat melompati anjing malas ini adalah tes bahasa "
+          "indonesia cara mengiris pisang siapa nama anda nama saya karim "
+          "hari ini kita pergi ke pasar bersama teman",
+    "fil": "kamusta ang aking pangalan ay karim ito ay isang pagsubok ng "
+           "wikang filipino paano maghiwa ng saging ano ang pangalan mo "
+           "pupunta tayo sa palengke ngayon araw na ito",
+    "hi": "नमस्ते मेरा नाम करीम है यह हिंदी भाषा की एक परीक्षा है केले को कैसे काटें "
+          "आपका नाम क्या है आज हम बाजार जा रहे हैं यह एक अच्छा दिन है",
+    "mr": "हॅलो माझे नाव करीम आहे ही मराठी भाषेची चाचणी आहे केळी कशी कापायची "
+          "तुझे नाव काय आहे आज आपण बाजारात जात आहोत हा चांगला दिवस आहे",
+    "bn": "হ্যালো আমার নাম কারিম এটি বাংলা ভাষার একটি পরীক্ষা কিভাবে একটি কলা টুকরা "
+          "করা হয় আপনার নাম কি আজ আমরা বাজারে যাচ্ছি",
+    "gu": "હેલો મારું નામ કરીમ છે આ ગુજરાતી ભાષાની કસોટી છે કેળાને કેવી રીતે કાપવું "
+          "તમારું નામ શું છે આજે આપણે બજારમાં જઈ રહ્યા છીએ",
+    "ml": "ഹലോ എന്റെ പേര് കരീം ആണ് ഇത് മലയാള ഭാഷയുടെ ഒരു പരീക്ഷണമാണ് വാഴപ്പഴം "
+          "എങ്ങനെ മുറിക്കാം നിങ്ങളുടെ പേര് എന്താണ്",
+    "ta": "வணக்கம் என் பெயர் கரிம் இது தமிழ் மொழியின் சோதனை வாழைப்பழத்தை எப்படி "
+          "வெட்டுவது உங்கள் பெயர் என்ன இன்று நாங்கள் சந்தைக்கு செல்கிறோம்",
+    "te": "హలో నా పేరు కరీం ఇది తెలుగు భాష పరీక్ష అరటిపండును ఎలా కోయాలి మీ పేరు "
+          "ఏమిటి ఈ రోజు మేము మార్కెట్‌కి వెళ్తున్నాము",
+    "ar": "مرحبا اسمي كريم هذا اختبار للغة العربية كيف تقطع موزة ما اسمك "
+          "اليوم نذهب إلى السوق معا انه يوم جميل",
+    "ru": "привет меня зовут карим это проверка русского языка как нарезать "
+          "банан как вас зовут сегодня мы идем на рынок",
+    "ja": "こんにちは私の名前はカリムですこれは日本語のテストですバナナの切り方"
+          "あなたの名前は何ですか今日は市場に行きます",
+    "zh": "你好我的名字是卡里姆这是中文测试如何切香蕉你叫什么名字今天我们一起去市场",
+    "ha": "yadda ake yanka ayaba sannu sunana karim wannan gwajin harshen "
+          "hausa ne menene sunanka yau za mu je kasuwa tare",
+    "hi-Latn": "namaste mera naam karim hai yeh romanized hindi ka test hai "
+               "aap kaise hain kya haal hai aaj hum bazaar ja rahe hain "
+               "tum kahan ho main theek hoon",
+}
+
+
+def _trigram_counts(text: str) -> Counter:
+    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    t = f" {t} "
+    return Counter(t[i:i + 3] for i in range(len(t) - 2))
+
+
+def _damp(counts: Counter) -> dict[str, float]:
+    # log-damped counts so high-frequency grams ('the', repeated 'ana')
+    # don't dominate; trigrams spanning a word boundary get 2x weight —
+    # they carry the function-word signal that separates languages.
+    return {
+        g: (1.0 + math.log(v)) * (2.0 if " " in g else 1.0)
+        for g, v in counts.items()
+    }
+
+
+def _norm(weights: dict[str, float]) -> float:
+    return math.sqrt(sum(v * v for v in weights.values()))
+
+
+_TRIGRAM_PROFILES: dict[str, tuple[dict[str, float], float]] = {
+    lang: (w, _norm(w)) for lang, w in
+    ((lang, _damp(_trigram_counts(seed))) for lang, seed in _SEED_TEXTS.items())
+}
+
+
+def trigram_langid(text: str) -> tuple[str, float]:
+    """Provider 2 (the CLD3 slot). Returns (language, confidence)."""
+    flat = (text or "").replace("\n", " ")
+    grams = _damp(_trigram_counts(flat))
+    if not grams:
+        return "und", 0.0
+    gnorm = _norm(grams)
+    if gnorm == 0:
+        return "und", 0.0
+    best_lang, best_cos, second_cos = "und", 0.0, 0.0
+    for lang, (profile, pnorm) in sorted(_TRIGRAM_PROFILES.items()):
+        dot = sum(cnt * profile.get(g, 0) for g, cnt in grams.items())
+        cos = dot / (gnorm * pnorm) if pnorm else 0.0
+        if cos > best_cos:
+            best_lang, second_cos, best_cos = lang, best_cos, cos
+        elif cos > second_cos:
+            second_cos = cos
+    if best_cos <= 0.0:
+        return "und", 0.0
+    margin = (best_cos - second_cos) / best_cos if best_cos else 0.0
+    conf = min(best_cos * (0.6 + 0.6 * margin) + 0.25, 0.99)
+    return best_lang, conf
+
+
+# ---------------------------------------------------------------------------
+# Hybrid rule + full pipeline per text.
+# ---------------------------------------------------------------------------
+
+AGREEMENT_CONFIDENCE = 0.7  # `langid.py:119-127`
+
+# Language is stable across a document: classify on a bounded prefix so
+# per-row cost is O(1) regardless of file size (CLD3 does the same; the
+# reference feeds whole texts because its inputs are tweet-sized).
+LANGID_MAX_CHARS = 4096
+
+
+def hybrid_langid(text: str) -> tuple[str, float, str]:
+    """Full reference pipeline for one text: cleanup -> two providers ->
+    hybrid agreement -> result cleanup. Returns (language, confidence,
+    provider_tag). No-network fallback: disagreement or low confidence
+    -> ('und', 0.0, 'fallback') instead of the reference's Google call.
+    """
+    clean = cleanup_input((text or "")[:LANGID_MAX_CHARS])
+    if not clean:
+        return "und", 1.0, "empty"  # `langid_controller.py:50-57`
+    l1, c1 = script_stopword_langid(clean)
+    l2, c2 = trigram_langid(clean)
+    l1c, l2c = cleanup_result_language(l1), cleanup_result_language(l2)
+    if l1c == l2c and min(c1, c2) >= AGREEMENT_CONFIDENCE:
+        if c1 > c2:
+            return l1c, float(c1), "script_stopword"
+        return l2c, float(c2), "trigram"
+    # agreement on label with lower confidence still beats hard 'und' when
+    # both concur — the reference would ask Google; we keep the agreed
+    # label but mark low confidence so downstream gates can drop it.
+    if l1c == l2c and l1c != "und":
+        return l1c, float(min(c1, c2)), "agree_lowconf"
+    return "und", 0.0, "fallback"
+
+
+# Languages with a dedicated per-language analyzer index in the reference
+# (`app/main/lib/language_analyzers.py:4`); used by the supported-language
+# gate L7.
+SUPPORTED_LANGUAGES = ["en", "pt", "es", "hi", "bn", "pt-br", "ar", "fr",
+                       "de", "cjk", "id"]
+
+
+def langid_batch(texts: Iterable[str]) -> pd.DataFrame:
+    """Vectorized batch entry: one pandas DataFrame out per batch in."""
+    langs, confs, provs = [], [], []
+    for t in texts:
+        lang, conf, prov = hybrid_langid(t)
+        langs.append(lang)
+        confs.append(conf)
+        provs.append(prov)
+    return pd.DataFrame({
+        "language": pd.array(langs, dtype="string"),
+        "language_confidence": pd.array(confs, dtype="float64"),
+        "langid_provider": pd.array(provs, dtype="string"),
+    })
+
+
+def with_language(df, text_col: str = "content"):
+    """Append language / language_confidence / langid_provider columns.
+
+    Implemented with mapInPandas so the whole stage is one Arrow-batched
+    pass (north rule: no per-row Python UDFs). Schema is declared
+    explicitly so Catalyst can prune upstream columns.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["language string", "language_confidence double",
+           "langid_provider string"]
+    )
+
+    def _map(batches):
+        for pdf in batches:
+            res = langid_batch(pdf[text_col].fillna("").tolist())
+            pdf = pdf.copy()
+            pdf["language"] = res["language"].astype(object)
+            pdf["language_confidence"] = res["language_confidence"]
+            pdf["langid_provider"] = res["langid_provider"].astype(object)
+            yield pdf
+
+    return df.mapInPandas(_map, schema=out_schema)

@@ -1,0 +1,96 @@
+"""Similarity measures — exact ports of the reference's scalar semantics.
+
+- cosine_similarity: dot/(|a||b|), NaN -> 0
+  (`app/main/lib/similarity_measures.py:5-13`; golden values
+  `app/test/test_similarity_measures.py:8-13`).
+- angular_similarity: 1 - acos(1 - clamp(cosine_dist, 0, 1))/pi
+  (`similarity_measures.py:15-22`).
+- hamming similarity on 64-bit hashes: 1 - popcount(a xor b)/64
+  (Postgres `bit_count_image`, `manage.py:296-301`) — column expression,
+  built-in `bit_count`.
+- hamming on >64-bit binary hashes (PDQ 256 / audio 128,
+  `manage.py:303-321`): NumPy unpackbits popcount in a pandas UDF.
+
+Column-level cosine for `array<float>` embeddings is built-in Catalyst
+(zip_with + aggregate) so it stays JVM-side; the NumPy variants are for
+batch matrix work inside operators.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# -- python/numpy scalar forms (exact reference semantics) ------------------
+
+def cosine_similarity(vec_a, vec_b) -> float:
+    a = np.asarray(vec_a, dtype=np.float64)
+    b = np.asarray(vec_b, dtype=np.float64)
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    csim = np.dot(a, b) / denom if denom else np.nan
+    if np.isnan(csim):
+        return 0.0
+    return float(csim)
+
+
+def angular_similarity(vec_a, vec_b) -> float:
+    cos = cosine_similarity(vec_a, vec_b)
+    # reference computes scipy cosine *distance* then clamps to [0, 1]
+    cosdist = max(0.0, min(1.0 - cos, 1.0))
+    return 1.0 - math.acos(1.0 - cosdist) / math.pi
+
+
+def hamming_similarity_64(a: int, b: int) -> float:
+    return 1.0 - bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1") / 64.0
+
+
+# -- Catalyst column forms ---------------------------------------------------
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array<numeric> columns (JVM-side)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity column; 0.0 on zero-norm (NaN->0 parity with
+    `similarity_measures.py:11-12`)."""
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def angular_col(a: Column, b: Column) -> Column:
+    cos = cosine_col(a, b)
+    cosdist = F.greatest(F.lit(0.0), F.least(F.lit(1.0) - cos, F.lit(1.0)))
+    return F.lit(1.0) - F.acos(F.lit(1.0) - cosdist) / F.lit(math.pi)
+
+
+def hamming64_col(a: Column, b: Column) -> Column:
+    """1 - bit_count(a ^ b)/64 — `manage.py:296-301` as built-ins."""
+    return F.lit(1.0) - F.bit_count(a.bitwiseXOR(b)) / F.lit(64.0)
+
+
+# -- >64-bit popcount (binary columns), NumPy batch --------------------------
+
+def hamming_binary_batch(a_bytes, b_bytes) -> np.ndarray:
+    """Normalized hamming similarity for equal-length binary hashes
+    (PDQ/audio twin of `manage.py:303-321`)."""
+    out = np.empty(len(a_bytes), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(a_bytes, b_bytes)):
+        if a is None or b is None or len(a) != len(b) or not a:
+            out[i] = 0.0
+            continue
+        xa = np.frombuffer(a, dtype=np.uint8)
+        xb = np.frombuffer(b, dtype=np.uint8)
+        nbits = len(a) * 8
+        out[i] = 1.0 - np.unpackbits(xa ^ xb).sum() / nbits
+    return out

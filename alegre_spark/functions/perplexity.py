@@ -1,0 +1,146 @@
+"""Character n-gram perplexity scoring (KenLM-style, from scratch).
+
+The north rule calls for "a character n-gram perplexity model
+(KenLM-style scoring) run inside vectorized pandas/Arrow UDFs". This is
+an interpolated character trigram language model with stupid-backoff
+smoothing (Brants et al. 2007, public) — no external model files:
+
+    score(c3 | c1 c2) = P3 if seen, else a*P2 if seen, else a^2*P1,
+    floor = a^2 * uniform
+    ppl(text) = exp(-mean(log score))
+
+The model table is trained once on a deterministic embedded "good text"
+corpus (or any user corpus via `train`), broadcast to executors, and
+applied in a single Arrow-batched pass with NumPy.
+
+Reference analog: the embedding-encoder slot (SURVEY.md §2.9 L10) — the
+same broadcast-model `mapInPandas` pattern Alegre uses for
+sentence-transformer encoders (`xlm_r_bert_base_nli_stsb_mean_tokens.py:26-30`).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+BACKOFF = 0.4  # stupid-backoff constant (Brants et al. 2007)
+_VOCAB_FLOOR = 1e-7
+
+_DEFAULT_TRAIN_TEXT = (
+    "def main(args): return parse(args) or run_pipeline(config) "
+    "class DataLoader: def __init__(self, path, batch_size=32): "
+    "self.path = path import os import sys from typing import Optional "
+    "for i in range(len(items)): result.append(transform(items[i])) "
+    "if __name__ == '__main__': main(sys.argv[1:]) "
+    "the quick brown fox jumps over the lazy dog this is a readable "
+    "sentence about software engineering and data processing pipelines "
+    "select count from table where value is not null group by key "
+    "function handle(request, response) { return response.send(data); } "
+    "public static void main(String[] args) { System.out.println(msg); } "
+    "# compute the rolling hash of each window and compare signatures "
+    "error handling should be explicit and logging should be structured "
+    "while the loop continues we accumulate partial sums into the state "
+)
+
+
+def _normalize(text: str) -> str:
+    return re.sub(r"\s+", " ", (text or "").lower()).strip()
+
+
+class CharNgramLM:
+    """Interpolated char-trigram LM with stupid backoff."""
+
+    def __init__(self, logp3: dict[str, float], logp2: dict[str, float],
+                 logp1: dict[str, float]):
+        self.logp3, self.logp2, self.logp1 = logp3, logp2, logp1
+        self._log_backoff = math.log(BACKOFF)
+        self._floor = 2 * self._log_backoff + math.log(_VOCAB_FLOOR)
+
+    @classmethod
+    def train(cls, corpus: str) -> "CharNgramLM":
+        t = " " + _normalize(corpus) + " "
+        uni = Counter(t)
+        bi = Counter(t[i:i + 2] for i in range(len(t) - 1))
+        tri = Counter(t[i:i + 3] for i in range(len(t) - 2))
+        n = len(t)
+        logp1 = {g: math.log(c / n) for g, c in uni.items()}
+        logp2 = {g: math.log(c / uni[g[0]]) for g, c in bi.items()}
+        logp3 = {g: math.log(c / bi[g[:2]]) for g, c in tri.items()}
+        return cls(logp3, logp2, logp1)
+
+    def logprob_char(self, ctx2: str, ch: str) -> float:
+        g3 = ctx2 + ch
+        p = self.logp3.get(g3)
+        if p is not None:
+            return p
+        p = self.logp2.get(g3[1:])
+        if p is not None:
+            return self._log_backoff + p
+        p = self.logp1.get(ch)
+        if p is not None:
+            return 2 * self._log_backoff + p
+        return self._floor
+
+    MAX_CHARS = 16384  # bounded per-row cost; a 16 KiB sample is a
+    # statistically stable perplexity estimate for any file size
+
+    def perplexity(self, text: str) -> float:
+        t = " " + _normalize((text or "")[:self.MAX_CHARS]) + " "
+        if len(t) < 3:
+            return float(math.exp(-self._floor))
+        lp = 0.0
+        n = 0
+        for i in range(2, len(t)):
+            lp += self.logprob_char(t[i - 2:i], t[i])
+            n += 1
+        return float(math.exp(-lp / n))
+
+    def perplexity_batch(self, texts: pd.Series) -> np.ndarray:
+        return np.array([self.perplexity(t) for t in texts.fillna("")],
+                        dtype=np.float64)
+
+    # -- (de)serialization for broadcast -----------------------------------
+    def to_tables(self):
+        return (self.logp3, self.logp2, self.logp1)
+
+    @classmethod
+    def from_tables(cls, tables) -> "CharNgramLM":
+        return cls(*tables)
+
+
+def default_model() -> CharNgramLM:
+    return CharNgramLM.train(_DEFAULT_TRAIN_TEXT)
+
+
+def with_perplexity(df: DataFrame, text_col: str = "content",
+                    model: CharNgramLM | None = None,
+                    spark: SparkSession | None = None) -> DataFrame:
+    """Append a `perplexity` double column via one mapInPandas pass.
+
+    The n-gram tables are broadcast (sc.broadcast) so each executor
+    deserializes them once, not once per task — SURVEY.md §4.2 item 2.
+    """
+    model = model or default_model()
+    spark = spark or df.sparkSession
+    bc = spark.sparkContext.broadcast(model.to_tables())
+
+    out_schema = df.schema.simpleString()[7:-1] + ",perplexity:double"
+    # simpleString -> struct<...>; build DDL instead for clarity:
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["perplexity double"])
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lm = CharNgramLM.from_tables(bc.value)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["perplexity"] = lm.perplexity_batch(pdf[text_col])
+            yield pdf
+
+    return df.mapInPandas(_map, schema=out_schema)

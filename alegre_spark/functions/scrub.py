@@ -1,0 +1,126 @@
+"""PII / credential / toxicity scrubbing — compiled regex, Arrow-batched.
+
+The reference's scrub analogs: URL/emoji excision from langid input
+(`app/main/controller/langid_controller.py:84-98`) and category-flag
+classification (Google Vision safe-search likelihood flags,
+`app/main/lib/image_classification.py:9-30`). Per the north rule we
+extend this to a real PII/credential scrubber: emails, phone numbers,
+cloud/API credentials, private-key blocks, and a (placeholder) slur
+lexicon, each replaced with a category mask token and counted.
+
+Execution pattern = the reference's two-phase refinement (video L1 gate
+before TMK, `app/main/model/video.py:142-166`): a cheap JVM-side `rlike`
+pregate routes only suspicious rows through the pandas-UDF regex pass;
+clean rows bypass Python entirely.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, MapType, StringType,
+                               StructField, StructType)
+
+# Category -> (compiled regex, mask). Order matters: credentials before
+# generic patterns so e.g. an AWS key inside a URL masks as credential.
+_PRIVATE_KEY_RE = re.compile(
+    r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+    r"(?:.|\n)*?"
+    r"(?:-----END [A-Z ]*PRIVATE KEY-----|\Z)")
+
+SCRUB_PATTERNS: list[tuple[str, re.Pattern, str]] = [
+    ("private_key", _PRIVATE_KEY_RE, "<CRED:PRIVATE_KEY>"),
+    ("aws_key", re.compile(r"\bAKIA[0-9A-Z]{16}\b"), "<CRED:AWS_KEY>"),
+    ("github_token", re.compile(r"\bghp_[A-Za-z0-9]{36}\b"),
+     "<CRED:GITHUB_TOKEN>"),
+    ("slack_token", re.compile(r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b"),
+     "<CRED:SLACK_TOKEN>"),
+    # quantifiers are BOUNDED ({1,64}/{1,255}): an unbounded `+` before
+    # `@` backtracks O(n^2) on long alphanumeric runs (minified/blob
+    # lines), which hangs the scan at scale.
+    ("email", re.compile(
+        r"\b[A-Za-z0-9._%+\-]{1,64}@[A-Za-z0-9.\-]{1,255}\.[A-Za-z]{2,24}\b"),
+     "<PII:EMAIL>"),
+    ("phone", re.compile(r"(?<![\w.])\+[1-9][0-9]{7,14}\b"), "<PII:PHONE>"),
+    ("ipv4", re.compile(
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b"),
+     "<PII:IPV4>"),
+]
+
+# Deterministic placeholder lexicon (a real deployment broadcasts a
+# curated list; the sandbox uses plantable fakes — FIXTURES.md §6).
+SLUR_LEXICON: tuple[str, ...] = ("slurword1", "slurword2", "slurword3")
+_SLUR_RE = re.compile(
+    r"\b(?:" + "|".join(re.escape(w) for w in SLUR_LEXICON) + r")\b",
+    re.IGNORECASE)
+SCRUB_PATTERNS.append(("slur", _SLUR_RE, "<TOX:SLUR>"))
+
+CATEGORIES = [name for name, _, _ in SCRUB_PATTERNS]
+
+# Cheap JVM pregate (java regex): any row NOT matching this cannot match
+# any scrub pattern, so it skips Python entirely.
+PREGATE_RLIKE = (
+    "(-----BEGIN)|(AKIA[0-9A-Z]{16})|(ghp_)|(xox[baprs]-)"
+    "|([A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24})"
+    "|(\\+[1-9][0-9]{7,14})"
+    "|([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"
+    "|(?i)(" + "|".join(SLUR_LEXICON) + ")"
+)
+
+
+def scrub_text(text: str) -> tuple[str, dict[str, int]]:
+    """Scrub one text; returns (scrubbed, counts-per-category)."""
+    counts: dict[str, int] = {}
+    out = text
+    for name, pattern, mask in SCRUB_PATTERNS:
+        out, n = pattern.subn(mask, out)
+        if n:
+            counts[name] = n
+    return out, counts
+
+
+def scrub_batch(texts: pd.Series) -> pd.DataFrame:
+    scrubbed, count_maps = [], []
+    for t in texts.fillna(""):
+        s, c = scrub_text(t)
+        scrubbed.append(s)
+        count_maps.append(c)
+    return pd.DataFrame({"scrubbed_content": scrubbed,
+                         "scrub_counts": count_maps})
+
+
+def with_scrub(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """Add `scrubbed_content` + `scrub_counts` (map<string,int>).
+
+    Plan shape: Filter(pregate) -> MapInPandas on the dirty slice only,
+    union with the clean slice (scrubbed_content = content, empty map).
+    Both slices read the same scan; Catalyst reuses the exchange.
+    """
+    gate = F.col(text_col).rlike(PREGATE_RLIKE)
+    dirty = df.filter(gate)
+    clean = df.filter(~gate).withColumns({
+        "scrubbed_content": F.col(text_col),
+        "scrub_counts": F.create_map().cast("map<string,int>"),
+    })
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("scrubbed_content", StringType()),
+           StructField("scrub_counts", MapType(StringType(), IntegerType()))]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = scrub_batch(pdf[text_col])
+            pdf = pdf.copy()
+            pdf["scrubbed_content"] = res["scrubbed_content"].values
+            pdf["scrub_counts"] = res["scrub_counts"].values
+            yield pdf
+
+    dirty_scrubbed = dirty.mapInPandas(_map, schema=out_schema)
+    return clean.unionByName(dirty_scrubbed)

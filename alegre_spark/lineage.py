@@ -1,0 +1,123 @@
+"""Lineage + idempotent resume (north rule; SURVEY.md §7.2 M7).
+
+The reference achieves idempotence with create-or-update upserts keyed
+by doc_id (`app/main/lib/elasticsearch.py:81-108`) and md5-keyed redis
+caches (`langid_controller.py:27-39`). Here: every run writes, per salt
+bucket, one metrics row tagged with a deterministic `run_id`
+(sha256 of input fingerprint + config). A rerun reads the metrics table
+first and processes only buckets without a committed metrics row —
+equivalent to Iceberg snapshot-id checkpointing, implemented on parquet
+(the sandbox has no Iceberg runtime; the writer below isolates the
+format choice to one place).
+
+Commit protocol per bucket (atomic enough for the rerun test, and the
+same shape an Iceberg MERGE commit would take):
+  1. append output rows partitioned by salt_bucket
+  2. append the bucket's metrics row (the "commit marker")
+Crash between 1 and 2 -> bucket reprocessed; output written with
+dynamic partition overwrite so replays replace, not duplicate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import PipelineConfig, partition_metrics, run_pipeline
+
+OUTPUT_COLUMNS = [
+    "repo", "path", "commit", "lang", "content", "doc_id",
+    "content_sha256", "salt_bucket", "language", "language_confidence",
+    "langid_provider", "perplexity", "scrubbed_content", "scrub_counts",
+    "scrubbed_sha256", "keep", "drop_reason",
+]
+
+
+def compute_run_id(input_fingerprint: str, cfg: PipelineConfig) -> str:
+    import hashlib
+    payload = json.dumps(
+        {"input": input_fingerprint,
+         "cfg": {"default_threshold": cfg.default_threshold,
+                 "max_perplexity": cfg.max_perplexity,
+                 "salt_buckets": cfg.salt_buckets,
+                 "allowed": list(cfg.allowed_languages),
+                 "require_language": cfg.require_language}},
+        sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def input_fingerprint(df: DataFrame) -> str:
+    """Cheap deterministic input id: count + xor-ish hash of doc keys.
+    (With Iceberg this is just the snapshot id.)"""
+    # pmod bounds each term so the ANSI-mode long sum cannot overflow
+    row = (df.select(F.count("*").alias("n"),
+                     F.sum(F.pmod(F.xxhash64("repo", "path", "commit"),
+                                  F.lit(1_000_000_007))).alias("h"))
+           .collect()[0])
+    return f"{row['n']}:{row['h']}"
+
+
+def committed_buckets(spark: SparkSession, metrics_path: str,
+                      run_id: str) -> set[int]:
+    if not os.path.exists(metrics_path):
+        return set()
+    try:
+        rows = (spark.read.parquet(metrics_path)
+                .filter(F.col("run_id") == run_id)
+                .select("salt_bucket").distinct().collect())
+    except Exception:
+        return set()
+    return {r["salt_bucket"] for r in rows}
+
+
+def run_with_resume(spark: SparkSession, files: DataFrame, out_dir: str,
+                    cfg: PipelineConfig | None = None,
+                    fail_after_buckets: int | None = None) -> dict:
+    """Run the pipeline idempotently. Returns summary dict.
+
+    `fail_after_buckets` is a test hook: commit only the first K buckets'
+    metrics (simulating a crash), leaving the rest uncommitted.
+    """
+    cfg = cfg or PipelineConfig()
+    output_path = os.path.join(out_dir, "filtered")
+    metrics_path = os.path.join(out_dir, "metrics")
+    run_id = compute_run_id(input_fingerprint(files), cfg)
+
+    done = committed_buckets(spark, metrics_path, run_id)
+    annotated = run_pipeline(files, cfg)
+    if done:
+        annotated = annotated.filter(~F.col("salt_bucket").isin(list(done)))
+
+    pending = annotated.persist()
+    n_pending = pending.count()
+    if n_pending == 0:
+        pending.unpersist()
+        return {"run_id": run_id, "processed_rows": 0,
+                "skipped_buckets": len(done)}
+
+    metrics = (partition_metrics(pending)
+               .withColumn("run_id", F.lit(run_id)))
+    if fail_after_buckets is not None:
+        keep_buckets = [r["salt_bucket"] for r in
+                        metrics.select("salt_bucket").distinct()
+                        .orderBy("salt_bucket")
+                        .limit(fail_after_buckets).collect()]
+        out_rows = pending.filter(F.col("salt_bucket").isin(keep_buckets))
+        metrics = metrics.filter(F.col("salt_bucket").isin(keep_buckets))
+    else:
+        out_rows = pending
+
+    # dynamic partition overwrite: replayed buckets replace prior partials
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (out_rows.select(*OUTPUT_COLUMNS)
+     .write.partitionBy("salt_bucket").mode("overwrite")
+     .parquet(output_path))
+    metrics.write.mode("append").parquet(metrics_path)
+
+    processed = out_rows.count()
+    pending.unpersist()
+    return {"run_id": run_id, "processed_rows": processed,
+            "skipped_buckets": len(done)}

@@ -1,0 +1,146 @@
+"""The flagship quality-filter pipeline (SURVEY.md §7.1).
+
+ingest -> doc_id + sha256 invariant -> salted repartition by repo-hash
+-> langid (mapInPandas) -> quality rules (Catalyst) -> perplexity
+(mapInPandas) -> scrub (pregated mapInPandas) -> keep/drop decision
+-> filtered table + per-partition lineage/metrics.
+
+Keep/drop decision mirrors the reference's threshold semantics
+(`get_model_and_threshold`, `app/main/lib/text_similarity.py:102-117`):
+a default threshold with per-rule overrides; langid gate mirrors the
+hybrid agreement rule (`app/main/lib/langid.py:119-127`) and the
+supported-language routing fallback (`text_similarity.py:252-264`).
+
+Scale design:
+- doc_id is deterministic sha256(repo|path|commit) — replaces the
+  reference's uuid4 (`media_crud.py:107-108`) so reruns are idempotent;
+- salting: pmod(xxhash64(repo, salt), buckets) spreads a giant repo
+  across the cluster before the expensive UDF stages;
+- every stage is either whole-stage-codegen built-ins or one
+  Arrow-batched mapInPandas pass; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.langid import SUPPORTED_LANGUAGES, with_language
+from .functions.perplexity import CharNgramLM, with_perplexity
+from .functions.quality import QualityConfig, with_quality
+from .functions.scrub import with_scrub
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    quality: QualityConfig = field(default_factory=QualityConfig)
+    # threshold semantics per `text_similarity.py:102-117`: default with
+    # per-key override map.
+    default_threshold: float = 0.7
+    per_rule_threshold: dict | None = None
+    max_perplexity: float = 1e4
+    allowed_languages: tuple[str, ...] = tuple(SUPPORTED_LANGUAGES)
+    salt_buckets: int = 64
+    require_language: bool = False  # code corpora are mostly 'und'/en
+
+    def threshold_for(self, key: str) -> float:
+        if self.per_rule_threshold and key in self.per_rule_threshold:
+            return self.per_rule_threshold[key]
+        return self.default_threshold
+
+
+def with_doc_id(df: DataFrame) -> DataFrame:
+    """doc_id = sha256(repo|path|commit) (deterministic, F14) and the
+    per-row invariant content_sha256 = sha256(content) (F1,
+    `app/main/lib/image_hash.py:3-12`)."""
+    return df.withColumns({
+        "doc_id": F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256),
+        "content_sha256": F.sha2(F.col("content"), 256),
+    })
+
+
+def salt_repartition(df: DataFrame, buckets: int = 64) -> DataFrame:
+    """Salted repartition by repo-hash (SURVEY.md §4.2 obligation 1).
+
+    Deterministic salt: pmod(xxhash64(repo, path), buckets) — path acts
+    as the intra-repo salt so a giant repo spreads over all buckets
+    while small repos stay co-located-ish. No rand(): resume-safe.
+    """
+    salt = F.pmod(F.xxhash64("repo", "path"), F.lit(buckets))
+    return (df.withColumn("salt_bucket", salt.cast("int"))
+              .repartition(buckets, "salt_bucket"))
+
+
+def with_decision(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """keep boolean + drop_reason, first-match-wins:
+    language gate -> quality rule -> perplexity gate."""
+    lang_known = F.col("language").isin(list(cfg.allowed_languages))
+    lang_conf_ok = F.col("language_confidence") >= F.lit(
+        cfg.threshold_for("langid"))
+    lang_fail = (
+        (F.col("language") == "und") | ~lang_conf_ok |
+        (F.lit(cfg.require_language) & ~lang_known)
+    )
+    ppl_fail = F.col("perplexity") > F.lit(cfg.max_perplexity)
+
+    reason = (
+        F.when(~F.col("quality_pass"), F.col("quality_drop_reason"))
+         .when(ppl_fail, F.lit("perplexity"))
+         .when(lang_fail & F.lit(cfg.require_language), F.lit("language"))
+         .otherwise(F.lit(None).cast("string"))
+    )
+    df = df.withColumn("drop_reason", reason)
+    return df.withColumn("keep", F.col("drop_reason").isNull())
+
+
+def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None,
+                 lm: CharNgramLM | None = None) -> DataFrame:
+    """files df -> fully annotated df (no sink). Columns appended:
+    doc_id, content_sha256, salt_bucket, language, language_confidence,
+    langid_provider, quality features, perplexity, scrubbed_content,
+    scrub_counts, drop_reason, keep, scrubbed_sha256.
+    """
+    cfg = cfg or PipelineConfig()
+    df = with_doc_id(df)
+    df = salt_repartition(df, cfg.salt_buckets)
+    df = with_language(df, "content")
+    df = with_quality(df, "content", cfg.quality)
+    df = with_perplexity(df, "content", lm)
+    df = with_scrub(df, "content")
+    df = df.withColumn("scrubbed_sha256", F.sha2("scrubbed_content", 256))
+    return with_decision(df, cfg)
+
+
+def partition_metrics(annotated: DataFrame) -> DataFrame:
+    """Per-salt-bucket lineage/metrics rows (north rule): input rows,
+    kept, dropped-per-reason map, scrub hit totals. Two hash
+    aggregations (partial+final map-side combine, no collect)."""
+    base = (annotated.groupBy("salt_bucket")
+            .agg(F.count("*").alias("input_rows"),
+                 F.sum(F.col("keep").cast("long")).alias("kept_rows"),
+                 F.sum((~F.col("keep")).cast("long")).alias("dropped_rows"),
+                 F.sum(F.aggregate(F.map_values("scrub_counts"),
+                                   F.lit(0), lambda a, x: a + x))
+                  .alias("scrub_hits")))
+    reasons = (annotated.filter(~F.col("keep"))
+               .groupBy("salt_bucket", "drop_reason")
+               .agg(F.count("*").alias("n"))
+               .groupBy("salt_bucket")
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct("drop_reason", "n")))
+                   .alias("drop_reasons")))
+    return base.join(reasons, "salt_bucket", "left")
+
+
+def language_keep_stats(annotated: DataFrame) -> DataFrame:
+    """Flagship reporting query: language distribution + keep rate per
+    detected language (entry() result)."""
+    return (annotated.groupBy("language")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                 F.round(F.avg(F.col("keep").cast("double")), 4)
+                  .alias("keep_rate"),
+                 F.round(F.avg("perplexity"), 2).alias("avg_perplexity"))
+            .orderBy(F.desc("n_files"), "language"))

@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the quality-filter workload.
+
+Scale notes (100 TB / 1000-executor design, tested on local[32]):
+- AQE on: runtime coalescing + skew-join splitting under our explicit
+  salted partitioning (SURVEY.md §4.2).
+- Arrow on with a large batch size: every model stage is a pandas UDF;
+  Arrow transfer cost is amortized per ~10k-row batch.
+- shuffle.partitions is a default for local runs; production submits set
+  it to ~2-3x total cores via spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "alegre-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(os.environ.get(
+        "ALEGRE_SHUFFLE_PARTITIONS", str(max(int(cpus) if cpus.isdigit() else 32, 8))))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("ALEGRE_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,88 @@
+"""Golden langid tests — fixture rows verbatim from the reference
+(`app/test/test_langid.py:15-30,38-53,110-121`; FIXTURES.md §2)."""
+
+import pytest
+
+from alegre_spark.functions.langid import (
+    cleanup_input, cleanup_result_language, hybrid_langid,
+    script_stopword_langid, trigram_langid, with_language)
+
+GOLDEN = [
+    ("नमस्ते मेरा नाम करीम है", "hi"),
+    ("नमस्ते मेरा नाम\n\n करीम है", "hi"),          # newline flattening
+    ("namaste mera naam Karim hai", "hi"),       # hi-Latn -> hi
+    ("हॅलो माझे नाव करीम आहे", "mr"),
+    ("হ্যালো আমার নাম কারিম", "bn"),
+    ("હેલો, મારું નામ કરીમ છે", "gu"),
+    ("ഹലോ എന്റെ പേര് കരീം ആണ്", "ml"),
+    ("வணக்கம் என் பெயர் கரிம்", "ta"),
+    ("హలో నా పేరు కరీం", "te"),
+    ("kamusta ang aking pangalan ay Karim", "fil"),  # tl -> fil
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_golden_labels(text, expected):
+    lang, conf, _ = hybrid_langid(text)
+    assert lang == expected
+
+
+def test_emoji_only_is_und_conf_1():
+    # `test_langid.py:29,110-121`: emoji-only -> cleanup -> empty -> und/1.0
+    lang, conf, prov = hybrid_langid("🙋🏽👨‍🎤")
+    assert (lang, conf) == ("und", 1.0)
+
+
+def test_empty_text_is_und_conf_1():
+    assert hybrid_langid("")[:2] == ("und", 1.0)
+    assert hybrid_langid(None)[:2] == ("und", 1.0)
+
+
+def test_cleanup_url_excision():
+    # `test_langid.py:39-41`
+    assert cleanup_input(
+        "http://twitter.com/これは日本語です。example.com中国語"
+    ) == "これは日本語です。中国語"
+
+
+def test_cleanup_emoji_excision():
+    # `test_langid.py:42-45`
+    assert cleanup_input("some emojis 🙋🏽👨‍🎤 for you") == "some emojis  for you"
+
+
+def test_result_cleanup_region_and_tl():
+    # `test_langid.py:48-53`
+    assert cleanup_result_language("hi-Latn") == "hi"
+    assert cleanup_result_language("tl") == "fil"
+    assert cleanup_result_language("pt-BR") == "pt"
+
+
+def test_routing_fixture_rows():
+    # `test_similarity_lang_analyzers.py:33,54-60`
+    assert hybrid_langid("केले को कैसे काटें")[0] == "hi"
+    assert hybrid_langid("how to slice a banana")[0] == "en"
+    assert hybrid_langid("como rebanar un plátano")[0] == "es"
+    assert hybrid_langid("কিভাবে একটি কলা টুকরা করা হয়")[0] == "bn"
+    # Hausa -> not in SUPPORTED_LANGUAGES (default route); label is ha/und
+    lang = hybrid_langid("yadda ake yanka ayaba")[0]
+    from alegre_spark.functions.langid import SUPPORTED_LANGUAGES
+    assert lang not in SUPPORTED_LANGUAGES
+
+
+def test_hybrid_agreement_gate():
+    # high-confidence agreement returns the higher-confidence provider
+    l1, c1 = script_stopword_langid("हॅलो माझे नाव करीम आहे")
+    l2, c2 = trigram_langid("हॅलो माझे नाव करीम आहे")
+    assert l1 == l2 == "mr" and min(c1, c2) >= 0.7
+    # disagreement -> deterministic fallback ('und', 0.0)
+    lang, conf, prov = hybrid_langid("cara mengiris pisang")
+    assert prov in ("fallback", "agree_lowconf", "script_stopword", "trigram")
+
+
+def test_with_language_spark_stage(spark):
+    df = spark.createDataFrame(
+        [(t,) for t, _ in GOLDEN], "content string")
+    out = with_language(df).select("content", "language").collect()
+    got = {r["content"]: r["language"] for r in out}
+    for text, expected in GOLDEN:
+        assert got[text] == expected

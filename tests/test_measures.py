@@ -1,0 +1,48 @@
+"""Exact-value measure tests (`app/test/test_similarity_measures.py:8-13`)
+plus hamming goldens (`manage.py:296-301`)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.functions.measures import (
+    angular_col, angular_similarity, cosine_col, cosine_similarity,
+    hamming64_col, hamming_binary_batch, hamming_similarity_64)
+
+
+def test_cosine_exact():
+    assert cosine_similarity([1, 2, 3], [1, 2, 3]) == pytest.approx(1.0)
+    assert cosine_similarity([1, 2, 3], [0, 0, 0]) == 0  # NaN -> 0
+    assert angular_similarity([1, 2, 3], [1, 2, 3]) == pytest.approx(1.0)
+
+
+def test_hamming64():
+    assert hamming_similarity_64(0b1010, 0b1010) == 1.0
+    assert hamming_similarity_64(0, (1 << 64) - 1) == 0.0
+    assert hamming_similarity_64(0, 0b1111) == 1.0 - 4 / 64
+
+
+def test_hamming_binary():
+    a = bytes([0xFF] * 32)
+    b = bytes([0x00] * 32)
+    out = hamming_binary_batch([a, a], [a, b])
+    assert out[0] == 1.0 and out[1] == 0.0
+
+
+def test_column_forms(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+         ([1.0, 2.0, 3.0], [0.0, 0.0, 0.0])],
+        "a array<double>, b array<double>")
+    rows = df.select(cosine_col(F.col("a"), F.col("b")).alias("c"),
+                     angular_col(F.col("a"), F.col("b")).alias("g")).collect()
+    assert rows[0]["c"] == pytest.approx(1.0)
+    assert rows[1]["c"] == 0.0
+    assert rows[0]["g"] == pytest.approx(1.0)
+
+
+def test_hamming64_col(spark):
+    df = spark.createDataFrame([(0, 15)], "a long, b long")
+    r = df.select(hamming64_col(F.col("a"), F.col("b")).alias("h")).first()
+    assert r["h"] == pytest.approx(1.0 - 4 / 64)

@@ -1,0 +1,44 @@
+"""Char-n-gram perplexity tests: ordering property (natural code/text
+scores far lower than noise) and Spark-stage integration."""
+
+from alegre_spark.functions.perplexity import (CharNgramLM, default_model,
+                                               with_perplexity)
+
+
+def test_ordering():
+    lm = default_model()
+    good = lm.perplexity("def main(args): return parse(args)")
+    english = lm.perplexity("the quick brown fox jumps over the lazy dog")
+    noise = lm.perplexity("qzxjv wkfpq zzxqj vvkwx jqzpf xwvkq")
+    hexblob = lm.perplexity("9f8a7b6c5d4e3f2a1b0c9d8e7f6a5b4c")
+    assert good < noise and english < noise
+    assert english < hexblob
+
+
+def test_deterministic():
+    lm1, lm2 = default_model(), default_model()
+    t = "some deterministic input text"
+    assert lm1.perplexity(t) == lm2.perplexity(t)
+
+
+def test_empty():
+    lm = default_model()
+    assert lm.perplexity("") > 0
+
+
+def test_roundtrip_tables():
+    lm = default_model()
+    lm2 = CharNgramLM.from_tables(lm.to_tables())
+    assert lm.perplexity("roundtrip") == lm2.perplexity("roundtrip")
+
+
+def test_spark_stage(spark):
+    lm = default_model()
+    df = spark.createDataFrame(
+        [("a", "def main(): return 0"),
+         ("b", "qzxjv wkfpq zzxqj vvkwx")],
+        "id string, content string")
+    rows = {r["id"]: r["perplexity"]
+            for r in with_perplexity(df, "content", lm).collect()}
+    assert rows["a"] == lm.perplexity("def main(): return 0")
+    assert rows["a"] < rows["b"]

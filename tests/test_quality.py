@@ -1,0 +1,56 @@
+"""Quality-rule tests — each rule fires on a crafted row and passes on a
+normal code file. Rules are pure Catalyst expressions (no UDF)."""
+
+from alegre_spark.functions.quality import QualityConfig, with_quality
+
+GOOD = ("def add(a, b):\n"
+        "    \"\"\"Add two numbers and return the sum.\"\"\"\n"
+        "    result = a + b\n"
+        "    return result\n")
+
+CASES = [
+    ("ok", None, GOOD),
+    ("too_short", "too_short", "x = 1"),
+    ("long_lines", "long_lines", "y = " + "a" * 3000),
+    ("dup_lines", "dup_lines", "INFO ok\n" * 30),
+    ("digit_heavy", "digit_heavy",
+     "\n".join(" ".join(str(i * 7919 + j) for j in range(5))
+               for i in range(100, 112))),
+    ("hex_heavy", "hex_heavy",
+     "\n".join(f"deadbeefcafe{i:x}abcdef beefface{i:x}fedcbaaf" for i in range(10))),
+    ("few_tokens", "few_tokens", "helloworld_andmore"),
+    ("long_token", "long_token",
+     "token ok here\n" + "b" * 300 + "\nend of line with more words\n"
+     "and another normal line follows here\nplus one more short line"),
+]
+
+
+def test_rules(spark):
+    df = spark.createDataFrame([(n, c) for n, _, c in CASES],
+                               "name string, content string")
+    out = {r["name"]: r for r in with_quality(df).collect()}
+    for name, want_reason, _ in CASES:
+        got = out[name]["quality_drop_reason"]
+        assert got == want_reason, f"{name}: want {want_reason}, got {got}"
+        assert out[name]["quality_pass"] == (want_reason is None)
+
+
+def test_features_values(spark):
+    df = spark.createDataFrame([("ab\ncd\n\nef",)], "content string")
+    row = with_quality(df, cfg=QualityConfig(min_chars=1, min_tokens=1)).first()
+    assert row["n_lines"] == 3          # nonblank lines only
+    assert row["max_line_len"] == 2
+    assert row["dup_line_fraction"] == 0.0
+    assert row["n_chars"] == 9
+
+
+def test_rule_order_first_match_wins(spark):
+    # a row that is both too_short and few_tokens -> too_short (order)
+    df = spark.createDataFrame([("x",)], "content string")
+    assert with_quality(df).first()["quality_drop_reason"] == "too_short"
+
+
+def test_no_python_udf_in_plan(spark):
+    df = spark.createDataFrame([(GOOD,)], "content string")
+    plan = with_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
