@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship quality-filter pipeline on sf0.001 documents.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Column names and types are aliased identically on both sides; floats
+are rounded identically; ranks have deterministic tiebreakers.
 """
 
 from __future__ import annotations
@@ -12,27 +13,554 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Quality-filter pipeline over sf0.001 documents (adapted to the
+    files schema), reporting keep-rate per detected language."""
+    from alegre_spark.corpus import documents_as_files
+    from alegre_spark.pipeline import (PipelineConfig, language_keep_stats,
+                                       run_pipeline)
+    files = documents_as_files(spark, "/root/testdata/sf0.001")
+    ann = run_pipeline(files, PipelineConfig(salt_buckets=8))
+    return language_keep_stats(ann)
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark implementations
+# ---------------------------------------------------------------------------
+
+_TOK = r"\s+"
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), _TOK), lambda x: x != F.lit(""))
+
+
+def q01_pricing_summary(spark, sf):
+    """A1-style grouped aggregation (hash agg, map-side partials)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def q02_top_orders_per_cust(spark, sf):
+    """W1 per-group top-k via row_number window."""
+    from alegre_spark.operators.topk import topk_per_group
+    o = _t(spark, sf, "orders")
+    out = topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], 3, rank_col="rnk")
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+def q03_nation_order_stats(spark, sf):
+    """Broadcast dim joins: orders x customer x nation, grouped."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+def q04_customers_without_orders(spark, sf):
+    """J9 anti-join split."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (c.join(o.select("o_custkey"),
+                   c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q05_predecessor_counts(spark, sf):
+    """J10 predecessor restriction: earlier events of the same user."""
+    e = _t(spark, sf, "events")
+    probe = (e.filter(F.col("event_id") < 200)
+             .select(F.col("event_id").alias("pid"),
+                     F.col("user_id").alias("puser")))
+    prior = e.select(F.col("event_id").alias("cid"),
+                     F.col("user_id").alias("cuser"))
+    joined = probe.join(
+        prior, (F.col("puser") == F.col("cuser")) &
+               (F.col("cid") < F.col("pid")), "left")
+    return (joined.groupBy(F.col("pid").alias("event_id"))
+            .agg(F.sum(F.when(F.col("cid").isNotNull(), 1).otherwise(0))
+                 .alias("n_pred")))
+
+
+def q06_context_merge(spark, sf):
+    """A2 dedup-union of context values per group."""
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("source")))
+                 .alias("sources"),
+                 F.countDistinct("source").alias("n_sources")))
+
+
+def q07_merge_upsert(spark, sf):
+    """S5/S7 MERGE post-state: source wins on match, insert otherwise."""
+    from alegre_spark.operators.merge import merge_upsert
+    d = _t(spark, sf, "documents")
+    target = (d.filter(F.col("doc_id") % 2 == 0)
+              .select("doc_id", "n_chars"))
+    source = (d.filter(F.col("doc_id") % 3 == 0)
+              .select("doc_id", (F.col("n_chars") + 1000).alias("n_chars")))
+    return merge_upsert(target, source, "doc_id")
+
+
+def q08_global_topk(spark, sf):
+    """Global top-k (TakeOrderedAndProject, no full sort)."""
+    from alegre_spark.operators.topk import global_topk
+    li = _t(spark, sf, "lineitem")
+    return global_topk(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"),
+         F.asc("l_linenumber")], 10)
+
+
+def q09_token_overlap_join(spark, sf):
+    """J1 lexical similarity join (minimum_should_match semantics)."""
+    from alegre_spark.operators.similarity_join import token_overlap_join
+    d = _t(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") < 5)
+    out = token_overlap_join(probes, d, "doc_id", "doc_id",
+                             "text", "text", threshold=0.6)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def q10_exact_dedup(spark, sf):
+    """Exact dedup groups on sha256(normalized text)."""
+    from alegre_spark.operators.dedup import exact_dedup
+    d = _t(spark, sf, "documents")
+    out = exact_dedup(d, "doc_id", "text")
+    return out.select("content_key", "n_dups", "keeper_id",
+                      F.concat_ws(",", F.col("dup_ids").cast("array<string>"))
+                      .alias("dup_ids"))
+
+
+def q11_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs, md5 hash family (oracle-checkable;
+    the production operator uses xxhash64 — see q12/q22)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.col("doc_id").alias("id"),
+                    F.explode(F.array_distinct(_tokens(F.col("text"))))
+                    .alias("token"))
+    sigs = toks.groupBy("id").agg(*[
+        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("token"))))
+        .alias(f"s{s}") for s in range(8)])
+    bands = sigs.select("id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("#", f"s{2*b}", f"s{2*b+1}"))
+                 .alias("bkey"))
+        for b in range(4)])).alias("bk")).select("id", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, ["band", "bkey"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_bands")))
+
+
+def q13_token_jaccard_pairs(spark, sf):
+    """Exact token-set Jaccard near-dup pairs."""
+    from alegre_spark.operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8)
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+def q14_cosine_topk(spark, sf):
+    """J2 brute-force cosine top-k per probe (ANN baseline)."""
+    from alegre_spark.operators.ann import brute_force_topk
+    e = _t(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(probes, e, "vec_id", "vec_id",
+                           "embedding", "embedding", k=5, round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def q15_embedding_dup_pairs(spark, sf):
+    """Embedding-cosine near-dup pairs."""
+    from alegre_spark.operators.dedup import embedding_dup_pairs
+    e = _t(spark, sf, "embeddings")
+    out = embedding_dup_pairs(e, "vec_id", "embedding", threshold=0.45)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def q16_quality_stats(spark, sf):
+    """Text quality scoring rollup per (lang, source)."""
+    d = _t(spark, sf, "documents")
+    n_tokens = F.size(_tokens(F.col("text")))
+    return (d.select("lang", "source", F.length("text").alias("nc"),
+                     n_tokens.alias("nt"))
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nc").alias("sum_chars"),
+                 F.round(F.avg("nt"), 4).alias("avg_tokens")))
+
+
+def q17_langid_documents(spark, sf):
+    """Language-ID distribution over documents (pandas-UDF stage;
+    non-SQL-expressible -> rows-only check)."""
+    from alegre_spark.functions.langid import with_language
+    d = _t(spark, sf, "documents").withColumnRenamed("text", "content")
+    out = with_language(d, "content")
+    return (out.groupBy("language")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("language_confidence"), 4).alias("avg_conf"))
+            .orderBy(F.desc("n_docs"), "language"))
+
+
+def q18_pipeline_decisions(spark, sf):
+    """Full quality-filter pipeline decision rollup (rows-only)."""
+    from alegre_spark.corpus import documents_as_files
+    from alegre_spark.pipeline import PipelineConfig, run_pipeline
+    files = documents_as_files(spark, sf)
+    ann = run_pipeline(files, PipelineConfig(salt_buckets=8))
+    return (ann.groupBy("keep", "drop_reason")
+            .agg(F.count("*").alias("n"))
+            .orderBy("keep", "drop_reason"))
+
+
+def q19_token_count_hist(spark, sf):
+    """Token-count histogram (document length profile)."""
+    d = _t(spark, sf, "documents")
+    bucket = F.floor(F.size(_tokens(F.col("text"))) / 10).cast("int")
+    return (d.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_docs")))
+
+
+def q20_hamming_join(spark, sf):
+    """J4 64-bit hamming-similarity theta join on derived hashes."""
+    from alegre_spark.operators.similarity_join import hamming_join
+    d = _t(spark, sf, "documents")
+    h = ((F.col("doc_id") * 1103515245 + 12345) % 2147483648).alias("phash")
+    hashed = d.select("doc_id", h)
+    probes = hashed.filter(F.col("doc_id") < 3)
+    out = hamming_join(probes, hashed, "doc_id", "doc_id",
+                       "phash", "phash", threshold=0.8)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def q21_dedup_keep_first(spark, sf):
+    """Keep-first-per-duplicate-group (window dedup on token-set key)."""
+    d = _t(spark, sf, "documents")
+    key = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("k").orderBy("doc_id")
+    out = (d.select(F.col("doc_id"), key.alias("k"))
+           .withColumn("rn", F.row_number().over(w)))
+    return (out.groupBy("k")
+            .agg(F.count("*").alias("group_size"),
+                 F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+                 .alias("kept_id"))
+            .filter(F.col("group_size") > 1))
+
+
+def q22_simhash(spark, sf):
+    """SimHash fingerprints (xxhash64-based; rows-only)."""
+    from alegre_spark.operators.dedup import simhash64
+    d = _t(spark, sf, "documents")
+    return simhash64(d, "doc_id", "text")
+
+
+def q23_minhash_xxhash(spark, sf):
+    """Production MinHash-LSH pairs, xxhash64 family (rows-only)."""
+    from alegre_spark.operators.dedup import minhash_lsh_pairs
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=4,
+                             shingle_n=1)
+
+
+def q24_lsh_ann(spark, sf):
+    """Hyperplane-LSH bucketed ANN (rows-only; recall<1 by design)."""
+    import numpy as np
+    from alegre_spark.operators.ann import lsh_topk
+    rng = np.random.RandomState(7)
+    planes = rng.randn(6, 64).tolist()
+    e = _t(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(probes, e, "vec_id", "vec_id",
+                    "embedding", "embedding", planes, k=5)
+
+
+def q25_connected_components(spark, sf):
+    """A5 graph clustering over near-dup edges (rows-only)."""
+    from alegre_spark.operators.components import clusters
+    d = _t(spark, sf, "documents")
+    key = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))))
+    keyed = d.select("doc_id", key.alias("k"))
+    edges = (keyed.alias("a").join(keyed.alias("b"), "k")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("src"),
+                     F.col("b.doc_id").alias("dst")))
+    return clusters(edges)
+
+
+def q26_scrub_documents(spark, sf):
+    """PII/credential scrub pass over documents (rows-only; corpus has
+    no planted PII so counts are ~0 — mechanics still exercised)."""
+    from alegre_spark.functions.scrub import with_scrub
+    d = _t(spark, sf, "documents").withColumnRenamed("text", "content")
+    out = with_scrub(d, "content")
+    return (out.agg(F.count("*").alias("n_docs"),
+                    F.sum(F.size("scrub_counts")).alias("docs_hit")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_orders_per_cust": q02_top_orders_per_cust,
+        "q03_nation_order_stats": q03_nation_order_stats,
+        "q04_customers_without_orders": q04_customers_without_orders,
+        "q05_predecessor_counts": q05_predecessor_counts,
+        "q06_context_merge": q06_context_merge,
+        "q07_merge_upsert": q07_merge_upsert,
+        "q08_global_topk": q08_global_topk,
+        "q09_token_overlap_join": q09_token_overlap_join,
+        "q10_exact_dedup": q10_exact_dedup,
+        "q11_minhash_lsh": q11_minhash_lsh,
+        "q13_token_jaccard_pairs": q13_token_jaccard_pairs,
+        "q14_cosine_topk": q14_cosine_topk,
+        "q15_embedding_dup_pairs": q15_embedding_dup_pairs,
+        "q16_quality_stats": q16_quality_stats,
+        "q17_langid_documents": q17_langid_documents,
+        "q18_pipeline_decisions": q18_pipeline_decisions,
+        "q19_token_count_hist": q19_token_count_hist,
+        "q20_hamming_join": q20_hamming_join,
+        "q21_dedup_keep_first": q21_dedup_keep_first,
+        "q22_simhash": q22_simhash,
+        "q23_minhash_xxhash": q23_minhash_xxhash,
+        "q24_lsh_ann": q24_lsh_ann,
+        "q25_connected_components": q25_connected_components,
+        "q26_scrub_documents": q26_scrub_documents,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — same aliases, same rounding, same types
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = ("toks AS (SELECT doc_id, list_filter(string_split_regex("
+             "lower(text), '\\s+'), x -> x <> '') AS t FROM documents)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_top_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey ASC)
+                             AS rnk
+                  FROM orders)
+            WHERE rnk <= 3
+        """,
+        "q03_nation_order_stats": """
+            SELECT n_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q04_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey)
+        """,
+        "q05_predecessor_counts": """
+            SELECT p.event_id,
+                   CAST(COUNT(c.event_id) AS BIGINT) AS n_pred
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_id < p.event_id
+            WHERE p.event_id < 200
+            GROUP BY p.event_id
+        """,
+        "q06_context_merge": """
+            SELECT lang,
+                   array_to_string(list_sort(list(DISTINCT source)), ',')
+                       AS sources,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "q07_merge_upsert": """
+            WITH t AS (SELECT doc_id, n_chars FROM documents
+                       WHERE doc_id % 2 = 0),
+                 s AS (SELECT doc_id, n_chars + 1000 AS n_chars
+                       FROM documents WHERE doc_id % 3 = 0)
+            SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+                   COALESCE(s.n_chars, t.n_chars) AS n_chars
+            FROM t FULL OUTER JOIN s ON t.doc_id = s.doc_id
+        """,
+        "q08_global_topk": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 10
+        """,
+        "q09_token_overlap_join": f"""
+            WITH {_TOKS_CTE},
+            dt AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+            p AS (SELECT doc_id AS probe_id, unnest(dt) AS token,
+                         len(dt) AS probe_tokens
+                  FROM dt WHERE doc_id < 5),
+            c AS (SELECT doc_id AS cand_id, unnest(dt) AS token FROM dt),
+            agg AS (SELECT probe_id, cand_id,
+                           any_value(probe_tokens) AS probe_tokens,
+                           COUNT(*) AS overlap
+                    FROM p JOIN c USING (token)
+                    GROUP BY probe_id, cand_id)
+            SELECT probe_id, cand_id, overlap,
+                   CAST(probe_tokens AS INTEGER) AS probe_tokens,
+                   ROUND(overlap * 1.0 / probe_tokens, 4) AS score
+            FROM agg WHERE overlap >= CEIL(0.6 * probe_tokens)
+        """,
+        "q10_exact_dedup": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     sha256(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'))
+                         AS content_key
+              FROM documents)
+            SELECT content_key, COUNT(*) AS n_dups,
+                   MIN(doc_id) AS keeper_id,
+                   array_to_string(list_sort(list(doc_id)), ',')
+                       AS dup_ids
+            FROM keyed GROUP BY content_key
+        """,
+        "q11_minhash_lsh": f"""
+            WITH {_TOKS_CTE},
+            tok AS (SELECT doc_id AS id, unnest(list_distinct(t)) AS token
+                    FROM toks),
+            sigs AS (SELECT id,
+                {", ".join(f"MIN(md5(CAST({s} AS VARCHAR) || '|' || token)) AS s{s}" for s in range(8))}
+                FROM tok GROUP BY id),
+            bands AS (
+                {" UNION ALL ".join(f"SELECT id, {b} AS band, md5(s{2*b} || '#' || s{2*b+1}) AS bkey FROM sigs" for b in range(4))}
+            )
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_bands
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+            GROUP BY a.id, b.id
+        """,
+        "q13_token_jaccard_pairs": f"""
+            WITH {_TOKS_CTE},
+            sh AS (SELECT doc_id, list_distinct(t) AS s FROM toks),
+            sz AS (SELECT doc_id, len(s) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             COUNT(*) AS inter
+                      FROM ex a JOIN ex b
+                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b, inter,
+                   ROUND(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
+            FROM inter
+            JOIN sz x ON id_a = x.doc_id
+            JOIN sz y ON id_b = y.doc_id
+            WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+        """,
+        "q14_cosine_topk": """
+            WITH scored AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                     ROUND(list_cosine_similarity(
+                         p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4)
+                         AS cosine
+              FROM embeddings p, embeddings c
+              WHERE p.vec_id < 5),
+            ranked AS (
+              SELECT probe_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                         ORDER BY cosine DESC, cand_id ASC) AS rank
+              FROM scored)
+            SELECT probe_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "q15_embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        """,
+        "q16_quality_stats": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+                   ROUND(AVG(len(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> ''))), 4) AS avg_tokens
+            FROM documents GROUP BY lang, source
+        """,
+        "q19_token_count_hist": """
+            SELECT CAST(FLOOR(len(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) / 10) AS INTEGER) AS bucket,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "q20_hamming_join": """
+            WITH hashed AS (
+              SELECT doc_id,
+                     (doc_id * 1103515245 + 12345) % 2147483648 AS phash
+              FROM documents)
+            SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+                   ROUND(1.0 - bit_count(xor(p.phash, c.phash)) / 64.0, 4)
+                       AS score
+            FROM hashed p, hashed c
+            WHERE p.doc_id < 3
+              AND 1.0 - bit_count(xor(p.phash, c.phash)) / 64.0 >= 0.8
+        """,
+        "q21_dedup_keep_first": f"""
+            WITH {_TOKS_CTE},
+            keyed AS (SELECT doc_id,
+                             md5(array_to_string(
+                                 list_sort(list_distinct(t)), ' ')) AS k
+                      FROM toks)
+            SELECT k, COUNT(*) AS group_size, MIN(doc_id) AS kept_id
+            FROM keyed GROUP BY k HAVING COUNT(*) > 1
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from alegre_spark.session import get_spark
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(entry(spark).collect())
+    spark.stop()

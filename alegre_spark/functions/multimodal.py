@@ -1,0 +1,82 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary.
+
+Alegre fingerprints images (PDQ/phash/SSCD), audio (chromaprint), and
+video (TMK) via external model services (`app/main/model/image.py`,
+`audio.py`, `video.py`). The codec libraries are not in this sandbox,
+so the DECODE step is stubbed (deterministic fake), while the
+Spark-side contract — schema, Arrow batch shape, partitioning, UDF
+signatures — is real and tested.
+
+Schema convention: `media binary` + `media_meta struct<mime:string,
+width:int, height:int, duration_ms:int>`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_DDL = ("media_meta struct<mime:string,width:int,height:int,"
+                  "duration_ms:int>")
+
+
+def fake_decode_image(data: bytes) -> np.ndarray:
+    """STUB: a real deployment calls PIL/libvips here. Deterministic
+    fake: an 8x8 grayscale derived from sha256 bytes, so hash
+    pipelines downstream are testable."""
+    if data is None:
+        raise NotImplementedError("image decode requires codec libs")
+    digest = hashlib.sha256(data).digest()
+    arr = np.frombuffer((digest * 2)[:64], dtype=np.uint8)
+    return arr.reshape(8, 8)
+
+
+def phash64(img8x8: np.ndarray) -> int:
+    """Average-hash of an 8x8 grayscale block (public phash variant):
+    bit i = pixel_i > mean. Returns a 64-bit int (as the reference
+    stores phash in a BigInteger, `image.py:25`)."""
+    flat = img8x8.ravel()[:64]
+    bits = flat > flat.mean()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # keep within signed 64-bit range for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def with_image_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """binary -> decode (stub) -> 8x8 -> phash64. One mapInPandas pass;
+    the UDF signature and Arrow batching are the production shape."""
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["phash long"])
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for data in pdf[media_col]:
+                img = fake_decode_image(bytes(data) if data is not None
+                                        else b"")
+                hashes.append(phash64(img))
+            pdf = pdf.copy()
+            pdf["phash"] = pd.array(hashes, dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(_map, schema=out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: explode a per-row frame index
+    from duration metadata (decode itself stubbed). Shows the
+    row-explosion contract: one input row -> duration/every_ms rows."""
+    n_frames = F.greatest(
+        (F.col("media_meta.duration_ms") / every_ms).cast("int"), F.lit(1))
+    return (df.withColumn("frame_idx",
+                          F.explode(F.sequence(F.lit(0), n_frames - 1)))
+            .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms))

@@ -64,13 +64,18 @@ CATEGORIES = [name for name, _, _ in SCRUB_PATTERNS]
 
 # Cheap JVM pregate (java regex): any row NOT matching this cannot match
 # any scrub pattern, so it skips Python entirely.
-PREGATE_RLIKE = (
+_PREGATE_CORE = (
     "(-----BEGIN)|(AKIA[0-9A-Z]{16})|(ghp_)|(xox[baprs]-)"
     "|([A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24})"
     "|(\\+[1-9][0-9]{7,14})"
     "|([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"
-    "|(?i)(" + "|".join(SLUR_LEXICON) + ")"
 )
+# Java (rlike) accepts a mid-pattern global (?i); Python needs a scoped
+# (?i:...) group — same language, two spellings.
+PREGATE_RLIKE = (_PREGATE_CORE +
+                 "|(?i)(" + "|".join(SLUR_LEXICON) + ")")
+PREGATE_RE = re.compile(_PREGATE_CORE +
+                        "|(?i:" + "|".join(SLUR_LEXICON) + ")")
 
 
 def scrub_text(text: str) -> tuple[str, dict[str, int]]:

@@ -1,0 +1,107 @@
+"""Approximate nearest neighbor over embedding columns.
+
+- brute_force_topk: exact cosine top-k per probe. Small probe side is
+  broadcast; candidate scan is one pass; ranking is a per-probe window.
+- topk_pandas: same semantics via a NumPy matrix pandas UDF for large
+  probe batches (one BLAS-ish matmul per Arrow batch instead of
+  per-pair zip_with) — the J2 pattern from Alegre's dense-vector search
+  (`app/main/lib/text_similarity.py:149-183`) at matrix granularity.
+- lsh_topk: scale path — random-hyperplane signs (SimHash for cosine,
+  Charikar 2002) bucket candidates; exact re-rank inside the probe's
+  bucket ring. Buckets bound the join so no N*M blowup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.measures import cosine_col
+from .topk import topk_per_group
+
+
+def brute_force_topk(probes: DataFrame, candidates: DataFrame,
+                     probe_id: str, cand_id: str,
+                     probe_vec: str = "embedding",
+                     cand_vec: str = "embedding",
+                     k: int = 10, round_to: int | None = None) -> DataFrame:
+    """Exact cosine top-k: (probe_id, cand_id, cosine, rank)."""
+    p = probes.select(F.col(probe_id).alias("probe_id"),
+                      F.col(probe_vec).cast("array<double>").alias("_pv"))
+    c = candidates.select(F.col(cand_id).alias("cand_id"),
+                          F.col(cand_vec).cast("array<double>").alias("_cv"))
+    scored = (c.crossJoin(F.broadcast(p))
+              .withColumn("cosine", cosine_col(F.col("_pv"), F.col("_cv"))))
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_to))
+    return topk_per_group(
+        scored.select("probe_id", "cand_id", "cosine"),
+        ["probe_id"], [F.desc("cosine"), F.asc("cand_id")], k)
+
+
+def topk_pandas(probes_matrix: np.ndarray, probe_ids: np.ndarray,
+                candidates: DataFrame, cand_id: str,
+                cand_vec: str, k: int = 10) -> DataFrame:
+    """Vectorized variant: the probe matrix is broadcast; each Arrow
+    batch of candidates does ONE matmul against it (10-100x the
+    per-pair UDF — the north rule's 'vectorized pandas UDF' path)."""
+    spark = candidates.sparkSession
+    # L2-normalize probes once on the driver
+    pm = probes_matrix.astype(np.float64)
+    pm = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((pm, probe_ids))
+
+    def _map(batches):
+        mat, ids = bc.value
+        for pdf in batches:
+            cv = np.stack(pdf[cand_vec].apply(
+                lambda v: np.asarray(v, dtype=np.float64)).values)
+            cv = cv / np.maximum(np.linalg.norm(cv, axis=1, keepdims=True),
+                                 1e-12)
+            sims = cv @ mat.T                       # (batch, n_probes)
+            out = pd.DataFrame({
+                "cand_id": np.repeat(pdf[cand_id].values, len(ids)),
+                "probe_id": np.tile(ids, len(pdf)),
+                "cosine": sims.ravel(),
+            })
+            yield out
+
+    scored = candidates.select(cand_id, cand_vec).mapInPandas(
+        _map, schema=f"cand_id long, probe_id long, cosine double")
+    return topk_per_group(scored, ["probe_id"],
+                          [F.desc("cosine"), F.asc("cand_id")], k)
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]]):
+    """LSH bucket id = sign-bit string of dot products with fixed
+    hyperplanes (deterministic, passed in by the caller)."""
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(F.zip_with(vec_col, arr, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(probes: DataFrame, candidates: DataFrame,
+             probe_id: str, cand_id: str,
+             probe_vec: str, cand_vec: str,
+             planes: list[list[float]], k: int = 10) -> DataFrame:
+    """Bucketed ANN: candidates meet probes only within the same
+    hyperplane-sign bucket, then exact cosine re-rank. Recall < 1.0 by
+    construction; increase planes/bands for higher recall."""
+    p = (probes.select(F.col(probe_id).alias("probe_id"),
+                       F.col(probe_vec).cast("array<double>").alias("_pv"))
+         .withColumn("bucket", hyperplane_bucket(F.col("_pv"), planes)))
+    c = (candidates.select(F.col(cand_id).alias("cand_id"),
+                           F.col(cand_vec).cast("array<double>").alias("_cv"))
+         .withColumn("bucket", hyperplane_bucket(F.col("_cv"), planes)))
+    joined = c.join(F.broadcast(p), "bucket")
+    scored = joined.withColumn("cosine",
+                               cosine_col(F.col("_pv"), F.col("_cv")))
+    return topk_per_group(scored.select("probe_id", "cand_id", "cosine"),
+                          ["probe_id"],
+                          [F.desc("cosine"), F.asc("cand_id")], k)

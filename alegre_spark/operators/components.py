@@ -1,0 +1,55 @@
+"""A5 graph clustering: connected components over an edge list.
+
+Alegre clusters similar items with igraph connected components
+(`app/main/model/graph.py:76-89`). Distributed form: iterative
+min-label propagation (hash-to-min), the standard Spark CC algorithm —
+O(log d) join rounds, each a shuffle on node id. Edges are undirected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+    """Returns (node, component) where component = min node id reachable.
+
+    Checkpoint-free small-N variant; for web-scale graphs swap in the
+    large-star/small-star algorithm — the join structure is identical.
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b"))))
+    labels = (sym.select("a").union(sym.select(F.col("b")))
+              .distinct().withColumnRenamed("a", "node")
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        # neighbor's current label, min over neighbors + self
+        nbr = (sym.join(labels, sym["b"] == labels["node"])
+               .select(F.col("a").alias("node"),
+                       F.col("component").alias("nbr_comp")))
+        new_labels = (labels.join(nbr, "node", "left")
+                      .groupBy("node")
+                      .agg(F.least(F.min("component"),
+                                   F.coalesce(F.min("nbr_comp"),
+                                              F.min("component")))
+                           .alias("component")))
+        # converged?
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def clusters(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Group nodes per component (`graph.py:76-89` response shape)."""
+    cc = connected_components(edges, src, dst)
+    return (cc.groupBy("component")
+            .agg(F.sort_array(F.collect_list("node")).alias("nodes"),
+                 F.count("*").alias("size")))

@@ -1,0 +1,98 @@
+"""Context operators (P6-P8, A2, S8 semantics from SURVEY.md §2).
+
+Alegre's `context` is a list of JSON objects attached to each doc;
+queries filter by containment and writes merge/peel context lists:
+
+- containment (ES nested match / PG `@>`): AND across keys, OR within
+  list values (`app/main/lib/elasticsearch.py:46-65`,
+  `similarity_helpers.py:29-65`), certain keys ignored.
+- strict re-check with set-intersection semantics for list values
+  (`context_matches`, `app/main/lib/helpers.py:17-42`).
+- dedup-union merge (`merge_dict_lists`, `helpers.py:1-14`;
+  `merge_contexts`, `elasticsearch.py:73-79`).
+- delete-with-peel: remove one context entry, drop doc only when no
+  contexts remain (`elasticsearch.py:149-176`).
+
+Spark realization: contexts is `array<map<string,string>>` (or
+array<struct>); all ops are higher-order functions — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# keys the reference ignores when building context clauses
+# (`elasticsearch.py:50-52`, `similarity_helpers.py:33-35`)
+IGNORED_CONTEXT_KEYS = ("project_media_id", "has_custom_id", "field",
+                        "temporary_media", "content_type")
+
+
+def context_contains(contexts_col: Column, query: dict) -> Column:
+    """True when ANY context entry satisfies: for every (k, v) in query
+    (ignored keys skipped), entry[k] == v, or entry[k] IN v for list v.
+    Mirrors AND-across-keys / OR-within-list (`elasticsearch.py:46-65`).
+    """
+    def entry_matches(entry: Column) -> Column:
+        cond = F.lit(True)
+        for k, v in query.items():
+            if k in IGNORED_CONTEXT_KEYS:
+                continue
+            if isinstance(v, (list, tuple)):
+                c = entry[k].isin([str(x) for x in v])
+            else:
+                c = entry[k] == F.lit(str(v))
+            cond = cond & F.coalesce(c, F.lit(False))
+        return cond
+
+    return F.exists(contexts_col, entry_matches)
+
+
+def _entry_canonical_json(e: Column) -> Column:
+    """Canonical form of one context entry: JSON with keys sorted —
+    the reference dedups by sorted-item tuples (`helpers.py:1-14`)."""
+    return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(e))))
+
+
+def merge_context_lists(a: Column, b: Column) -> Column:
+    """A2 dedup-union (`helpers.py:1-14`): union, unique entries.
+
+    MAP elements aren't orderable so array_distinct can't apply;
+    dedup via an `aggregate` fold keyed on canonical JSON (pure
+    Catalyst, no UDF)."""
+    both = F.concat(F.coalesce(a, F.array()), F.coalesce(b, F.array()))
+    empty = F.array().cast("array<map<string,string>>")
+    return F.aggregate(
+        both, empty,
+        lambda acc, x: F.when(
+            F.exists(acc, lambda y:
+                     _entry_canonical_json(y) == _entry_canonical_json(x)),
+            acc,
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def remove_context_entry(contexts_col: Column, query: dict) -> Column:
+    """S8 peel: remove entries matching the query (exact equality on
+    the provided keys)."""
+    def entry_matches(entry: Column) -> Column:
+        cond = F.lit(True)
+        for k, v in query.items():
+            if k in IGNORED_CONTEXT_KEYS:
+                continue
+            cond = cond & F.coalesce(entry[k] == F.lit(str(v)), F.lit(False))
+        return cond
+
+    return F.filter(contexts_col, lambda e: ~entry_matches(e))
+
+
+def delete_with_context_peel(df: DataFrame, doc_id: str, doc_id_value,
+                             contexts_col: str, query: dict) -> DataFrame:
+    """Delete semantics of `elasticsearch.py:149-176`: if the doc has
+    >1 contexts, peel the matching one; if peeling empties the list (or
+    it had one context), drop the row."""
+    is_target = F.col(doc_id) == F.lit(doc_id_value)
+    peeled = remove_context_entry(F.col(contexts_col), query)
+    out = df.withColumn(
+        contexts_col,
+        F.when(is_target, peeled).otherwise(F.col(contexts_col)))
+    return out.filter(~(is_target & (F.size(F.col(contexts_col)) == 0)))

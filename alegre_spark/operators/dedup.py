@@ -1,0 +1,162 @@
+"""Deduplication family — first-class training-data-pipeline operators.
+
+The reference's dedup primitives: content sha256 identity
+(`app/main/model/image.py:23,78-79`), context-list dedup-union
+(`app/main/lib/helpers.py:1-14`), and similarity-threshold matching
+(SURVEY.md §2.3). Extended here to the standard large-corpus suite:
+
+- exact_dedup: hash-groupBy on normalized content (one shuffle).
+- minhash_lsh_pairs: shingle -> K minhashes -> B bands -> band-bucket
+  join. Only pairs sharing >=1 band ever meet, so the candidate set is
+  tiny vs the N^2 cross join. Hashing: xxhash64(seed, shingle) —
+  JVM-side, no Python.
+- simhash64: 64-bit simhash via per-token md5 bits majority vote
+  (pandas-free: bit arithmetic on xxhash64 in Catalyst).
+- ngram_jaccard_pairs: exact n-gram Jaccard verification (usually run
+  on minhash candidates).
+- embedding_dup_pairs: cosine >= threshold near-dup over embeddings.
+
+All return pair DataFrames with id_a < id_b (no self/mirror pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity_join import tokenize_distinct
+
+
+def normalize_text(col):
+    """Whitespace-collapse + lowercase: the canonical form for exact
+    dedup (mirrors the reference's newline flattening `langid.py:90`)."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str,
+                keep: str = "min") -> DataFrame:
+    """Exact dedup on sha256(normalized text). Returns one row per
+    distinct content: (content_key, n_dups, keeper_id, dup_ids)."""
+    key = F.sha2(normalize_text(F.col(text_col)), 256)
+    agg_keep = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (df.withColumn("content_key", key)
+            .groupBy("content_key")
+            .agg(F.count("*").alias("n_dups"),
+                 agg_keep.alias("keeper_id"),
+                 F.sort_array(F.collect_list(id_col)).alias("dup_ids")))
+
+
+def token_shingles(col, n: int = 3):
+    """Word n-gram shingles as strings (array<string>)."""
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n,
+                  F.array_distinct(F.transform(
+                      idx, lambda i: F.array_join(
+                          F.slice(toks, i + 1, n), " ")))
+                  ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<bigint>): sig[i] = min over shingles of
+    xxhash64(i, shingle). One explode + one groupBy."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(token_shingles(F.col(text_col), shingle_n))
+                    .alias("shingle")))
+    hashes = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+              for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*hashes)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs sharing at least one LSH band.
+    Returns (id_a, id_b, n_bands) with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                              for r in range(rows_per_band)]).alias("key"))
+        for b in range(bands)
+    ]
+    buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("id", "bk.band", "bk.key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (a.join(b, ["band", "key"])
+             .filter(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("n_bands")))
+    return pairs
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash bigint): majority vote over token-hash bits.
+    Pure Catalyst: explode tokens -> per-bit sums -> assemble."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokenize_distinct(F.col(text_col)))
+                      .alias("token"))
+            .withColumn("h", F.xxhash64("token")))
+    bit_sums = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0,
+                     1).otherwise(-1)).alias(f"b{i}")
+        for i in range(63)  # bit 63 excluded: 1<<63 overflows signed long
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(63):
+        sim = sim + F.when(F.col(f"b{i}") > 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return agg.select("id", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold. If `candidates`
+    (id_a, id_b) given, verifies only those (the LSH-then-verify
+    pattern); else all pairs sharing >=1 shingle."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    token_shingles(F.col(text_col), n).alias("sh")))
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    inter = (ex.alias("a").join(ex.alias("b"), "shingle")
+             .filter(F.col("a.id") < F.col("b.id"))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"),
+                           ["id_a", "id_b"], "left_semi")
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                 .withColumnRenamed("n_sh", "n_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("n_sh", "n_b"), "id_b")
+           .withColumn("jaccard",
+                       F.col("inter") /
+                       (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                       .cast("double")))
+    return (out.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "inter", "jaccard"))
+
+
+def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force; for large N feed
+    LSH buckets first). Returns (id_a, id_b, cosine)."""
+    from ..functions.measures import cosine_col
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,65 @@
+"""Upsert / MERGE operators (S5-S8 from SURVEY.md §2.1).
+
+Alegre's document sink is create-or-update with context merging
+(`update_or_create_document`, `app/main/lib/elasticsearch.py:81-108`,
+`store_document` `:115-147`) and the bulk variant splits existing vs
+new by an ids pre-query (`bulk_update_similarity_controller.py:11-21,
+52-64`). On Iceberg this is literally `MERGE INTO`; the sandbox has no
+Iceberg runtime, so `merge_upsert` computes the exact post-MERGE state
+as a DataFrame (full-outer join + coalesce), which a production sink
+would write with `df.writeTo(tbl).overwritePartitions()` or a real
+MERGE INTO statement (the SQL text is in `merge_into_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str,
+                 merge_arrays: tuple[str, ...] = ()) -> DataFrame:
+    """Post-state of MERGE INTO target USING source ON key:
+    WHEN MATCHED THEN UPDATE (source wins, array cols dedup-union)
+    WHEN NOT MATCHED THEN INSERT.
+
+    Equivalent to S5/S7; `merge_arrays` columns get the A2
+    dedup-union treatment (`elasticsearch.py:73-79`).
+    """
+    value_cols = [c for c in target.columns if c != key]
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    cols = [F.coalesce(F.col(f"t.{key}"), F.col(f"s.{key}")).alias(key)]
+    for c in value_cols:
+        tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+        if c in merge_arrays:
+            merged = F.when(
+                sc.isNotNull() & tc.isNotNull(),
+                F.array_distinct(F.concat(tc, sc))
+            ).otherwise(F.coalesce(sc, tc))
+        else:
+            merged = F.coalesce(sc, tc)
+        cols.append(merged.alias(c))
+    return joined.select(*cols)
+
+
+def split_existing_new(incoming: DataFrame, existing_ids: DataFrame,
+                       key: str) -> tuple[DataFrame, DataFrame]:
+    """J9: route rows into (update-existing, create-new) via
+    left-semi / left-anti joins (`bulk_update_similarity_controller.py:
+    52-64`)."""
+    upd = incoming.join(existing_ids.select(key), key, "left_semi")
+    new = incoming.join(existing_ids.select(key), key, "left_anti")
+    return upd, new
+
+
+def merge_into_sql(target_tbl: str, source_view: str, key: str,
+                   set_cols: list[str]) -> str:
+    """The Iceberg MERGE INTO statement this operator compiles to in
+    production (documented for parity; requires an Iceberg catalog)."""
+    sets = ", ".join(f"t.{c} = s.{c}" for c in set_cols)
+    return (f"MERGE INTO {target_tbl} t USING {source_view} s "
+            f"ON t.{key} = s.{key} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT *")

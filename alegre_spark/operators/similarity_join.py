@@ -1,0 +1,121 @@
+"""Similarity joins — the heart of the engine (SURVEY.md §2.3).
+
+J1 token-overlap join: the Spark-native form of Alegre's lexical
+similarity search (ES `match` with `minimum_should_match =
+round(threshold*100)%`, `app/main/lib/text_similarity.py:133-147`).
+Semantics: candidate matches probe when
+|distinct tokens in common| >= ceil(threshold * |distinct probe tokens|).
+
+Plan shape (scales to 100 TB):
+  tokenize both sides -> explode -> inner equi-join on token (the probe
+  side is small -> broadcast) -> groupBy(probe, candidate) count
+  (partial agg map-side) -> filter overlap threshold.
+No cross join ever materializes; the token join prunes candidates the
+way Lucene's inverted index does.
+
+J2 vector cosine join: Alegre's `script_score` cosine search
+(`text_similarity.py:149-183`) as a broadcast join + built-in
+zip_with/aggregate dot product (JVM-side, codegen'd). For large probe
+sets use `vector_topk_pandas` (NumPy matrix per batch).
+
+J4 hamming hash join: PG `bit_count_image` theta-join
+(`app/main/lib/image_similarity.py:139-179`, UDF `manage.py:296-301`)
+via built-in bit_count(a^b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.measures import cosine_col, hamming64_col
+
+
+def tokenize_distinct(col: Column) -> Column:
+    """Lowercased distinct whitespace tokens (ES `match` analyzer
+    approximation — SURVEY.md §4.3 boundary note)."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")))
+
+
+def token_overlap_join(
+    probes: DataFrame, candidates: DataFrame,
+    probe_id: str, cand_id: str,
+    probe_text: str = "content", cand_text: str = "content",
+    threshold: float = 0.6,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """J1: returns (probe_id, cand_id, overlap, probe_tokens, score)
+    where score = overlap / probe_tokens and score >= threshold.
+
+    minimum_should_match parity: Lucene computes the required clause
+    count as round(threshold*100)% of query terms; we require
+    overlap >= ceil(threshold * n_probe_tokens).
+    """
+    p = (probes
+         .select(F.col(probe_id).alias("probe_id"),
+                 tokenize_distinct(F.col(probe_text)).alias("_ptoks"))
+         .withColumn("probe_tokens", F.size("_ptoks"))
+         .filter(F.col("probe_tokens") > 0))
+    c = (candidates
+         .select(F.col(cand_id).alias("cand_id"),
+                 tokenize_distinct(F.col(cand_text)).alias("_ctoks")))
+
+    p_tok = p.select("probe_id", "probe_tokens",
+                     F.explode("_ptoks").alias("token"))
+    if broadcast_probes:
+        p_tok = F.broadcast(p_tok)
+    c_tok = c.select("cand_id", F.explode("_ctoks").alias("token"))
+
+    joined = p_tok.join(c_tok, "token")
+    agg = (joined.groupBy("probe_id", "cand_id", "probe_tokens")
+           .agg(F.count("*").alias("overlap")))
+    return (agg.withColumn(
+                "score",
+                F.col("overlap") / F.col("probe_tokens").cast("double"))
+            .filter(F.col("overlap") >=
+                    F.ceil(F.lit(threshold) * F.col("probe_tokens")))
+            .select("probe_id", "cand_id", "overlap", "probe_tokens",
+                    "score"))
+
+
+def cosine_join(
+    probes: DataFrame, candidates: DataFrame,
+    probe_id: str, cand_id: str,
+    probe_vec: str = "embedding", cand_vec: str = "embedding",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """J2: broadcast probe vectors, JVM-side cosine, filter >= threshold.
+
+    ES parity: `script_score` uses cosineSimilarity + 1.0 with
+    min_score = threshold + 1 (`text_similarity.py:149-183`) — the +1
+    shift cancels; we filter on raw cosine >= threshold.
+    """
+    p = probes.select(F.col(probe_id).alias("probe_id"),
+                      F.col(probe_vec).alias("_pv"))
+    c = candidates.select(F.col(cand_id).alias("cand_id"),
+                          F.col(cand_vec).alias("_cv"))
+    out = (c.crossJoin(F.broadcast(p))
+           .withColumn("cosine",
+                       cosine_col(F.col("_pv").cast("array<double>"),
+                                  F.col("_cv").cast("array<double>"))))
+    return (out.filter(F.col("cosine") >= threshold)
+            .select("probe_id", "cand_id", "cosine"))
+
+
+def hamming_join(
+    probes: DataFrame, candidates: DataFrame,
+    probe_id: str, cand_id: str,
+    probe_hash: str = "phash", cand_hash: str = "phash",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """J4: normalized 64-bit hamming similarity theta-join.
+    score = 1 - bit_count(a ^ b)/64 >= threshold, ordered per probe."""
+    p = probes.select(F.col(probe_id).alias("probe_id"),
+                      F.col(probe_hash).alias("_ph"))
+    c = candidates.select(F.col(cand_id).alias("cand_id"),
+                          F.col(cand_hash).alias("_ch"))
+    out = (c.crossJoin(F.broadcast(p))
+           .withColumn("score", hamming64_col(F.col("_ph"), F.col("_ch"))))
+    return (out.filter(F.col("score") >= threshold)
+            .select("probe_id", "cand_id", "score"))

@@ -1,0 +1,39 @@
+"""Top-k / ranking operators (SURVEY.md §2.5-2.6).
+
+W1 per-probe top-k: Alegre's `ORDER BY score DESC LIMIT k` per search
+(`app/main/lib/image_similarity.py:152-168`; ES `size=`,
+`text_similarity.py:287-291`). Spark: window row_number — one shuffle
+on the partition key, no global sort.
+
+Global top-k: `df.orderBy(...).limit(k)` compiles to
+TakeOrderedAndProject (no full sort at scale).
+
+W3 best-match: top-1 per probe (`graph_writer.py:82-84`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str],
+                   order_cols: list[Column], k: int,
+                   rank_col: str = "rank") -> DataFrame:
+    """Deterministic top-k per group. Callers must include a unique
+    tiebreaker in order_cols for stable output."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k))
+
+
+def best_match_per_group(df: DataFrame, group_cols: list[str],
+                         order_cols: list[Column]) -> DataFrame:
+    """W3: results[0] per probe (`graph_writer.py:82-84`)."""
+    return topk_per_group(df, group_cols, order_cols, 1).drop("rank")
+
+
+def global_topk(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """TakeOrderedAndProject: per-partition heap then driver merge —
+    O(k) memory, no full shuffle."""
+    return df.orderBy(*order_cols).limit(k)

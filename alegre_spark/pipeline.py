@@ -27,10 +27,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.langid import SUPPORTED_LANGUAGES, with_language
-from .functions.perplexity import CharNgramLM, with_perplexity
+from .functions.langid import SUPPORTED_LANGUAGES  # noqa: F401 (API)
+from .functions.perplexity import CharNgramLM, default_model
 from .functions.quality import QualityConfig, with_quality
-from .functions.scrub import with_scrub
 
 
 @dataclass(frozen=True)
@@ -95,6 +94,61 @@ def with_decision(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.withColumn("keep", F.col("drop_reason").isNull())
 
 
+def annotate_fused(df: DataFrame, text_col: str = "content",
+                   lm: CharNgramLM | None = None) -> DataFrame:
+    """langid + perplexity + scrub in ONE mapInPandas pass.
+
+    Why fused: each mapInPandas is a separate Python worker in the task
+    chain (one Arrow hop each). Three model stages = 3 Python processes
+    per task slot — 4x CPU oversubscription at local[N]=physical cores,
+    and 3x the Arrow serialization. One pass = one worker per slot, one
+    hop. The standalone with_language/with_perplexity/with_scrub remain
+    for a-la-carte use.
+
+    The scrub pregate runs inside the batch (vectorized
+    pandas str.contains) so clean rows skip per-category regex subs
+    without duplicating the upstream plan (the earlier union-of-filters
+    recomputed langid+perplexity twice).
+    """
+    from .functions.langid import langid_batch
+    from .functions.scrub import PREGATE_RE, scrub_text
+
+    lm = lm or default_model()
+    bc = df.sparkSession.sparkContext.broadcast(lm.to_tables())
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["language string", "language_confidence double",
+           "langid_provider string", "perplexity double",
+           "scrubbed_content string", "scrub_counts map<string,int>"])
+    pregate = PREGATE_RE
+
+    def _map(batches):
+        model = CharNgramLM.from_tables(bc.value)
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            res = langid_batch(texts.tolist())
+            pdf = pdf.copy()
+            pdf["language"] = res["language"].astype(object)
+            pdf["language_confidence"] = res["language_confidence"].values
+            pdf["langid_provider"] = res["langid_provider"].astype(object)
+            pdf["perplexity"] = model.perplexity_batch(texts)
+            dirty_mask = texts.str.contains(pregate, regex=True)
+            scrubbed, counts = [], []
+            for t, dirty in zip(texts, dirty_mask):
+                if dirty:
+                    s, c = scrub_text(t)
+                else:
+                    s, c = t, {}
+                scrubbed.append(s)
+                counts.append(c)
+            pdf["scrubbed_content"] = scrubbed
+            pdf["scrub_counts"] = counts
+            yield pdf
+
+    return df.mapInPandas(_map, schema=out_schema)
+
+
 def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None,
                  lm: CharNgramLM | None = None) -> DataFrame:
     """files df -> fully annotated df (no sink). Columns appended:
@@ -105,10 +159,8 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None,
     cfg = cfg or PipelineConfig()
     df = with_doc_id(df)
     df = salt_repartition(df, cfg.salt_buckets)
-    df = with_language(df, "content")
+    df = annotate_fused(df, "content", lm)
     df = with_quality(df, "content", cfg.quality)
-    df = with_perplexity(df, "content", lm)
-    df = with_scrub(df, "content")
     df = df.withColumn("scrubbed_sha256", F.sha2("scrubbed_content", 256))
     return with_decision(df, cfg)
 

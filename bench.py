@@ -1,0 +1,83 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: files/sec of the flagship quality-filter pipeline
+(langid + quality + perplexity + scrub + decision) over a deterministic
+synthetic corpus — this is the BASELINE.json metric (reference
+single-node throughput: ~10 items/s ES model, ~1 item/s embedding
+model, `app/test/benchmark/text_similarity_benchmark.py:411-415`).
+
+Also times the headline operator queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_FILES = int(os.environ.get("ALEGRE_BENCH_FILES", "40000"))
+
+
+def main():
+    from alegre_spark.corpus import generate_corpus
+    from alegre_spark.pipeline import PipelineConfig, run_pipeline
+    from alegre_spark.session import get_spark
+
+    spark = get_spark(app_name="alegre-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
+    timings: dict[str, float] = {}
+
+    # -- headline: pipeline files/sec ------------------------------------
+    files = generate_corpus(spark, N_FILES,
+                            partitions=int(CPUS) * 2).persist()
+    n = files.count()  # materialize input outside the timed window
+    t0 = time.perf_counter()
+    ann = run_pipeline(files, PipelineConfig(salt_buckets=int(CPUS) * 4))
+    kept = ann.filter("keep").count()
+    pipeline_sec = time.perf_counter() - t0
+    files_per_sec = n / pipeline_sec
+    timings["pipeline_40k_files"] = round(pipeline_sec, 3)
+    files.unpersist()
+
+    # -- operator queries at SF_DIR ---------------------------------------
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    # q13 (all-pairs jaccard) is excluded: the synthetic word-soup corpus
+    # has a ~25-word vocabulary, so every doc pairs with every doc and the
+    # result itself is quadratic — not representative of operator cost.
+    headline = ["q01_pricing_summary", "q02_top_orders_per_cust",
+                "q03_nation_order_stats", "q05_predecessor_counts",
+                "q09_token_overlap_join", "q10_exact_dedup",
+                "q21_dedup_keep_first", "q14_cosine_topk",
+                "q17_langid_documents", "q20_hamming_join",
+                "q23_minhash_xxhash"]
+    for name in headline:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "files_per_sec_pipeline",
+        "value": round(files_per_sec, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_files": n,
+        "pipeline_kept": kept,
+        "total_sec": total,
+        "cpus": int(CPUS),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

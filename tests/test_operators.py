@@ -1,0 +1,213 @@
+"""Operator unit tests: similarity joins, top-k, dedup family, context
+ops, merge upsert, connected components, ANN, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_token_overlap_join(spark):
+    from alegre_spark.operators.similarity_join import token_overlap_join
+    probes = spark.createDataFrame(
+        [(1, "this is a test")], "id long, content string")
+    cands = spark.createDataFrame(
+        [(10, "this is a test"),          # 4/4
+         (11, "this is a different test"),  # 4/4 tokens present
+         (12, "something else entirely"),   # 0/4
+         (13, "a test")],                   # 2/4
+        "id long, content string")
+    out = {r["cand_id"]: r for r in token_overlap_join(
+        probes, cands, "id", "id", threshold=0.9).collect()}
+    assert set(out) == {10, 11}
+    assert out[10]["overlap"] == 4 and out[10]["score"] == 1.0
+    # lower threshold admits partial
+    out2 = {r["cand_id"] for r in token_overlap_join(
+        probes, cands, "id", "id", threshold=0.5).collect()}
+    assert out2 == {10, 11, 13}
+
+
+def test_cosine_and_hamming_joins(spark):
+    from alegre_spark.operators.similarity_join import (cosine_join,
+                                                        hamming_join)
+    p = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "id long, embedding array<double>")
+    c = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [1.0, 1.0])],
+        "id long, embedding array<double>")
+    got = {r["cand_id"]: r["cosine"] for r in cosine_join(
+        p, c, "id", "id", threshold=0.5).collect()}
+    assert got[10] == pytest.approx(1.0)
+    assert got[12] == pytest.approx(0.7071, abs=1e-3)
+    assert 11 not in got
+
+    hp = spark.createDataFrame([(1, 0)], "id long, phash long")
+    hc = spark.createDataFrame([(10, 0), (11, 15), (12, -1)],
+                               "id long, phash long")
+    got = {r["cand_id"]: r["score"] for r in hamming_join(
+        hp, hc, "id", "id", threshold=0.9).collect()}
+    assert got[10] == 1.0 and got[11] == pytest.approx(1 - 4 / 64)
+    assert 12 not in got  # all 64 bits differ
+
+
+def test_topk(spark):
+    from alegre_spark.operators.topk import (best_match_per_group,
+                                             global_topk, topk_per_group)
+    df = spark.createDataFrame(
+        [("a", 1, 0.9), ("a", 2, 0.8), ("a", 3, 0.7), ("b", 4, 0.5)],
+        "g string, id long, score double")
+    top2 = topk_per_group(df, ["g"], [F.desc("score"), F.asc("id")], 2)
+    assert top2.count() == 3
+    best = best_match_per_group(df, ["g"], [F.desc("score"), F.asc("id")])
+    assert {(r["g"], r["id"]) for r in best.collect()} == {("a", 1), ("b", 4)}
+    assert global_topk(df, [F.desc("score")], 1).first()["id"] == 1
+
+
+def test_exact_dedup(spark):
+    from alegre_spark.operators.dedup import exact_dedup
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "id long, text string")
+    out = exact_dedup(df, "id", "text")
+    groups = {r["keeper_id"]: r for r in out.collect()}
+    assert groups[1]["n_dups"] == 2 and groups[1]["dup_ids"] == [1, 2]
+    assert groups[3]["n_dups"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from alegre_spark.operators.dedup import minhash_lsh_pairs
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark shuffle partitions " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(df, "id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    from alegre_spark.operators.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "id long, text string")
+    out = ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_simhash_similar_texts_close(spark):
+    from alegre_spark.operators.dedup import simhash64
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("lazy", "sleepy")),
+         (3, "utterly unrelated words about catalyst optimizer rules")],
+        "id long, text string")
+    sh = {r["id"]: r["simhash"] for r in simhash64(df, "id", "text").collect()}
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 63) - 1)).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_embedding_dup_pairs(spark):
+    from alegre_spark.operators.dedup import embedding_dup_pairs
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "id long, embedding array<double>")
+    out = embedding_dup_pairs(df, "id", "embedding", 0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_context_ops(spark):
+    from alegre_spark.operators.context import (context_contains,
+                                                delete_with_context_peel,
+                                                merge_context_lists)
+    df = spark.createDataFrame(
+        [("d1", [{"dbid": "12", "app": "check"}, {"dbid": "13"}]),
+         ("d2", [{"dbid": "15"}])],
+        "doc_id string, contexts array<map<string,string>>")
+    # AND across keys, OR within list (`elasticsearch.py:46-65`)
+    hits = df.filter(context_contains(F.col("contexts"),
+                                      {"dbid": [12, 13], "app": "check"}))
+    assert [r["doc_id"] for r in hits.collect()] == ["d1"]
+    hits0 = df.filter(context_contains(F.col("contexts"),
+                                       {"dbid": [13], "app": "check"}))
+    assert hits0.count() == 0  # entry with dbid=13 has no app
+    # ignored keys don't constrain (`elasticsearch.py:50-52`)
+    hits2 = df.filter(context_contains(
+        F.col("contexts"), {"dbid": 15, "project_media_id": 99}))
+    assert [r["doc_id"] for r in hits2.collect()] == ["d2"]
+    # merge = dedup union (`helpers.py:1-14`)
+    m = df.select(merge_context_lists(
+        F.col("contexts"), F.col("contexts")).alias("m"))
+    assert m.first()["m"] == df.first()["contexts"]
+    # peel: d1 loses one context, survives; d2 loses its only -> dropped
+    out1 = delete_with_context_peel(df, "doc_id", "d1", "contexts",
+                                    {"dbid": "13"})
+    d1 = out1.filter("doc_id = 'd1'").first()
+    assert len(d1["contexts"]) == 1
+    out2 = delete_with_context_peel(df, "doc_id", "d2", "contexts",
+                                    {"dbid": "15"})
+    assert out2.filter("doc_id = 'd2'").count() == 0
+
+
+def test_merge_upsert(spark):
+    from alegre_spark.operators.merge import merge_upsert, split_existing_new
+    target = spark.createDataFrame(
+        [(1, "old1", ["a"]), (2, "old2", ["b"])],
+        "doc_id long, content string, contexts array<string>")
+    source = spark.createDataFrame(
+        [(2, "new2", ["c"]), (3, "new3", ["d"])],
+        "doc_id long, content string, contexts array<string>")
+    out = {r["doc_id"]: r for r in merge_upsert(
+        target, source, "doc_id", merge_arrays=("contexts",)).collect()}
+    assert out[1]["content"] == "old1"
+    assert out[2]["content"] == "new2" and out[2]["contexts"] == ["b", "c"]
+    assert out[3]["content"] == "new3"
+    upd, new = split_existing_new(source, target.select("doc_id"), "doc_id")
+    assert [r["doc_id"] for r in upd.collect()] == [2]
+    assert [r["doc_id"] for r in new.collect()] == [3]
+
+
+def test_connected_components(spark):
+    from alegre_spark.operators.components import clusters
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "src long, dst long")
+    out = {r["component"]: r["nodes"] for r in clusters(edges).collect()}
+    assert out[1] == [1, 2, 3] and out[5] == [5, 6] and out[7] == [7]
+
+
+def test_ann_brute_force_and_lsh(spark):
+    import numpy as np
+    from alegre_spark.operators.ann import brute_force_topk, lsh_topk
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(vecs, "id long, embedding array<double>")
+    probes = df.filter("id = 0")
+    bf = brute_force_topk(probes, df, "id", "id", k=2)
+    rows = bf.orderBy("rank").collect()
+    assert rows[0]["cand_id"] == 0 and rows[0]["cosine"] == pytest.approx(1.0)
+    rng = np.random.RandomState(0)
+    planes = rng.randn(4, 4).tolist()
+    lsh = lsh_topk(probes, df, "id", "id", "embedding", "embedding",
+                   planes, k=2)
+    top = lsh.filter("rank = 1").first()
+    assert top["cand_id"] == 0  # identical vector always shares bucket
+
+
+def test_multimodal_phash(spark):
+    from alegre_spark.functions.multimodal import with_image_phash
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imagebytes-a")), (2, bytearray(b"imagebytes-a")),
+         (3, bytearray(b"imagebytes-b"))],
+        "id long, media binary")
+    out = {r["id"]: r["phash"] for r in with_image_phash(df).collect()}
+    assert out[1] == out[2]       # deterministic: same bytes same hash
+    assert out[1] != out[3]
+
+
+def test_frame_sample_plan(spark):
+    from alegre_spark.functions.multimodal import frame_sample_plan
+    df = spark.createDataFrame(
+        [(1, bytearray(b"v"), ("video/mp4", 0, 0, 3500))],
+        "id long, media binary, media_meta struct<mime:string,width:int,"
+        "height:int,duration_ms:int>")
+    out = frame_sample_plan(df, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000]

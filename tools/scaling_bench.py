@@ -1,0 +1,84 @@
+"""Two-parallelism scaling evidence (north rule: >=0.8 efficiency from
+N to 4N executors; sandboxed as local[8] vs local[32] on identical
+input — BASELINE.md 'Targets' table).
+
+Runs the flagship pipeline on the same deterministic corpus at both
+parallelism levels in separate spark-submit-style processes (fresh JVM
+each, so no warm-cache bleed), prints one JSON line, and is the source
+for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+N_FILES = int(os.environ.get("ALEGRE_SCALING_FILES", "60000"))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "{repo}")
+from alegre_spark.session import get_spark
+from alegre_spark.corpus import generate_corpus
+from alegre_spark.pipeline import run_pipeline, PipelineConfig
+
+cores = int(sys.argv[1]); n = int(sys.argv[2])
+spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(cores * 2, 16))
+spark.sparkContext.setLogLevel("ERROR")
+files = generate_corpus(spark, n, partitions=cores * 2).persist()
+files.count()
+# warm-up: spin up the Python workers (pandas/numpy import per worker)
+# before the timed window — a real cluster amortizes this over hours.
+warm = generate_corpus(spark, cores * 64, seed=7, partitions=cores)
+run_pipeline(warm, PipelineConfig(salt_buckets=cores)).filter("keep").count()
+t0 = time.perf_counter()
+ann = run_pipeline(files, PipelineConfig(salt_buckets=cores * 4))
+kept = ann.filter("keep").count()
+dt = time.perf_counter() - t0
+print(json.dumps({{"cores": cores, "sec": dt, "files_per_sec": n / dt,
+                   "kept": kept}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int) -> dict:
+    """Run pinned to exactly `cores` physical CPUs (taskset): without
+    pinning, a local[8] run's Python workers silently consume the other
+    24 cores and the comparison measures nothing."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(_CHILD.format(repo=repo))
+        path = f.name
+    cmd = [sys.executable, path, str(cores), str(N_FILES)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    os.unlink(path)
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result at {cores} cores: {out.stderr[-2000:]}")
+
+
+def main():
+    low = run_at(8)
+    high = run_at(32)
+    eff = (high["files_per_sec"] / low["files_per_sec"]) / 4.0
+    print(json.dumps({
+        "n_files": N_FILES,
+        "local8": {k: round(v, 2) for k, v in low.items()},
+        "local32": {k: round(v, 2) for k, v in high.items()},
+        "speedup_8_to_32": round(high["files_per_sec"] /
+                                 low["files_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()
