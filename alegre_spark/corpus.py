@@ -137,6 +137,58 @@ def generate_corpus(spark: SparkSession, n_files: int = 2000,
     return df
 
 
+def generate_corpus_distributed(spark: SparkSession, n_files: int,
+                                seed: int = 42,
+                                partitions: int | None = None) -> DataFrame:
+    """Executor-side corpus generation for large N: spark.range ->
+    mapInPandas, one deterministic row per id (rng seeded per id, so the
+    output is independent of partitioning). Same content families as
+    generate_rows; driver never materializes the rows."""
+    import pandas as pd
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    rng_base = seed
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = random.Random((rng_base << 32) ^ i)
+                giant = rng.random() < 0.30
+                repo = ("megacorp/monorepo" if giant else
+                        f"org{rng.randint(0, 49)}/repo{rng.randint(0, 199)}")
+                path = f"src/module_{rng.randint(0, 99)}/file_{i}.py"
+                commit = _fake_commit(rng)
+                lang = rng.choice(["python", "javascript", "sql", "java"])
+                roll = rng.random()
+                if roll < 0.05:
+                    content = _BAD_FILES[i % len(_BAD_FILES)](rng)
+                else:
+                    tmpl = rng.choice(_CODE_TEMPLATES)
+                    content = tmpl.format(
+                        name=f"func_{rng.randint(0, 999)}",
+                        cls=f"Handler{rng.randint(0, 99)}",
+                        args="a, b",
+                        doc=" ".join(rng.choice(_WORDS) for _ in range(8)),
+                        expr=f"a * {rng.randint(2, 9)} + b",
+                        n=rng.randint(3, 50))
+                    if roll > 0.9:
+                        text, _ = LANGID_FIXTURES[i % len(LANGID_FIXTURES)]
+                        content += f"# {text}\n"
+                    if 0.05 <= roll < 0.13:
+                        content += "# " + _PII_SNIPPETS[
+                            i % len(_PII_SNIPPETS)].format(j=i) + "\n"
+                rows.append((repo, path, commit, lang, content))
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit",
+                                              "lang", "content"])
+
+    return (spark.range(0, n_files, 1, parts)
+            .mapInPandas(_gen, schema="repo string, path string, "
+                                      "commit string, lang string, "
+                                      "content string"))
+
+
 def documents_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's `documents` parquet to the files schema so the
     flagship pipeline runs on driver-provided data too."""

@@ -139,16 +139,29 @@ _SCRIPT_TO_LANG = {
 }
 
 
+# Vectorized range lookup: searchsorted over sorted block starts beats a
+# 29-range linear scan per character.
+import numpy as np
+
+_RANGES_SORTED = sorted(_SCRIPT_RANGES)
+_R_STARTS = np.array([r[0] for r in _RANGES_SORTED], dtype=np.uint32)
+_R_ENDS = np.array([r[1] for r in _RANGES_SORTED], dtype=np.uint32)
+_R_NAMES = [r[2] for r in _RANGES_SORTED]
+
+
 def _script_histogram(text: str) -> Counter:
+    if not text:
+        return Counter()
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    codes = codes[codes >= 0x41]
+    if codes.size == 0:
+        return Counter()
+    idx = np.searchsorted(_R_STARTS, codes, side="right") - 1
+    valid = (idx >= 0) & (codes <= _R_ENDS[np.clip(idx, 0, None)])
     counts: Counter = Counter()
-    for ch in text:
-        cp = ord(ch)
-        if cp < 0x41:  # ascii punctuation/digits/space: scriptless
-            continue
-        for lo, hi, name in _SCRIPT_RANGES:
-            if lo <= cp <= hi:
-                counts[name] += 1
-                break
+    if valid.any():
+        for i, n in zip(*np.unique(idx[valid], return_counts=True)):
+            counts[_R_NAMES[int(i)]] += int(n)
     return counts
 
 
@@ -288,15 +301,24 @@ def _classify_arabic_script(text: str) -> tuple[str, float]:
     return "ar", 0.85
 
 
+# Inverted index word -> langs: one dict lookup per token instead of a
+# per-language vocabulary scan.
+_WORD_TO_LANGS: dict[str, tuple[str, ...]] = {}
+for _lang, _vocab in _LATIN_STOPWORDS.items():
+    for _w in _vocab:
+        _WORD_TO_LANGS[_w] = _WORD_TO_LANGS.get(_w, ()) + (_lang,)
+
+
 def _classify_latin(words: list[str]) -> tuple[str, float]:
     if not words:
         return "und", 0.0
     scores: dict[str, float] = {}
-    wordset = Counter(words)
-    for lang, vocab in _LATIN_STOPWORDS.items():
-        hit = sum(cnt for w, cnt in wordset.items() if w in vocab)
-        if hit:
-            scores[lang] = hit
+    get = _WORD_TO_LANGS.get
+    for w in words:
+        langs = get(w)
+        if langs:
+            for lang in langs:
+                scores[lang] = scores.get(lang, 0) + 1
     if not scores:
         return "en", 0.2  # fastText-style always-answer, low confidence
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -316,6 +338,10 @@ def script_stopword_langid(text: str) -> tuple[str, float]:
     in result cleanup.
     """
     flat = (text or "").replace("\n", " ")
+    if flat.isascii():  # fast path: ASCII can only be latin script
+        if not _ASCII_ALPHA_RE.search(flat):
+            return "und", 0.0
+        return _classify_latin(_tokenize_words(flat))
     hist = _script_histogram(flat)
     if not hist:
         return "und", 0.0
@@ -445,12 +471,18 @@ def _trigram_counts(text: str) -> Counter:
     return Counter(t[i:i + 3] for i in range(len(t) - 2))
 
 
+# precomputed (1+ln(v)) for small counts — the common case by far
+_DAMP_TABLE = [0.0] + [1.0 + math.log(v) for v in range(1, 512)]
+
+
 def _damp(counts: Counter) -> dict[str, float]:
     # log-damped counts so high-frequency grams ('the', repeated 'ana')
     # don't dominate; trigrams spanning a word boundary get 2x weight —
     # they carry the function-word signal that separates languages.
+    tab = _DAMP_TABLE
     return {
-        g: (1.0 + math.log(v)) * (2.0 if " " in g else 1.0)
+        g: (tab[v] if v < 512 else 1.0 + math.log(v)) *
+           (2.0 if " " in g else 1.0)
         for g, v in counts.items()
     }
 
@@ -465,6 +497,74 @@ _TRIGRAM_PROFILES: dict[str, tuple[dict[str, float], float]] = {
 }
 
 
+# Vectorized scoring structures: profile matrix (n_grams x n_langs) so a
+# batch of texts scores against ALL languages with one matmul instead of
+# n_langs dict-dot loops per text (the hot 70% of pipeline CPU).
+import numpy as _np
+
+_TRI_LANGS: list[str] = sorted(_TRIGRAM_PROFILES.keys())
+_GRAM_INDEX: dict[str, int] = {}
+for _lang in _TRI_LANGS:
+    for _g in _TRIGRAM_PROFILES[_lang][0]:
+        if _g not in _GRAM_INDEX:
+            _GRAM_INDEX[_g] = len(_GRAM_INDEX)
+_PROFILE_MATRIX = _np.zeros((len(_GRAM_INDEX), len(_TRI_LANGS)),
+                            dtype=_np.float64)
+for _li, _lang in enumerate(_TRI_LANGS):
+    for _g, _w in _TRIGRAM_PROFILES[_lang][0].items():
+        _PROFILE_MATRIX[_GRAM_INDEX[_g], _li] = _w
+_PROFILE_NORMS = _np.array([_TRIGRAM_PROFILES[_l][1] for _l in _TRI_LANGS])
+
+# Integer gram codes: a trigram (c0,c1,c2) maps to c0*K^2 + c1*K + c2
+# (K = 0x110000 > max codepoint; fits int64). Lets the whole trigram
+# count/damp/lookup run in NumPy with ZERO per-gram Python objects —
+# the string-slice Counter was memory-bandwidth-bound at 32 workers.
+_K = 0x110000
+
+
+def _gram_code(g: str) -> int:
+    return (ord(g[0]) * _K + ord(g[1])) * _K + ord(g[2])
+
+
+_CODES_SORTED = _np.array(sorted(_gram_code(g) for g in _GRAM_INDEX),
+                          dtype=_np.int64)
+_P_BY_CODE = _np.zeros((len(_CODES_SORTED), len(_TRI_LANGS)))
+for _g, _i in _GRAM_INDEX.items():
+    _pos = int(_np.searchsorted(_CODES_SORTED, _gram_code(_g)))
+    _P_BY_CODE[_pos] = _PROFILE_MATRIX[_i]
+
+_WS_RE = re.compile(r"\s+")
+_ASCII_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def _text_gram_codes(text: str):
+    """(codes int64[], counts int64[]) of trigrams of ' text ' after
+    lowercase + whitespace collapse — NumPy end to end."""
+    t = _WS_RE.sub(" ", text.lower()).strip()
+    if not t:
+        return None, None
+    buf = (" " + t + " ").encode("utf-32-le")
+    codes = _np.frombuffer(buf, dtype=_np.uint32).astype(_np.int64)
+    if len(codes) < 3:
+        return None, None
+    grams = (codes[:-2] * _K + codes[1:-1]) * _K + codes[2:]
+    return _np.unique(grams, return_counts=True)
+
+
+def _trigram_rank(cosines: _np.ndarray) -> tuple[str, float]:
+    """(best language, confidence) from a per-language cosine row —
+    the single shared scoring rule for scalar and batch paths."""
+    best_i = int(_np.argmax(cosines))
+    best_cos = float(cosines[best_i])
+    if best_cos <= 0.0:
+        return "und", 0.0
+    second_cos = float(_np.partition(cosines, -2)[-2]) \
+        if len(cosines) > 1 else 0.0
+    margin = (best_cos - second_cos) / best_cos
+    conf = min(best_cos * (0.6 + 0.6 * margin) + 0.25, 0.99)
+    return _TRI_LANGS[best_i], conf
+
+
 def trigram_langid(text: str) -> tuple[str, float]:
     """Provider 2 (the CLD3 slot). Returns (language, confidence)."""
     flat = (text or "").replace("\n", " ")
@@ -474,19 +574,47 @@ def trigram_langid(text: str) -> tuple[str, float]:
     gnorm = _norm(grams)
     if gnorm == 0:
         return "und", 0.0
-    best_lang, best_cos, second_cos = "und", 0.0, 0.0
-    for lang, (profile, pnorm) in sorted(_TRIGRAM_PROFILES.items()):
-        dot = sum(cnt * profile.get(g, 0) for g, cnt in grams.items())
-        cos = dot / (gnorm * pnorm) if pnorm else 0.0
-        if cos > best_cos:
-            best_lang, second_cos, best_cos = lang, best_cos, cos
-        elif cos > second_cos:
-            second_cos = cos
-    if best_cos <= 0.0:
-        return "und", 0.0
-    margin = (best_cos - second_cos) / best_cos if best_cos else 0.0
-    conf = min(best_cos * (0.6 + 0.6 * margin) + 0.25, 0.99)
-    return best_lang, conf
+    vec = _np.zeros(len(_GRAM_INDEX))
+    for g, w in grams.items():
+        i = _GRAM_INDEX.get(g)
+        if i is not None:
+            vec[i] = w
+    cosines = (vec @ _PROFILE_MATRIX) / (gnorm * _PROFILE_NORMS)
+    return _trigram_rank(cosines)
+
+
+def trigram_langid_batch(texts: list[str]) -> list[tuple[str, float]]:
+    """Batch variant, NumPy end to end per text: integer gram codes ->
+    unique+counts -> damped weights -> searchsorted profile lookup ->
+    one small matmul. No per-gram Python objects (the string-slice
+    Counter was memory-bandwidth-bound at 32 concurrent workers).
+    Identical math/results to trigram_langid."""
+    out: list[tuple[str, float]] = []
+    L = len(_TRI_LANGS)
+    space = ord(" ")
+    for text in texts:
+        codes, counts = _text_gram_codes((text or "").replace("\n", " "))
+        if codes is None:
+            out.append(("und", 0.0))
+            continue
+        w = 1.0 + _np.log(counts)
+        has_space = ((codes % _K == space) |
+                     ((codes // _K) % _K == space) |
+                     (codes // (_K * _K) == space))
+        w = _np.where(has_space, 2.0 * w, w)
+        gnorm = float(_np.sqrt((w * w).sum()))
+        if gnorm == 0.0:
+            out.append(("und", 0.0))
+            continue
+        pos = _np.searchsorted(_CODES_SORTED, codes)
+        pos_c = _np.clip(pos, 0, len(_CODES_SORTED) - 1)
+        hit = _CODES_SORTED[pos_c] == codes
+        if hit.any():
+            dots = w[hit] @ _P_BY_CODE[pos_c[hit]]
+        else:
+            dots = _np.zeros(L)
+        out.append(_trigram_rank(dots / (gnorm * _PROFILE_NORMS)))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -501,17 +629,10 @@ AGREEMENT_CONFIDENCE = 0.7  # `langid.py:119-127`
 LANGID_MAX_CHARS = 4096
 
 
-def hybrid_langid(text: str) -> tuple[str, float, str]:
-    """Full reference pipeline for one text: cleanup -> two providers ->
-    hybrid agreement -> result cleanup. Returns (language, confidence,
-    provider_tag). No-network fallback: disagreement or low confidence
-    -> ('und', 0.0, 'fallback') instead of the reference's Google call.
-    """
-    clean = cleanup_input((text or "")[:LANGID_MAX_CHARS])
-    if not clean:
-        return "und", 1.0, "empty"  # `langid_controller.py:50-57`
-    l1, c1 = script_stopword_langid(clean)
-    l2, c2 = trigram_langid(clean)
+def _hybrid_combine(l1: str, c1: float, l2: str,
+                    c2: float) -> tuple[str, float, str]:
+    """Hybrid agreement rule (`langid.py:114-136`), shared by the scalar
+    and batch paths."""
     l1c, l2c = cleanup_result_language(l1), cleanup_result_language(l2)
     if l1c == l2c and min(c1, c2) >= AGREEMENT_CONFIDENCE:
         if c1 > c2:
@@ -525,6 +646,20 @@ def hybrid_langid(text: str) -> tuple[str, float, str]:
     return "und", 0.0, "fallback"
 
 
+def hybrid_langid(text: str) -> tuple[str, float, str]:
+    """Full reference pipeline for one text: cleanup -> two providers ->
+    hybrid agreement -> result cleanup. Returns (language, confidence,
+    provider_tag). No-network fallback: disagreement or low confidence
+    -> ('und', 0.0, 'fallback') instead of the reference's Google call.
+    """
+    clean = cleanup_input((text or "")[:LANGID_MAX_CHARS])
+    if not clean:
+        return "und", 1.0, "empty"  # `langid_controller.py:50-57`
+    l1, c1 = script_stopword_langid(clean)
+    l2, c2 = trigram_langid(clean)
+    return _hybrid_combine(l1, c1, l2, c2)
+
+
 # Languages with a dedicated per-language analyzer index in the reference
 # (`app/main/lib/language_analyzers.py:4`); used by the supported-language
 # gate L7.
@@ -533,10 +668,20 @@ SUPPORTED_LANGUAGES = ["en", "pt", "es", "hi", "bn", "pt-br", "ar", "fr",
 
 
 def langid_batch(texts: Iterable[str]) -> pd.DataFrame:
-    """Vectorized batch entry: one pandas DataFrame out per batch in."""
+    """Vectorized batch entry: cleanup per text, provider 1 per text
+    (NumPy script histogram), provider 2 as ONE batch matmul, hybrid
+    combine. Same results as hybrid_langid row-by-row."""
+    cleaned = [cleanup_input((t or "")[:LANGID_MAX_CHARS]) for t in texts]
+    tri = trigram_langid_batch(cleaned)
     langs, confs, provs = [], [], []
-    for t in texts:
-        lang, conf, prov = hybrid_langid(t)
+    for clean, (l2, c2) in zip(cleaned, tri):
+        if not clean:
+            langs.append("und")
+            confs.append(1.0)
+            provs.append("empty")
+            continue
+        l1, c1 = script_stopword_langid(clean)
+        lang, conf, prov = _hybrid_combine(l1, c1, l2, c2)
         langs.append(lang)
         confs.append(conf)
         provs.append(prov)

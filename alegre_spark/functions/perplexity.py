@@ -90,16 +90,61 @@ class CharNgramLM:
     MAX_CHARS = 16384  # bounded per-row cost; a 16 KiB sample is a
     # statistically stable perplexity estimate for any file size
 
+    _K = 0x110000  # > max codepoint; gram code base
+
+    def _tables_np(self):
+        """Sorted int-code arrays for vectorized lookup (built lazily,
+        cached per instance — i.e. once per executor after broadcast)."""
+        if not hasattr(self, "_np_tables"):
+            K = self._K
+
+            def enc(g):
+                c = 0
+                for ch in g:
+                    c = c * K + ord(ch)
+                return c
+
+            def pack(d, width):
+                items = sorted((enc(g), v) for g, v in d.items())
+                codes = np.array([c for c, _ in items], dtype=np.int64)
+                vals = np.array([v for _, v in items], dtype=np.float64)
+                return codes, vals
+
+            self._np_tables = (pack(self.logp3, 3), pack(self.logp2, 2),
+                               pack(self.logp1, 1))
+        return self._np_tables
+
+    @staticmethod
+    def _lookup(codes_sorted, vals, keys):
+        pos = np.searchsorted(codes_sorted, keys)
+        pos_c = np.clip(pos, 0, len(codes_sorted) - 1)
+        hit = codes_sorted[pos_c] == keys
+        out = np.where(hit, vals[pos_c], np.nan)
+        return out
+
     def perplexity(self, text: str) -> float:
+        """Vectorized: trigram int codes -> searchsorted into the
+        log-prob tables with stupid-backoff fallbacks."""
         t = " " + _normalize((text or "")[:self.MAX_CHARS]) + " "
         if len(t) < 3:
             return float(math.exp(-self._floor))
-        lp = 0.0
-        n = 0
-        for i in range(2, len(t)):
-            lp += self.logprob_char(t[i - 2:i], t[i])
-            n += 1
-        return float(math.exp(-lp / n))
+        (c3, v3), (c2, v2), (c1, v1) = self._tables_np()
+        K = self._K
+        codes = np.frombuffer(t.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.int64)
+        g3 = (codes[:-2] * K + codes[1:-1]) * K + codes[2:]
+        lp = self._lookup(c3, v3, g3)
+        miss = np.isnan(lp)
+        if miss.any():
+            g2 = codes[1:-1] * K + codes[2:]
+            lp2 = self._log_backoff + self._lookup(c2, v2, g2[miss])
+            lp[miss] = lp2
+            miss2 = np.isnan(lp)
+            if miss2.any():
+                lp1 = 2 * self._log_backoff + self._lookup(
+                    c1, v1, codes[2:][miss2])
+                lp[miss2] = np.where(np.isnan(lp1), self._floor, lp1)
+        return float(math.exp(-lp.mean()))
 
     def perplexity_batch(self, texts: pd.Series) -> np.ndarray:
         return np.array([self.perplexity(t) for t in texts.fillna("")],

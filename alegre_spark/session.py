@@ -30,6 +30,14 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # CPU-bound pandas-UDF stages have tiny bytes-per-cpu-second;
+        # the default 1 MiB minPartitionSize lets AQE merge them below
+        # the core count (observed: 128 salted buckets -> ~15 uneven
+        # partitions). 64 KiB keeps parallelism-first sizing in charge;
+        # at TB scale target size = total/parallelism >> this, so the
+        # setting is inert on big shuffles.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64kb")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

