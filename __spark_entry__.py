@@ -328,6 +328,43 @@ def q26_scrub_documents(spark, sf):
                     F.sum(F.size("scrub_counts")).alias("docs_hit")))
 
 
+def q27_json_props(spark, sf):
+    """F12 JSON handling: extract a key from the events props JSON,
+    aggregate per event_type."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.round(F.avg("k"), 4).alias("avg_k")))
+
+
+def q28_query_truncation(spark, sf):
+    """P12 query truncation: cap each document to 20 whitespace tokens
+    (`elasticsearch.py:67-71` semantics), report truncated lengths."""
+    from alegre_spark.operators.normalize import truncate_query
+    d = _t(spark, sf, "documents")
+    t = truncate_query(F.col("text"), 20)
+    return (d.select(F.col("doc_id"), F.length(t).alias("trunc_len"),
+                     F.size(F.split(t, " ")).alias("trunc_tokens")))
+
+
+def q29_angular_similarity(spark, sf):
+    """F4 angular similarity (`similarity_measures.py:15-22`) between
+    consecutive embeddings."""
+    from alegre_spark.functions.measures import angular_col
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").cast("array<double>").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("id_a"),
+                 F.col("embedding").cast("array<double>").alias("vb"))
+    return (a.join(b, "id_a")
+            .select(F.col("id_a").alias("vec_id"),
+                    F.round(angular_col(F.col("va"), F.col("vb")), 4)
+                    .alias("angular")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -355,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_lsh_ann": q24_lsh_ann,
         "q25_connected_components": q25_connected_components,
         "q26_scrub_documents": q26_scrub_documents,
+        "q27_json_props": q27_json_props,
+        "q28_query_truncation": q28_query_truncation,
+        "q29_angular_similarity": q29_angular_similarity,
     }
 
 
@@ -545,6 +585,34 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed p, hashed c
             WHERE p.doc_id < 3
               AND 1.0 - bit_count(xor(p.phash, c.phash)) / 64.0 >= 0.8
+        """,
+        "q27_json_props": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                 AS INTEGER)) AS BIGINT) AS sum_k,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k')
+                                  AS INTEGER)), 4) AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "q28_query_truncation": """
+            WITH t AS (
+              SELECT doc_id,
+                     array_to_string(string_split(text, ' ')[1:20], ' ')
+                         AS tq
+              FROM documents)
+            SELECT doc_id, CAST(length(tq) AS INTEGER) AS trunc_len,
+                   CAST(len(string_split(tq, ' ')) AS INTEGER)
+                       AS trunc_tokens
+            FROM t
+        """,
+        "q29_angular_similarity": """
+            SELECT a.vec_id,
+                   ROUND(1 - acos(1 - GREATEST(0, LEAST(
+                       1 - list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]),
+                       1))) / pi(), 4) AS angular
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id = a.vec_id + 1
         """,
         "q21_dedup_keep_first": f"""
             WITH {_TOKS_CTE},

@@ -1,0 +1,100 @@
+"""Request/document normalization operators (P-series, SURVEY.md §2.2)
+and the multi-model fan-out (J3) / merged re-sort (W2) compositions.
+
+These mirror the reference's boundary normalization exactly:
+
+- P1 `get_body_for_text_document` (`app/main/lib/similarity.py:28-78`):
+  rename `text` -> `content`; merge `model`/`models` into a deduped
+  `models` list dropping 'elasticsearch'; default `created_at`;
+  reject blank content.
+- P2 store-mode allow-list projection (`similarity.py:69-75`,
+  `elasticsearch.py:116-119`).
+- P12 query truncation to MAX_CLAUSE_COUNT whitespace tokens
+  (`elasticsearch.py:67-71`, cap 1000 per `config.py:30`).
+- J3 multi-model fan-out union (`text_similarity.py:85-100`).
+- W2 merged-modality re-sort (`similarity.py:143-149`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_CLAUSE_COUNT = 1000          # `app/main/config.py:30`
+DEFAULT_SEARCH_LIMIT = 200       # `app/main/lib/similarity.py:10`
+STORE_ALLOWED_KEYS = ("language", "content", "created_at", "models",
+                      "context", "callback_url", "content_hash")
+
+
+def normalize_body(df: DataFrame, default_created_at: str,
+                   default_language: str | None = None) -> DataFrame:
+    """P1: text->content rename, model|models merge (drop
+    'elasticsearch', dedup), created_at default (an explicit literal,
+    NOT now() — determinism for resume, SURVEY.md §7.3), blank-content
+    rejection."""
+    out = df
+    if "text" in out.columns and "content" not in out.columns:
+        out = out.withColumnRenamed("text", "content")
+    model_col = (F.array(F.col("model")) if "model" in out.columns
+                 else F.array().cast("array<string>"))
+    models_col = (F.col("models") if "models" in out.columns
+                  else F.array().cast("array<string>"))
+    out = out.withColumn(
+        "models",
+        F.array_distinct(F.filter(
+            F.concat(models_col, model_col),
+            lambda m: m.isNotNull() & (m != F.lit("elasticsearch")))))
+    if "model" in out.columns:
+        out = out.drop("model")
+    if "created_at" not in out.columns:
+        out = out.withColumn("created_at", F.lit(default_created_at))
+    else:
+        out = out.withColumn(
+            "created_at",
+            F.coalesce(F.col("created_at"), F.lit(default_created_at)))
+    if "language" not in out.columns:
+        out = out.withColumn("language",
+                             F.lit(default_language).cast("string"))
+    # blank-content assertion (`similarity.py:56-57`) -> filter, with
+    # the rejects available via the inverse predicate
+    return out.filter(F.trim(F.col("content")) != "")
+
+
+def store_mode_projection(df: DataFrame,
+                          extra_keys: Sequence[str] = ()) -> DataFrame:
+    """P2: keep only the store-mode allow-list columns that exist."""
+    keep = [c for c in (*STORE_ALLOWED_KEYS, *extra_keys)
+            if c in df.columns]
+    return df.select(*keep)
+
+
+def truncate_query(col, max_clauses: int = MAX_CLAUSE_COUNT,
+                   reserved_clauses: int = 0):
+    """P12: cap to (max_clauses - reserved) whitespace tokens."""
+    n = max_clauses - reserved_clauses
+    toks = F.split(col, " ")
+    return F.array_join(F.slice(toks, 1, n), " ")
+
+
+def multi_model_fanout(probes: DataFrame, models: Sequence[str],
+                       search_fn: Callable[[DataFrame, str], DataFrame]
+                       ) -> DataFrame:
+    """J3: run the per-model search once per model, union the results
+    with a `model` tag column (`text_similarity.py:85-100`)."""
+    parts = []
+    for m in models:
+        parts.append(search_fn(probes, m).withColumn("model", F.lit(m)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def merged_modality_sort(a: DataFrame, b: DataFrame,
+                         score_col: str = "score") -> DataFrame:
+    """W2: concat two result sets, re-sort by score desc
+    (`similarity.py:143-149`)."""
+    return a.unionByName(b, allowMissingColumns=True) \
+            .orderBy(F.desc(score_col))

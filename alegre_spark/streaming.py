@@ -1,0 +1,58 @@
+"""Structured Streaming face of the quality filter.
+
+The reference's 'streaming' is Redis-queue plumbing with no windowed
+semantics (SURVEY.md §2.10), so the batch pipeline IS the semantics;
+this module wraps it for continuous ingestion: new parquet files
+landing in a directory are picked up per micro-batch, run through the
+identical `run_pipeline`, and appended to the output with their
+metrics — `foreachBatch` keeps one code path for batch and stream.
+
+Late data: file-source ordering is irrelevant to a per-row filter, so
+no watermark is needed; idempotence comes from `doc_id` determinism
+plus checkpointing (exactly-once per micro-batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import FILES_SCHEMA
+from .pipeline import PipelineConfig, partition_metrics, run_pipeline
+from .lineage import OUTPUT_COLUMNS
+
+
+def stream_quality_filter(spark: SparkSession, input_dir: str,
+                          out_dir: str,
+                          cfg: PipelineConfig | None = None,
+                          trigger_available_now: bool = True):
+    """readStream(files) -> run_pipeline per micro-batch -> append
+    output + metrics. Returns the started StreamingQuery."""
+    cfg = cfg or PipelineConfig()
+    output_path = os.path.join(out_dir, "filtered")
+    metrics_path = os.path.join(out_dir, "metrics")
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    stream = (spark.readStream.schema(FILES_SCHEMA)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(input_dir))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        ann = run_pipeline(batch_df, cfg)
+        ann.persist()
+        try:
+            (ann.select(*OUTPUT_COLUMNS)
+             .write.mode("append").parquet(output_path))
+            (partition_metrics(ann)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(metrics_path))
+        finally:
+            ann.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

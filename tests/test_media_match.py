@@ -1,0 +1,75 @@
+"""Audio chromaprint golden tests against the reference's published
+fixture outputs (`extra/audio_similarity/README.md:24-33`): ex1 x ex2 =
+0.998585972850679, ex1 x ex3 = 0, ex3 x ex3 = 1.0. The fixtures are
+read from the read-only reference checkout at test time (not copied);
+skipped if absent."""
+
+import json
+import os
+
+import pytest
+
+from alegre_spark.operators.media_match import (audio_similarity_join,
+                                                chromaprint_score,
+                                                video_similarity_join)
+
+REF = "/root/reference/extra/audio_similarity"
+
+
+def _load(name):
+    with open(os.path.join(REF, name)) as f:
+        d = json.load(f)
+    if isinstance(d, str):  # fixtures are double-encoded JSON
+        d = json.loads(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    if not os.path.exists(os.path.join(REF, "ex1.json")):
+        pytest.skip("reference fixtures not available")
+    return _load("ex1.json"), _load("ex2.json"), _load("ex3.json")
+
+
+def test_golden_scores(fixtures):
+    ex1, ex2, ex3 = fixtures
+    assert chromaprint_score(ex1, ex2) == pytest.approx(
+        0.998585972850679, abs=1e-12)
+    assert chromaprint_score(ex1, ex3) == 0.0
+    assert chromaprint_score(ex3, ex3) == 1.0
+
+
+def test_length_gate():
+    fp = [12345] * 100
+    assert chromaprint_score(fp, fp[:70]) == 0.0   # outside +-20%
+    assert chromaprint_score(fp, fp[:85]) > 0.9    # inside
+
+
+def test_audio_join(spark, fixtures):
+    ex1, ex2, ex3 = fixtures
+    probes = spark.createDataFrame([(1, ex1)],
+                                   "id long, chromaprint array<long>")
+    cands = spark.createDataFrame([(10, ex2), (11, ex3), (12, ex1)],
+                                  "id long, chromaprint array<long>")
+    out = {r["cand_id"]: r["score"] for r in audio_similarity_join(
+        probes, cands, "id", "id", threshold=0.9).collect()}
+    assert out[10] == pytest.approx(0.998585972850679, abs=1e-9)
+    assert out[12] == 1.0
+    assert 11 not in out  # length-gated or low score
+
+
+def test_video_two_stage(spark):
+    probes = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], bytearray(b"tmk-a"))],
+        "id long, l1_hash array<double>, tmk binary")
+    cands = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0], bytearray(b"tmk-a")),   # identical
+         (11, [0.0, 1.0, 0.0], bytearray(b"tmk-b")),   # fails L1 gate
+         (12, [0.9, 0.1, 0.0], bytearray(b"tmk-c"))],  # passes gate
+        "id long, l1_hash array<double>, tmk binary")
+    out = video_similarity_join(probes, cands, "id", "id",
+                                gate=0.7, threshold=0.0)
+    rows = {r["cand_id"]: r for r in out.collect()}
+    assert rows[10]["score"] == 1.0 and rows[10]["l1_cosine"] == 1.0
+    assert 11 not in rows                      # L1 gate pruned it
+    assert 12 in rows and rows[12]["l1_cosine"] > 0.7

@@ -1,0 +1,98 @@
+"""Structured Streaming test: files land -> micro-batches run the
+identical pipeline -> output + metrics appended; restart picks up only
+new files (checkpointed exactly-once)."""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from alegre_spark.corpus import generate_corpus
+from alegre_spark.pipeline import PipelineConfig
+from alegre_spark.streaming import stream_quality_filter
+
+
+def test_stream_matches_batch(spark):
+    work = tempfile.mkdtemp()
+    inp = os.path.join(work, "incoming")
+    out = os.path.join(work, "out")
+    try:
+        files = generate_corpus(spark, 200, partitions=2)
+        files.write.mode("overwrite").parquet(inp)
+
+        q = stream_quality_filter(spark, inp, out,
+                                  PipelineConfig(salt_buckets=8))
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(f"{out}/filtered")
+        assert got.count() == 200
+        kept_stream = got.filter("keep").count()
+
+        # identical decisions to the batch pipeline
+        from alegre_spark.pipeline import run_pipeline
+        kept_batch = (run_pipeline(files, PipelineConfig(salt_buckets=8))
+                      .filter("keep").count())
+        assert kept_stream == kept_batch
+
+        m = spark.read.parquet(f"{out}/metrics")
+        assert m.agg(F.sum("input_rows")).first()[0] == 200
+        assert "batch_id" in m.columns
+
+        # restart with new files: only the delta is processed
+        generate_corpus(spark, 50, seed=99, partitions=1) \
+            .write.mode("append").parquet(inp)
+        q2 = stream_quality_filter(spark, inp, out,
+                                   PipelineConfig(salt_buckets=8))
+        q2.awaitTermination(120)
+        assert spark.read.parquet(f"{out}/filtered").count() == 250
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_normalize_ops(spark):
+    from alegre_spark.operators.normalize import (normalize_body,
+                                                  store_mode_projection,
+                                                  truncate_query)
+    df = spark.createDataFrame(
+        [("hello world", "m1", ["m2", "elasticsearch"], None),
+         ("   ", "m1", None, "2024-01-01")],
+        "text string, model string, models array<string>, "
+        "created_at string")
+    out = normalize_body(df, default_created_at="2024-06-01")
+    rows = out.collect()
+    assert len(rows) == 1                      # blank content rejected
+    r = rows[0]
+    assert r["content"] == "hello world"
+    assert sorted(r["models"]) == ["m1", "m2"]  # merged, ES dropped
+    assert r["created_at"] == "2024-06-01"
+
+    proj = store_mode_projection(out)
+    assert set(proj.columns) <= {"language", "content", "created_at",
+                                 "models", "context", "callback_url",
+                                 "content_hash"}
+
+    t = spark.createDataFrame([(" ".join(str(i) for i in range(50)),)],
+                              "q string")
+    short = t.select(truncate_query(F.col("q"), 10).alias("q")).first()
+    assert short["q"] == " ".join(str(i) for i in range(10))
+
+
+def test_fanout_and_merged_sort(spark):
+    from alegre_spark.operators.normalize import (merged_modality_sort,
+                                                  multi_model_fanout)
+    probes = spark.createDataFrame([(1,)], "id long")
+
+    def fake_search(p, model):
+        return spark.createDataFrame(
+            [(1, 10, 0.9 if model == "a" else 0.5)],
+            "probe_id long, cand_id long, score double")
+
+    out = multi_model_fanout(probes, ["a", "b"], fake_search)
+    assert out.count() == 2
+    assert set(r["model"] for r in out.collect()) == {"a", "b"}
+
+    a = spark.createDataFrame([(1, 0.3)], "id long, score double")
+    b = spark.createDataFrame([(2, 0.8)], "id long, score double")
+    merged = merged_modality_sort(a, b).collect()
+    assert [r["id"] for r in merged] == [2, 1]

@@ -1,0 +1,95 @@
+"""Plan-quality audit: assert the physical plans of the headline
+queries have the shapes a 100 TB run needs — pushed-down filters,
+broadcast joins for small sides, map-side partial aggregation,
+WindowGroupLimit top-k pushdown, and no Python UDFs outside the
+designated model stages.
+
+Usage: python tools/explain_audit.py  (exits 1 on any failed check)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+CHECKS = {
+    # query -> list of (must_contain, reason)
+    "q01_pricing_summary": [
+        ("partial_sum", "map-side partial aggregation"),
+        ("FileScan parquet [l_quantity", "column pruning at the scan"),
+    ],
+    "q03_nation_order_stats": [
+        ("BroadcastHashJoin", "dims broadcast, no shuffle join"),
+        ("partial_count", "partial aggregation"),
+    ],
+    "q04_customers_without_orders": [
+        ("BroadcastHashJoin", "anti join broadcasts the key side"),
+        ("LeftAnti", "anti-join, not a filter over a collect"),
+    ],
+    "q09_token_overlap_join": [
+        ("BroadcastHashJoin", "probe token list broadcast"),
+        ("doc_id", "probe filter pushed toward the scan"),
+        ("partial_count", "overlap count partial agg"),
+    ],
+    "q02_top_orders_per_cust": [
+        ("WindowGroupLimit", "top-k pushed below the exchange"),
+    ],
+    "q14_cosine_topk": [
+        ("WindowGroupLimit", "per-probe top-k pushdown"),
+        ("BroadcastNestedLoopJoin", "probe side broadcast"),
+    ],
+    "q08_global_topk": [
+        ("TakeOrderedAndProject", "global top-k without full sort"),
+    ],
+    "q23_minhash_xxhash": [
+        ("xxhash64", "JVM-side hashing (no Python)"),
+        ("partial_min", "signature mins partial-aggregated"),
+    ],
+}
+
+FORBIDDEN = {
+    # queries that must contain NO Python evaluation nodes
+    "q01_pricing_summary": ["ArrowEvalPython", "BatchEvalPython",
+                            "MapInPandas"],
+    "q02_top_orders_per_cust": ["ArrowEvalPython", "BatchEvalPython",
+                                "MapInPandas"],
+    "q09_token_overlap_join": ["ArrowEvalPython", "BatchEvalPython",
+                               "MapInPandas"],
+    "q14_cosine_topk": ["ArrowEvalPython", "BatchEvalPython",
+                        "MapInPandas"],
+    "q23_minhash_xxhash": ["ArrowEvalPython", "BatchEvalPython",
+                           "MapInPandas"],
+}
+
+
+def main():
+    from alegre_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+    qs = e.queries()
+    failed = 0
+    for name, rules in CHECKS.items():
+        plan = qs[name](spark, sf)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for needle, reason in rules:
+            ok = needle in plan
+            print(f"{'OK  ' if ok else 'FAIL'} {name}: "
+                  f"{needle!r} ({reason})")
+            failed += not ok
+        for needle in FORBIDDEN.get(name, []):
+            ok = needle not in plan
+            print(f"{'OK  ' if ok else 'FAIL'} {name}: no {needle}")
+            failed += not ok
+    spark.stop()
+    if failed:
+        print(f"{failed} plan checks FAILED")
+        sys.exit(1)
+    print("ALL PLAN CHECKS OK")
+
+
+if __name__ == "__main__":
+    main()
