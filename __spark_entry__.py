@@ -365,6 +365,18 @@ def q29_angular_similarity(spark, sf):
                     .alias("angular")))
 
 
+def q30_lexical_search(spark, sf):
+    """J1 with the full reference search semantics: analyzed tokens +
+    Lucene floor-percentage minimum_should_match."""
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search
+    d = _t(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") < 5)
+    out = lexical_similarity_search(probes, d, "doc_id", "doc_id",
+                                    "text", "text", threshold=0.7)
+    return out.withColumn("score", F.round("score", 4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -395,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_json_props": q27_json_props,
         "q28_query_truncation": q28_query_truncation,
         "q29_angular_similarity": q29_angular_similarity,
+        "q30_lexical_search": q30_lexical_search,
     }
 
 
@@ -613,6 +626,27 @@ def oracle_sql() -> dict[str, str]:
                        1))) / pi(), 4) AS angular
             FROM embeddings a JOIN embeddings b
               ON b.vec_id = a.vec_id + 1
+        """,
+        "q30_lexical_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text),
+                         '[\pL]+|[\pN]+(?:\.[\pN]+)?')) AS t
+              FROM documents),
+            p AS (SELECT doc_id AS probe_id, unnest(t) AS token,
+                         len(t) AS probe_tokens
+                  FROM toks WHERE doc_id < 5),
+            c AS (SELECT doc_id AS cand_id, unnest(t) AS token FROM toks),
+            agg AS (SELECT probe_id, cand_id,
+                           any_value(probe_tokens) AS probe_tokens,
+                           COUNT(*) AS overlap
+                    FROM p JOIN c USING (token)
+                    GROUP BY probe_id, cand_id)
+            SELECT probe_id, cand_id, overlap,
+                   CAST(probe_tokens AS INTEGER) AS probe_tokens,
+                   ROUND(overlap * 1.0 / probe_tokens, 4) AS score
+            FROM agg
+            WHERE overlap >= GREATEST(FLOOR(0.7 * probe_tokens), 1)
         """,
         "q21_dedup_keep_first": f"""
             WITH {_TOKS_CTE},

@@ -78,6 +78,51 @@ def truncate_query(col, max_clauses: int = MAX_CLAUSE_COUNT,
     return F.array_join(F.slice(toks, 1, n), " ")
 
 
+def strip_vectors(df: DataFrame) -> DataFrame:
+    """P3: drop all vector_* columns from results
+    (`text_similarity.py:201-206`)."""
+    return df.drop(*[c for c in df.columns if c.startswith("vector_")])
+
+
+def restrict_results(df: DataFrame, min_score: float,
+                     score_col: str = "score") -> DataFrame:
+    """P5: min-score post-filter (`restrict_results`,
+    `text_similarity.py:208-231`; default 0.0 passes everything)."""
+    return df.filter(F.col(score_col) > F.lit(min_score))
+
+
+def flatten_source(df: DataFrame, source_col: str = "source",
+                   keep: Sequence[str] = ("id", "index", "score")
+                   ) -> DataFrame:
+    """P4: lift the nested source struct to the root, keeping the
+    envelope fields (`return_sources`, `text_similarity.py:191-199`)."""
+    keep_cols = [F.col(c) for c in keep if c in df.columns]
+    return df.select(F.col(f"{source_col}.*"), *keep_cols)
+
+
+def supported_language_route(lang_col, supported: Sequence[str]):
+    """L7: language routes to its per-language index only when
+    supported, else the default route (NULL) —
+    `text_similarity.py:252-264`, `elasticsearch.py:121-131`."""
+    return F.when(lang_col.isin(list(supported)), lang_col) \
+            .otherwise(F.lit(None).cast("string"))
+
+
+def polygon_area(vertices_col):
+    """F13/A4: shoelace polygon area over array<struct<x:double,
+    y:double>> (`image_ocr_controller.py:21-28`) — pure higher-order
+    aggregate, no UDF. Used in the reference for OCR text-area ratios.
+    """
+    n = F.size(vertices_col)
+    idx = F.sequence(F.lit(0), n - 1)
+    cross = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc +
+        (vertices_col[i]["x"] * vertices_col[(i + 1) % n]["y"] -
+         vertices_col[(i + 1) % n]["x"] * vertices_col[i]["y"]))
+    return F.abs(cross) / 2.0
+
+
 def multi_model_fanout(probes: DataFrame, models: Sequence[str],
                        search_fn: Callable[[DataFrame, str], DataFrame]
                        ) -> DataFrame:

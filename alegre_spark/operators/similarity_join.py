@@ -79,6 +79,66 @@ def token_overlap_join(
                     "score"))
 
 
+def tokenize_analyzed(col: Column) -> Column:
+    """Standard-analyzer-style tokens: lowercase, split on punctuation,
+    keep decimal numbers whole ('4.5'), distinct. Approximates the ES
+    default analysis chain used by the reference's `alegre_similarity`
+    index (full Lucene parity out of scope — SURVEY.md §4.3)."""
+    return F.array_distinct(F.regexp_extract_all(
+        F.lower(col), F.lit(r"[\p{L}]+|[\p{N}]+(?:\.[\p{N}]+)?"), 0))
+
+
+def min_should_match(n_tokens: Column, threshold: float) -> Column:
+    """Lucene percentage minimum_should_match: floor(pct * n), at least
+    1 (ES `minimum_should_match = round(threshold*100)%`,
+    `text_similarity.py:137-141`)."""
+    return F.greatest(F.floor(F.lit(threshold) * n_tokens).cast("int"),
+                      F.lit(1))
+
+
+def lexical_similarity_search(
+    probes: DataFrame, candidates: DataFrame,
+    probe_id: str, cand_id: str,
+    probe_text: str = "content", cand_text: str = "content",
+    threshold: float = 0.9,
+    context_query: dict | None = None,
+    contexts_col: str = "contexts",
+) -> DataFrame:
+    """J1 with the reference's full search semantics: analyzed tokens,
+    context containment pre-filter (P6), floor-percentage
+    minimum_should_match, score = overlap/probe_tokens.
+
+    Reproduces the `test_similarity.py:37-163` golden counts (see
+    tests/test_similarity_fixture.py)."""
+    cands = candidates
+    if context_query is not None:
+        from .context import context_contains
+        cands = cands.filter(
+            context_contains(F.col(contexts_col), context_query))
+
+    p = (probes
+         .select(F.col(probe_id).alias("probe_id"),
+                 tokenize_analyzed(F.col(probe_text)).alias("_ptoks"))
+         .withColumn("probe_tokens", F.size("_ptoks"))
+         .filter(F.col("probe_tokens") > 0))
+    c = cands.select(F.col(cand_id).alias("cand_id"),
+                     tokenize_analyzed(F.col(cand_text)).alias("_ctoks"))
+
+    p_tok = F.broadcast(p.select("probe_id", "probe_tokens",
+                                 F.explode("_ptoks").alias("token")))
+    c_tok = c.select("cand_id", F.explode("_ctoks").alias("token"))
+    agg = (p_tok.join(c_tok, "token")
+           .groupBy("probe_id", "cand_id", "probe_tokens")
+           .agg(F.count("*").alias("overlap")))
+    return (agg.filter(F.col("overlap") >=
+                       min_should_match(F.col("probe_tokens"), threshold))
+            .withColumn("score",
+                        F.col("overlap") /
+                        F.col("probe_tokens").cast("double"))
+            .select("probe_id", "cand_id", "overlap", "probe_tokens",
+                    "score"))
+
+
 def cosine_join(
     probes: DataFrame, candidates: DataFrame,
     probe_id: str, cand_id: str,

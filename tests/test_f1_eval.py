@@ -1,0 +1,62 @@
+"""Keep/drop F1 + scrub equality against construction-derived labels
+(the BASELINE.json headline metric, small-scale pytest form; the full
+20k-row run is tools/f1_eval.py)."""
+
+from pyspark.sql import functions as F
+
+from alegre_spark.corpus import generate_labeled
+from alegre_spark.pipeline import PipelineConfig, run_pipeline
+
+
+def test_keep_drop_f1_and_scrub_equality(spark):
+    labeled = generate_labeled(spark, 2000)
+    ann = run_pipeline(labeled, PipelineConfig(salt_buckets=16))
+    agg = ann.agg(
+        F.sum((F.col("keep") & (F.col("expected_keep") == "keep"))
+              .cast("long")).alias("tp"),
+        F.sum((F.col("keep") & (F.col("expected_keep") == "drop"))
+              .cast("long")).alias("fp"),
+        F.sum((~F.col("keep") & (F.col("expected_keep") == "keep"))
+              .cast("long")).alias("fn"),
+        F.sum((F.col("scrubbed_content") == F.col("expected_scrubbed"))
+              .cast("long")).alias("scrub_exact"),
+        F.count("*").alias("n")).first()
+    tp, fp, fn = agg["tp"], agg["fp"], agg["fn"]
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (tp, fp, fn)
+    assert agg["scrub_exact"] / agg["n"] >= 0.99
+
+
+def test_small_parity_ops(spark):
+    from alegre_spark.operators.normalize import (flatten_source,
+                                                  polygon_area,
+                                                  restrict_results,
+                                                  strip_vectors,
+                                                  supported_language_route)
+    df = spark.createDataFrame(
+        [(1, 0.5, [0.1], [0.2])],
+        "id long, score double, vector_a array<double>, "
+        "vector_b array<double>")
+    assert strip_vectors(df).columns == ["id", "score"]
+    assert restrict_results(df, 0.4).count() == 1
+    assert restrict_results(df, 0.5).count() == 0  # strict >
+
+    nested = spark.createDataFrame(
+        [((1, "x"), 0.9)],
+        "source struct<sid:long, content:string>, score double")
+    flat = flatten_source(nested, keep=("score",))
+    assert set(flat.columns) == {"sid", "content", "score"}
+
+    from alegre_spark.functions.langid import SUPPORTED_LANGUAGES
+    langs = spark.createDataFrame([("hi",), ("ha",)], "lang string")
+    routed = langs.select(supported_language_route(
+        F.col("lang"), SUPPORTED_LANGUAGES).alias("r")).collect()
+    assert routed[0]["r"] == "hi" and routed[1]["r"] is None
+
+    # unit square -> area 1 (shoelace, `image_ocr_controller.py:21-28`)
+    sq = spark.createDataFrame(
+        [([{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0},
+           {"x": 1.0, "y": 1.0}, {"x": 0.0, "y": 1.0}],)],
+        "poly array<struct<x:double,y:double>>")
+    area = sq.select(polygon_area(F.col("poly")).alias("a")).first()["a"]
+    assert abs(area - 1.0) < 1e-12

@@ -1,0 +1,89 @@
+"""Reference similarity-corpus golden tests.
+
+Reproduces `app/test/test_similarity.py:37-163` keep/drop counts with
+the Spark lexical search operator over the reference's own 8-document
+fixture (`app/test/data/similarity.json`, read from the read-only
+checkout at test time; skipped if absent). The reference executes
+these through OpenSearch BM25; our semantics are analyzed-token
+overlap with Lucene's floor-percentage minimum_should_match and the
+same context containment rules — the golden COUNTS are the parity
+contract (FIXTURES.md §3)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.similarity_join import lexical_similarity_search
+
+FIXTURE = "/root/reference/app/test/data/similarity.json"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not available")
+    docs = json.load(open(FIXTURE))
+    rows = []
+    for i, d in enumerate(docs):
+        ctx = {k: (",".join(map(str, v)) if isinstance(v, list) else str(v))
+               for k, v in d["context"].items()}
+        # list-valued context entries are exploded into one entry per
+        # value (OR-within-list semantics, `elasticsearch.py:46-65`)
+        entries = [ctx]
+        for k, v in d["context"].items():
+            if isinstance(v, list):
+                entries = [dict(e, **{k: str(x)}) for e in entries
+                           for x in v]
+        rows.append((i, d["content"], entries))
+    return spark.createDataFrame(
+        rows, "doc_id long, content string, "
+              "contexts array<map<string,string>>")
+
+
+def _search(spark, corpus, text, context, threshold=0.9):
+    probes = spark.createDataFrame([(0, text)],
+                                   "doc_id long, content string")
+    return lexical_similarity_search(
+        probes, corpus, "doc_id", "doc_id", threshold=threshold,
+        context_query=context).count()
+
+
+# (text, context, threshold, expected_count) — verbatim from
+# `test_similarity.py:48-163`; threshold defaults to 0.9
+# (`text_similarity.py:104`) when the request omits it.
+GOLDEN = [
+    ("this is a test", {"dbid": 123}, 0.0, 4),
+    ("something different", {"dbid": 123}, 0.9, 1),
+    ("this is a test", {"dbid": 12, "app": "check"}, 0.0, 1),
+    ("this is a test", {"dbid": [12, 13], "app": "check"}, 0.0, 1),
+    ("this is a test", {"dbid": [13], "app": "check"}, 0.0, 0),
+    ("this is a test", {"dbid": [15], "app": "check"}, 0.0, 1),
+    ("this is a test", {"dbid": 15, "app": "check"}, 0.0, 1),
+]
+
+
+@pytest.mark.parametrize("text,context,threshold,expected", GOLDEN)
+def test_golden_counts(spark, corpus, text, context, threshold, expected):
+    assert _search(spark, corpus, text, context, threshold) == expected
+
+
+def test_quake_threshold_07_multiple_results(spark, corpus):
+    # `test_similarity.py:152-163`: > 1 results at threshold 0.7
+    n = _search(spark, corpus,
+                "Magnitude 4.5 quake strikes near Fort St. John",
+                {"dbid": 123}, 0.7)
+    assert n > 1
+
+
+def test_scores_ordered_and_bounded(spark, corpus):
+    probes = spark.createDataFrame(
+        [(0, "this is a test")], "doc_id long, content string")
+    rows = lexical_similarity_search(
+        probes, corpus, "doc_id", "doc_id", threshold=0.0,
+        context_query={"dbid": 123}).collect()
+    assert all(0 < r["score"] <= 1.0 for r in rows)
+    # the identical doc scores 1.0
+    best = max(rows, key=lambda r: r["score"])
+    assert best["score"] == 1.0 and best["cand_id"] == 0

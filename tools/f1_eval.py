@@ -1,0 +1,66 @@
+"""Keep/drop F1 + scrub-equality evaluation (the BASELINE.json metric:
+F1 >= 0.99 vs reference-derived labels; scrubbed-output equality).
+
+Labels come from the corpus generator's CONSTRUCTION (which branch
+emitted each row), never from engine code — see
+`alegre_spark.corpus.generate_labeled_rows`. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+N = 20000
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from alegre_spark.corpus import generate_labeled
+    from alegre_spark.pipeline import PipelineConfig, run_pipeline
+    from alegre_spark.session import get_spark
+
+    spark = get_spark(app_name="f1-eval", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    labeled = generate_labeled(spark, N).persist()
+    ann = run_pipeline(labeled, PipelineConfig(salt_buckets=64))
+
+    agg = ann.agg(
+        F.sum(((F.col("keep")) & (F.col("expected_keep") == "keep"))
+              .cast("long")).alias("tp"),
+        F.sum(((F.col("keep")) & (F.col("expected_keep") == "drop"))
+              .cast("long")).alias("fp"),
+        F.sum(((~F.col("keep")) & (F.col("expected_keep") == "keep"))
+              .cast("long")).alias("fn"),
+        F.sum(((~F.col("keep")) & (F.col("expected_keep") == "drop"))
+              .cast("long")).alias("tn"),
+        F.sum((F.col("scrubbed_content") == F.col("expected_scrubbed"))
+              .cast("long")).alias("scrub_exact"),
+        F.count("*").alias("n"),
+    ).first()
+
+    tp, fp, fn = agg["tp"], agg["fp"], agg["fn"]
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    # scrub equality is only defined on rows the generator labeled
+    # (drop-family rows keep their raw content as the 'expected')
+    scrub_rate = agg["scrub_exact"] / agg["n"]
+
+    print(json.dumps({
+        "n": agg["n"], "tp": tp, "fp": fp, "fn": fn, "tn": agg["tn"],
+        "precision": round(precision, 5), "recall": round(recall, 5),
+        "keep_drop_f1": round(f1, 5),
+        "scrub_exact_match_rate": round(scrub_rate, 5),
+        "target_f1": 0.99, "pass": f1 >= 0.99 and scrub_rate >= 0.99,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
