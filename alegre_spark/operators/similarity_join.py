@@ -103,10 +103,17 @@ def lexical_similarity_search(
     threshold: float = 0.9,
     context_query: dict | None = None,
     contexts_col: str = "contexts",
+    fuzzy: bool = False,
 ) -> DataFrame:
     """J1 with the reference's full search semantics: analyzed tokens,
     context containment pre-filter (P6), floor-percentage
     minimum_should_match, score = overlap/probe_tokens.
+
+    fuzzy=True mirrors `fuzziness: AUTO` (`text_similarity.py:144-146`;
+    Lucene AUTO:3,6 — edit distance 0/1/2 by term length): the token
+    equi-join becomes a first-char-blocked join filtered on
+    levenshtein() (JVM built-in), and overlap counts DISTINCT matched
+    probe terms, exactly like clause counting in minimum_should_match.
 
     Reproduces the `test_similarity.py:37-163` golden counts (see
     tests/test_similarity_fixture.py)."""
@@ -125,11 +132,26 @@ def lexical_similarity_search(
                      tokenize_analyzed(F.col(cand_text)).alias("_ctoks"))
 
     p_tok = F.broadcast(p.select("probe_id", "probe_tokens",
-                                 F.explode("_ptoks").alias("token")))
-    c_tok = c.select("cand_id", F.explode("_ctoks").alias("token"))
-    agg = (p_tok.join(c_tok, "token")
-           .groupBy("probe_id", "cand_id", "probe_tokens")
-           .agg(F.count("*").alias("overlap")))
+                                 F.explode("_ptoks").alias("ptoken")))
+    c_tok = c.select("cand_id", F.explode("_ctoks").alias("ctoken"))
+    if fuzzy:
+        # Lucene AUTO:3,6 — max edits 0 (<3 chars), 1 (3-5), 2 (>=6)
+        max_edits = (
+            F.when(F.length("ptoken") < 3, F.lit(0))
+             .when(F.length("ptoken") < 6, F.lit(1)).otherwise(F.lit(2)))
+        joined = (p_tok
+                  .withColumn("block", F.substring("ptoken", 1, 1))
+                  .join(c_tok.withColumn("block",
+                                         F.substring("ctoken", 1, 1)),
+                        "block")
+                  .filter(F.levenshtein("ptoken", "ctoken") <= max_edits))
+        agg = (joined.groupBy("probe_id", "cand_id", "probe_tokens")
+               .agg(F.countDistinct("ptoken").alias("overlap")))
+    else:
+        agg = (p_tok.join(c_tok,
+                          F.col("ptoken") == F.col("ctoken"))
+               .groupBy("probe_id", "cand_id", "probe_tokens")
+               .agg(F.count("*").alias("overlap")))
     return (agg.filter(F.col("overlap") >=
                        min_should_match(F.col("probe_tokens"), threshold))
             .withColumn("score",

@@ -77,6 +77,27 @@ def test_quake_threshold_07_multiple_results(spark, corpus):
     assert n > 1
 
 
+def test_fuzzy_scores_higher_for_misspelling(spark):
+    """`test_similarity.py:334-348`: fuzzy=True top-1 score for the
+    misspelled probe exceeds the non-fuzzy score; fuzzy=False is
+    deterministic across repeats."""
+    stored = spark.createDataFrame(
+        [(1, "what even is a banana")], "doc_id long, content string")
+    probe = spark.createDataFrame(
+        [(0, "what even is a bananna")], "doc_id long, content string")
+
+    def top1(fuzzy):
+        rows = lexical_similarity_search(
+            probe, stored, "doc_id", "doc_id", threshold=0.0,
+            fuzzy=fuzzy).collect()
+        return max(r["score"] for r in rows)
+
+    plain1, fuzzy1, plain2 = top1(False), top1(True), top1(False)
+    assert fuzzy1 > plain1           # bananna~banana matched via fuzz
+    assert plain1 == plain2          # non-fuzzy deterministic
+    assert fuzzy1 == 1.0 and plain1 == 0.8
+
+
 def test_scores_ordered_and_bounded(spark, corpus):
     probes = spark.createDataFrame(
         [(0, "this is a test")], "doc_id long, content string")
