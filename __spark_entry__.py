@@ -377,6 +377,273 @@ def q30_lexical_search(spark, sf):
     return out.withColumn("score", F.round("score", 4))
 
 
+def q31_context_containment(spark, sf):
+    """P6/P7 context containment: AND across keys, OR within list
+    values, ignored keys skipped (`elasticsearch.py:46-65`,
+    `similarity_helpers.py:29-65`). Contexts derived deterministically
+    from columns so the oracle can state the expected predicate."""
+    from alegre_spark.operators.context import context_contains
+    d = _t(spark, sf, "documents")
+    ctxs = F.array(
+        F.create_map(F.lit("team"), F.col("lang"),
+                     F.lit("source"), F.col("source")),
+        F.create_map(F.lit("team"), F.lit("all")))
+    query = {"team": ["en", "fr"], "source": "src1",
+             "project_media_id": "99"}  # ignored key exercised
+    return (d.withColumn("contexts", ctxs)
+            .filter(context_contains(F.col("contexts"), query))
+            .select("doc_id", "lang", "source"))
+
+
+def q32_context_merge_lists(spark, sf):
+    """A2 dedup-union of context dicts (`helpers.py:1-14`) via the
+    canonical-JSON aggregate fold (no UDF)."""
+    from alegre_spark.operators.context import merge_context_lists
+    d = _t(spark, sf, "documents")
+    a = F.array(F.create_map(F.lit("g"), F.col("lang")),
+                F.create_map(F.lit("g"), F.col("source")))
+    b = F.array(F.create_map(F.lit("g"), F.col("source")),
+                F.create_map(F.lit("g"), F.lit("en")))
+    merged = merge_context_lists(a, b)
+    return d.select(
+        "doc_id",
+        F.size(merged).alias("n_ctx"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(
+            F.transform(merged, lambda e: e["g"])))).alias("gvals"))
+
+
+def q33_context_peel_delete(spark, sf):
+    """S8 delete-with-context-peel, bulk form: peel {src: backup} from
+    source=src1 docs; rows whose contexts empty are deleted."""
+    from alegre_spark.operators.context import peel_contexts_where
+    d = _t(spark, sf, "documents")
+    ctxs = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.array(F.create_map(F.lit("src"), F.lit("backup")))
+    ).otherwise(
+        F.array(F.create_map(F.lit("src"), F.col("source")),
+                F.create_map(F.lit("src"), F.lit("backup"))))
+    out = peel_contexts_where(d.withColumn("contexts", ctxs),
+                              F.col("source") == "src1",
+                              "contexts", {"src": "backup"})
+    return out.select("doc_id", F.size("contexts").alias("n_ctx"))
+
+
+def q34_normalize_body(spark, sf):
+    """P1 body normalization: text->content, model|models merge (drop
+    'elasticsearch'), created_at/language defaults, blank rejection."""
+    from alegre_spark.operators.normalize import normalize_body
+    d = _t(spark, sf, "documents")
+    raw = d.select(
+        "doc_id", "text",
+        F.col("source").alias("model"),
+        F.array(F.col("lang"), F.lit("elasticsearch")).alias("models"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit(None).cast("string"))
+         .otherwise(F.lit("2020-01-01")).alias("created_at"))
+    out = normalize_body(raw, default_created_at="2024-01-01",
+                         default_language="xx")
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", "models").alias("models_joined"),
+        "created_at", "language",
+        F.length("content").cast("int").alias("content_len"))
+
+
+def q35_rolling_fingerprint(spark, sf):
+    """Winnowing-style rolling-hash document fingerprint (min of md5
+    over all 8-char windows of the 200-char prefix) — pure codegen."""
+    from alegre_spark.operators.dedup import rolling_fingerprint
+    d = _t(spark, sf, "documents")
+    pre = d.select("doc_id", F.substring("text", 1, 200).alias("text"))
+    return rolling_fingerprint(pre, "doc_id", "text", window=8)
+
+
+def q36_polygon_area(spark, sf):
+    """F13/A4 shoelace polygon area (`image_ocr_controller.py:21-28`)
+    over quadrilaterals derived from embedding dims 0..7."""
+    from alegre_spark.operators.normalize import polygon_area
+    e = _t(spark, sf, "embeddings")
+    pt = lambda i: F.struct(
+        F.col("embedding")[i].cast("double").alias("x"),
+        F.col("embedding")[i + 1].cast("double").alias("y"))
+    verts = F.array(pt(0), pt(2), pt(4), pt(6))
+    return e.select("vec_id",
+                    F.round(polygon_area(verts), 4).alias("area"))
+
+
+def q37_language_route(spark, sf):
+    """L7 supported-language routing (`text_similarity.py:252-264`):
+    unsupported detected languages fall back to the default (NULL)
+    index route."""
+    from alegre_spark.operators.normalize import supported_language_route
+    supported = ["en", "pt", "es", "hi", "bn", "pt-br", "ar", "fr",
+                 "de", "cjk", "id"]  # `language_analyzers.py:4`
+    d = _t(spark, sf, "documents")
+    return (d.withColumn(
+                "route",
+                supported_language_route(F.col("lang"), supported))
+            .groupBy("route").agg(F.count("*").alias("n_docs")))
+
+
+def q38_multi_model_fanout(spark, sf):
+    """J3 multi-model fan-out union (`text_similarity.py:85-100`):
+    the same probe set searched once per model, results tagged."""
+    from alegre_spark.operators.normalize import multi_model_fanout
+    from alegre_spark.operators.similarity_join import token_overlap_join
+    d = _t(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") < 3)
+    thresholds = {"m60": 0.6, "m80": 0.8}
+
+    def search(p, model):
+        return token_overlap_join(p, d, "doc_id", "doc_id",
+                                  "text", "text",
+                                  threshold=thresholds[model])
+
+    out = multi_model_fanout(probes, ["m60", "m80"], search)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def q39_best_match_merged(spark, sf):
+    """W2 merged-modality re-sort + W3 best-match pick: union two
+    scored modality result sets, keep top-1 per probe."""
+    from alegre_spark.operators.normalize import merged_modality_sort
+    from alegre_spark.operators.topk import best_match_per_group
+    d = _t(spark, sf, "documents")
+    a = d.select((F.col("doc_id") % 50).alias("probe_id"), "doc_id",
+                 F.lit("audio").alias("modality"),
+                 F.round((F.col("doc_id") * 37 % 97) / 97.0, 6)
+                 .alias("score"))
+    b = d.select((F.col("doc_id") % 50).alias("probe_id"), "doc_id",
+                 F.lit("video").alias("modality"),
+                 F.round((F.col("doc_id") * 61 % 89) / 89.0, 6)
+                 .alias("score"))
+    merged = merged_modality_sort(a, b)
+    return best_match_per_group(
+        merged, ["probe_id"],
+        [F.desc("score"), F.asc("modality"), F.asc("doc_id")])
+
+
+def q40_split_existing_new(spark, sf):
+    """J9 semi/anti routing of incoming docs into update-existing vs
+    create-new (`bulk_update_similarity_controller.py:52-64`)."""
+    from alegre_spark.operators.merge import split_existing_new
+    d = _t(spark, sf, "documents")
+    existing = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    upd, new = split_existing_new(d.select("doc_id", "lang"),
+                                  existing, "doc_id")
+    return (upd.withColumn("status", F.lit("existing"))
+            .unionByName(new.withColumn("status", F.lit("new"))))
+
+
+def q41_fuzzy_search(spark, sf):
+    """J1 with fuzziness AUTO (`text_similarity.py:144-146`): the token
+    join becomes first-char-blocked + levenshtein(<=0/1/2 by length),
+    overlap counts distinct matched probe terms."""
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search
+    d = _t(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") < 3)
+    out = lexical_similarity_search(probes, d, "doc_id", "doc_id",
+                                    "text", "text", threshold=0.5,
+                                    fuzzy=True)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def q42_audio_chromaprint(spark, sf):
+    """J6 audio chromaprint join (rows-only): +-20%% length gate
+    JVM-side, sliding XOR-popcount correlation in one Arrow pass."""
+    from alegre_spark.operators.media_match import audio_similarity_join
+    d = _t(spark, sf, "documents")
+    fp = F.transform(
+        F.sequence(F.lit(1), F.lit(24) + (F.col("doc_id") % 8).cast("int")),
+        lambda i: ((F.col("doc_id") + 1) * F.lit(2654435761) +
+                   i.cast("bigint") * F.lit(2246822519)) %
+        F.lit(4294967296))
+    fps = d.select("doc_id", fp.alias("chromaprint"))
+    probes = fps.filter(F.col("doc_id") < 3)
+    out = audio_similarity_join(probes, fps, "doc_id", "doc_id",
+                                threshold=0.5)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def q43_video_two_stage(spark, sf):
+    """J7 video two-stage match (rows-only): cheap L1 cosine gate in
+    Catalyst, then the TMK-refine UDF on survivors only."""
+    from alegre_spark.operators.media_match import video_similarity_join
+    e = _t(spark, sf, "embeddings")
+    vids = e.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+        .alias("l1_hash"),
+        F.encode(F.sha2(F.col("vec_id").cast("string"), 256), "utf-8")
+        .alias("tmk"))
+    probes = vids.filter(F.col("vec_id") < 3)
+    out = video_similarity_join(probes, vids, "vec_id", "vec_id",
+                                gate=0.2, threshold=0.0)
+    return (out.withColumn("l1_cosine", F.round("l1_cosine", 4))
+            .withColumn("score", F.round("score", 6)))
+
+
+def q44_image_phash_pipeline(spark, sf):
+    """Multimodal plumbing (rows-only): binary media column -> stubbed
+    decode -> phash64 (mapInPandas) -> J4 hamming self-join."""
+    from alegre_spark.functions.multimodal import with_image_phash
+    from alegre_spark.operators.similarity_join import hamming_join
+    d = _t(spark, sf, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    hashed = with_image_phash(media).select("doc_id", "phash")
+    probes = hashed.filter(F.col("doc_id") < 3)
+    out = hamming_join(probes, hashed, "doc_id", "doc_id",
+                       threshold=0.75)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def q45_streaming_quality(spark, sf):
+    """Structured Streaming face (rows-only): availableNow file stream
+    -> identical run_pipeline per micro-batch -> parquet sink; returns
+    the decision rollup read back from the sink."""
+    import shutil
+    import tempfile
+
+    from alegre_spark.corpus import documents_as_files
+    from alegre_spark.streaming import stream_quality_filter
+
+    tmp = tempfile.mkdtemp(prefix="alegre_stream_")
+    try:
+        in_dir, out_dir = f"{tmp}/in", f"{tmp}/out"
+        documents_as_files(spark, sf).write.parquet(in_dir)
+        q = stream_quality_filter(spark, in_dir, out_dir)
+        q.awaitTermination()
+        out = spark.read.parquet(f"{out_dir}/filtered")
+        return (out.groupBy("keep", "drop_reason")
+                .agg(F.count("*").alias("n"))
+                .orderBy("keep", "drop_reason")
+                .localCheckpoint())  # materialize before tmp cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q46_components_oracle(spark, sf):
+    """A5 connected components (iterative min-label propagation) with
+    an oracle: components over exact-dup edges equal the dup groups."""
+    from alegre_spark.operators.components import clusters
+    d = _t(spark, sf, "documents")
+    key = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))))
+    keyed = d.select("doc_id", key.alias("k"))
+    edges = (keyed.alias("a").join(keyed.alias("b"), "k")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("src"),
+                     F.col("b.doc_id").alias("dst")))
+    out = clusters(edges)
+    return out.select(
+        "component",
+        F.col("size").cast("int").alias("size"),
+        F.concat_ws(",", F.transform(F.col("nodes"),
+                                     lambda n: n.cast("string")))
+        .alias("nodes_csv"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -408,6 +675,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_query_truncation": q28_query_truncation,
         "q29_angular_similarity": q29_angular_similarity,
         "q30_lexical_search": q30_lexical_search,
+        "q31_context_containment": q31_context_containment,
+        "q32_context_merge_lists": q32_context_merge_lists,
+        "q33_context_peel_delete": q33_context_peel_delete,
+        "q34_normalize_body": q34_normalize_body,
+        "q35_rolling_fingerprint": q35_rolling_fingerprint,
+        "q36_polygon_area": q36_polygon_area,
+        "q37_language_route": q37_language_route,
+        "q38_multi_model_fanout": q38_multi_model_fanout,
+        "q39_best_match_merged": q39_best_match_merged,
+        "q40_split_existing_new": q40_split_existing_new,
+        "q41_fuzzy_search": q41_fuzzy_search,
+        "q42_audio_chromaprint": q42_audio_chromaprint,
+        "q43_video_two_stage": q43_video_two_stage,
+        "q44_image_phash_pipeline": q44_image_phash_pipeline,
+        "q45_streaming_quality": q45_streaming_quality,
+        "q46_components_oracle": q46_components_oracle,
     }
 
 
@@ -647,6 +930,153 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(overlap * 1.0 / probe_tokens, 4) AS score
             FROM agg
             WHERE overlap >= GREATEST(FLOOR(0.7 * probe_tokens), 1)
+        """,
+        "q31_context_containment": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE lang IN ('en', 'fr') AND source = 'src1'
+        """,
+        "q32_context_merge_lists": """
+            SELECT doc_id,
+                   CAST(CASE WHEN lang = 'en' THEN 2 ELSE 3 END
+                        AS INTEGER) AS n_ctx,
+                   array_to_string(list_sort(list_distinct(
+                       [lang, source, 'en'])), ',') AS gvals
+            FROM documents
+        """,
+        "q33_context_peel_delete": """
+            SELECT doc_id,
+                   CAST(CASE WHEN source = 'src1' THEN 1
+                             WHEN doc_id % 10 = 0 THEN 1
+                             ELSE 2 END AS INTEGER) AS n_ctx
+            FROM documents
+            WHERE NOT (source = 'src1' AND doc_id % 10 = 0)
+        """,
+        "q34_normalize_body": """
+            SELECT doc_id,
+                   lang || ',' || source AS models_joined,
+                   CASE WHEN doc_id % 2 = 1 THEN '2024-01-01'
+                        ELSE '2020-01-01' END AS created_at,
+                   'xx' AS language,
+                   CAST(length(text) AS INTEGER) AS content_len
+            FROM documents WHERE trim(text) <> ''
+        """,
+        "q35_rolling_fingerprint": """
+            WITH pre AS (SELECT doc_id, substring(text, 1, 200) AS text
+                         FROM documents)
+            SELECT doc_id AS id,
+                   list_min([md5(substring(text, CAST(i AS INTEGER), 8))
+                             for i in generate_series(
+                                 1, greatest(length(text) - 7, 1))])
+                       AS fingerprint,
+                   CAST(greatest(length(text) - 7, 1) AS INTEGER)
+                       AS n_windows
+            FROM pre
+        """,
+        "q36_polygon_area": """
+            WITH e AS (SELECT vec_id,
+                              [CAST(x AS DOUBLE) for x in embedding] AS v
+                       FROM embeddings)
+            SELECT vec_id,
+                   ROUND(ABS((v[1]*v[4] - v[3]*v[2]) +
+                             (v[3]*v[6] - v[5]*v[4]) +
+                             (v[5]*v[8] - v[7]*v[6]) +
+                             (v[7]*v[2] - v[1]*v[8])) / 2.0, 4) AS area
+            FROM e
+        """,
+        "q37_language_route": """
+            SELECT CASE WHEN lang IN ('en','pt','es','hi','bn','pt-br',
+                                      'ar','fr','de','cjk','id')
+                        THEN lang END AS route,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "q38_multi_model_fanout": f"""
+            WITH {_TOKS_CTE},
+            dt AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+            p AS (SELECT doc_id AS probe_id, unnest(dt) AS token,
+                         len(dt) AS probe_tokens
+                  FROM dt WHERE doc_id < 3),
+            c AS (SELECT doc_id AS cand_id, unnest(dt) AS token FROM dt),
+            agg AS (SELECT probe_id, cand_id,
+                           any_value(probe_tokens) AS probe_tokens,
+                           COUNT(*) AS overlap
+                    FROM p JOIN c USING (token)
+                    GROUP BY probe_id, cand_id)
+            SELECT probe_id, cand_id, overlap,
+                   CAST(probe_tokens AS INTEGER) AS probe_tokens,
+                   ROUND(overlap * 1.0 / probe_tokens, 4) AS score,
+                   'm60' AS model
+            FROM agg WHERE overlap >= CEIL(0.6 * probe_tokens)
+            UNION ALL
+            SELECT probe_id, cand_id, overlap,
+                   CAST(probe_tokens AS INTEGER) AS probe_tokens,
+                   ROUND(overlap * 1.0 / probe_tokens, 4) AS score,
+                   'm80' AS model
+            FROM agg WHERE overlap >= CEIL(0.8 * probe_tokens)
+        """,
+        "q39_best_match_merged": """
+            WITH u AS (
+              SELECT doc_id % 50 AS probe_id, doc_id,
+                     'audio' AS modality,
+                     ROUND((doc_id * 37 % 97) / 97.0, 6) AS score
+              FROM documents
+              UNION ALL
+              SELECT doc_id % 50 AS probe_id, doc_id,
+                     'video' AS modality,
+                     ROUND((doc_id * 61 % 89) / 89.0, 6) AS score
+              FROM documents),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY score DESC, modality ASC, doc_id ASC)
+                      AS rn
+                  FROM u)
+            SELECT probe_id, doc_id, modality, score
+            FROM r WHERE rn = 1
+        """,
+        "q40_split_existing_new": """
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 3 = 0 THEN 'existing'
+                        ELSE 'new' END AS status
+            FROM documents
+        """,
+        "q41_fuzzy_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text),
+                         '[\pL]+|[\pN]+(?:\.[\pN]+)?')) AS t
+              FROM documents),
+            p AS (SELECT doc_id AS probe_id, unnest(t) AS ptoken,
+                         len(t) AS probe_tokens
+                  FROM toks WHERE doc_id < 3),
+            c AS (SELECT doc_id AS cand_id, unnest(t) AS ctoken
+                  FROM toks),
+            j AS (SELECT probe_id, cand_id, probe_tokens, ptoken
+                  FROM p JOIN c
+                    ON substring(ptoken, 1, 1) = substring(ctoken, 1, 1)
+                   AND levenshtein(ptoken, ctoken) <=
+                       CASE WHEN length(ptoken) < 3 THEN 0
+                            WHEN length(ptoken) < 6 THEN 1
+                            ELSE 2 END),
+            agg AS (SELECT probe_id, cand_id,
+                           any_value(probe_tokens) AS probe_tokens,
+                           COUNT(DISTINCT ptoken) AS overlap
+                    FROM j GROUP BY probe_id, cand_id)
+            SELECT probe_id, cand_id, overlap,
+                   CAST(probe_tokens AS INTEGER) AS probe_tokens,
+                   ROUND(overlap * 1.0 / probe_tokens, 4) AS score
+            FROM agg
+            WHERE overlap >= GREATEST(FLOOR(0.5 * probe_tokens), 1)
+        """,
+        "q46_components_oracle": f"""
+            WITH {_TOKS_CTE},
+            keyed AS (SELECT doc_id,
+                             md5(array_to_string(
+                                 list_sort(list_distinct(t)), ' ')) AS k
+                      FROM toks)
+            SELECT MIN(doc_id) AS component,
+                   CAST(COUNT(*) AS INTEGER) AS size,
+                   array_to_string(list_sort(list(doc_id)), ',')
+                       AS nodes_csv
+            FROM keyed GROUP BY k HAVING COUNT(*) > 1
         """,
         "q21_dedup_keep_first": f"""
             WITH {_TOKS_CTE},

@@ -65,10 +65,10 @@ CATEGORIES = [name for name, _, _ in SCRUB_PATTERNS]
 # Cheap JVM pregate (java regex): any row NOT matching this cannot match
 # any scrub pattern, so it skips Python entirely.
 _PREGATE_CORE = (
-    "(-----BEGIN)|(AKIA[0-9A-Z]{16})|(ghp_)|(xox[baprs]-)"
-    "|([A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24})"
-    "|(\\+[1-9][0-9]{7,14})"
-    "|([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"
+    "(?:-----BEGIN)|(?:AKIA[0-9A-Z]{16})|(?:ghp_)|(?:xox[baprs]-)"
+    "|(?:[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24})"
+    "|(?:\\+[1-9][0-9]{7,14})"
+    "|(?:[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"
 )
 # Java (rlike) accepts a mid-pattern global (?i); Python needs a scoped
 # (?i:...) group — same language, two spellings.

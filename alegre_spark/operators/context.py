@@ -85,6 +85,20 @@ def remove_context_entry(contexts_col: Column, query: dict) -> Column:
     return F.filter(contexts_col, lambda e: ~entry_matches(e))
 
 
+def peel_contexts_where(df: DataFrame, predicate: Column,
+                        contexts_col: str, query: dict) -> DataFrame:
+    """S8 at table scale (the bulk form of `delete_with_context_peel`):
+    for every row satisfying `predicate`, remove context entries
+    matching `query`; rows whose context list empties are deleted —
+    the `elasticsearch.py:149-176` semantics applied as one
+    MERGE-shaped pass instead of per-document requests."""
+    peeled = remove_context_entry(F.col(contexts_col), query)
+    out = df.withColumn(
+        contexts_col,
+        F.when(predicate, peeled).otherwise(F.col(contexts_col)))
+    return out.filter(~(predicate & (F.size(F.col(contexts_col)) == 0)))
+
+
 def delete_with_context_peel(df: DataFrame, doc_id: str, doc_id_value,
                              contexts_col: str, query: dict) -> DataFrame:
     """Delete semantics of `elasticsearch.py:149-176`: if the doc has

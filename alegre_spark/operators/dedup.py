@@ -160,3 +160,28 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
+                        window: int = 8) -> DataFrame:
+    """Document fingerprint via rolling windows (winnowing-lite,
+    Schleimer/Wilkerson/Aiken 2003 shape): hash every `window`-char
+    substring, keep the minimum hash as the document fingerprint.
+    Near-identical documents (edits outside the minimizing window)
+    collapse to the same fingerprint; used for cheap containment /
+    near-dup blocking before exact verification.
+
+    Pure Catalyst (sequence -> transform -> array_min over md5 of
+    substrings) — whole-stage codegen, no Python, and exactly
+    reproducible in ANSI SQL for the oracle gate. Returns
+    (id, fingerprint, n_windows).
+    """
+    txt = F.col(text_col)
+    n_win = F.greatest(F.length(txt) - F.lit(window - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.md5(F.substring(txt, i, window)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_min(hashes).alias("fingerprint"),
+        n_win.cast("int").alias("n_windows"))

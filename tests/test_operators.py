@@ -211,3 +211,50 @@ def test_frame_sample_plan(spark):
         "height:int,duration_ms:int>")
     out = frame_sample_plan(df, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000]
+
+
+def test_rolling_fingerprint(spark):
+    """Identical prefixes within the minimizing window collapse;
+    disjoint content separates; window semantics exact."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.dedup import rolling_fingerprint
+
+    rows = [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz"),
+            (4, "short")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in
+           rolling_fingerprint(df, "id", "text", window=8).collect()}
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert out[1]["fingerprint"] != out[3]["fingerprint"]
+    # n_windows = len - 7 for long enough text; 1 for short
+    assert out[1]["n_windows"] == 3 and out[4]["n_windows"] == 1
+    # exact: min over md5 of each 8-char window
+    expect = min(hashlib.md5(("abcdefghij"[i:i + 8]).encode())
+                 .hexdigest() for i in range(3))
+    assert out[1]["fingerprint"] == expect
+    # short text: md5 of whole string
+    assert out[4]["fingerprint"] == hashlib.md5(b"short").hexdigest()
+
+
+def test_peel_contexts_where(spark):
+    """Bulk S8: peel matching entries for predicate rows; delete rows
+    whose contexts empty (`elasticsearch.py:149-176` semantics)."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.context import peel_contexts_where
+
+    df = spark.createDataFrame(
+        [(1, [{"src": "a"}, {"src": "backup"}]),
+         (2, [{"src": "backup"}]),
+         (3, [{"src": "backup"}])],
+        "id long, contexts array<map<string,string>>")
+    out = peel_contexts_where(df, F.col("id") < 3, "contexts",
+                              {"src": "backup"})
+    got = {r["id"]: [dict(m) for m in r["contexts"]]
+           for r in out.collect()}
+    assert got == {1: [{"src": "a"}],          # peeled, survives
+                   3: [{"src": "backup"}]}     # predicate false: intact
+    # id 2 deleted: peel emptied its contexts
