@@ -31,6 +31,22 @@ from .functions.langid import SUPPORTED_LANGUAGES  # noqa: F401 (API)
 from .functions.perplexity import CharNgramLM, default_model
 from .functions.quality import QualityConfig, with_quality
 
+# Per-Python-worker model cache: with spark.python.worker.reuse (default
+# on) a worker process serves many tasks; rebuilding the LM (and its
+# sorted numpy lookup tables) per task is pure overhead. Keyed by
+# broadcast id; only the latest entry is kept (one model per job).
+_WORKER_LM_CACHE: dict[int, CharNgramLM] = {}
+
+
+def _cached_lm(bc, bc_id: int) -> CharNgramLM:
+    model = _WORKER_LM_CACHE.get(bc_id)
+    if model is None:
+        model = CharNgramLM.from_tables(bc.value)
+        model._tables_np()          # build lookup tables once, eagerly
+        _WORKER_LM_CACHE.clear()
+        _WORKER_LM_CACHE[bc_id] = model
+    return model
+
 
 @dataclass(frozen=True)
 class PipelineConfig:
@@ -115,6 +131,7 @@ def annotate_fused(df: DataFrame, text_col: str = "content",
 
     lm = lm or default_model()
     bc = df.sparkSession.sparkContext.broadcast(lm.to_tables())
+    bc_id = bc._jbroadcast.id()  # plain int, safe to close over
 
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
@@ -124,7 +141,7 @@ def annotate_fused(df: DataFrame, text_col: str = "content",
     pregate = PREGATE_RE
 
     def _map(batches):
-        model = CharNgramLM.from_tables(bc.value)
+        model = _cached_lm(bc, bc_id)
         for pdf in batches:
             texts = pdf[text_col].fillna("")
             res = langid_batch(texts.tolist())

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_FILES = int(os.environ.get("ALEGRE_BENCH_FILES", "40000"))
+N_FILES = int(os.environ.get("ALEGRE_BENCH_FILES", "120000"))
 
 
 def main():
@@ -39,18 +39,25 @@ def main():
     files = generate_corpus(spark, N_FILES,
                             partitions=int(CPUS) * 2).persist()
     n = files.count()  # materialize input outside the timed window
-    # warm-up: Python workers import pandas/numpy once (a real cluster
-    # amortizes this over hours, not over one 9-second benchmark)
-    warm = generate_corpus(spark, int(CPUS) * 32, seed=7,
-                           partitions=int(CPUS))
-    run_pipeline(warm, PipelineConfig(salt_buckets=int(CPUS))) \
-        .filter("keep").count()
-    t0 = time.perf_counter()
-    ann = run_pipeline(files, PipelineConfig(salt_buckets=int(CPUS) * 4))
-    kept = ann.filter("keep").count()
-    pipeline_sec = time.perf_counter() - t0
+    # One recorded cold run, then a warm run, then median-of-3 steady
+    # runs: the first runs pay one-time process costs — Python workers
+    # importing pandas/numpy, langid/LM lookup-table builds, JVM JIT of
+    # the codegen'd stages — that a real cluster amortizes over hours.
+    # The cold time is recorded alongside for honesty.
+    cfg = PipelineConfig(salt_buckets=int(CPUS) * 4)
+    kept = None
+    steady = []
+    for run in ("cold", "warm", "s1", "s2", "s3"):
+        t0 = time.perf_counter()
+        kept = run_pipeline(files, cfg).filter("keep").count()
+        dt = time.perf_counter() - t0
+        if run == "cold":
+            timings["pipeline_cold"] = round(dt, 3)
+        elif run != "warm":
+            steady.append(dt)
+    pipeline_sec = sorted(steady)[1]  # median of 3
+    timings["pipeline_steady"] = round(pipeline_sec, 3)
     files_per_sec = n / pipeline_sec
-    timings["pipeline_40k_files"] = round(pipeline_sec, 3)
     files.unpersist()
 
     # -- operator queries at SF_DIR ---------------------------------------
