@@ -289,7 +289,7 @@ def q23_minhash_xxhash(spark, sf):
     from alegre_spark.operators.dedup import minhash_lsh_pairs
     d = _t(spark, sf, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=4,
-                             shingle_n=1)
+                             shingle_n=3)
 
 
 def q24_lsh_ann(spark, sf):

@@ -46,24 +46,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str,
                  F.sort_array(F.collect_list(id_col)).alias("dup_ids")))
 
 
-def token_shingles(col, n: int = 3):
-    """Word n-gram shingles as strings (array<string>)."""
-    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) >= n,
+def shingles_from_tokens(toks_col, n: int = 3):
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column. The caller must bind the token array in its own projection
+    first (`df.select(tokenize(...).alias("_toks"))`): Catalyst does
+    not eliminate common subexpressions inside higher-order-function
+    lambdas, so referencing a tokenize() expression from within
+    `transform` re-splits the whole string once per element — O(T^2)
+    work per row (measured 13x slower at 54 tokens/doc)."""
+    if n == 1:
+        return F.array_distinct(toks_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks_col) - n, F.lit(0)))
+    return F.when(F.size(toks_col) >= n,
                   F.array_distinct(F.transform(
                       idx, lambda i: F.array_join(
-                          F.slice(toks, i + 1, n), " ")))
-                  ).otherwise(F.array(F.array_join(toks, " ")))
+                          F.slice(toks_col, i + 1, n), " ")))
+                  ).otherwise(F.array(F.array_join(toks_col, " ")))
+
+
+def token_shingles(col, n: int = 3):
+    """Word n-gram shingles as strings (array<string>) straight from a
+    text column. Prefer the two-step `tokenize -> shingles_from_tokens`
+    form in plans (see that function's docstring for why)."""
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
+    return shingles_from_tokens(toks, n)
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
     """(id, sig array<bigint>): sig[i] = min over shingles of
     xxhash64(i, shingle). One explode + one groupBy."""
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(token_shingles(F.col(text_col), shingle_n))
-                    .alias("shingle")))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    sh = (df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+          .select("id",
+                  F.explode(shingles_from_tokens(F.col("_toks"),
+                                                 shingle_n))
+                  .alias("shingle")))
     hashes = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
               for i in range(num_hashes)]
     sig = sh.groupBy("id").agg(*hashes)
@@ -122,8 +141,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """Exact n-gram Jaccard pairs >= threshold. If `candidates`
     (id_a, id_b) given, verifies only those (the LSH-then-verify
     pattern); else all pairs sharing >=1 shingle."""
-    sh = (df.select(F.col(id_col).alias("id"),
-                    token_shingles(F.col(text_col), n).alias("sh")))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    sh = (df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+          .select("id", shingles_from_tokens(F.col("_toks"), n)
+                  .alias("sh")))
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     ex = sh.select("id", F.explode("sh").alias("shingle"))
     inter = (ex.alias("a").join(ex.alias("b"), "shingle")
