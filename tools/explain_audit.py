@@ -46,6 +46,29 @@ CHECKS = {
         ("xxhash64", "JVM-side hashing (no Python)"),
         ("partial_min", "signature mins partial-aggregated"),
     ],
+    "q31_context_containment": [
+        ("FileScan parquet [doc_id", "column pruning at the scan"),
+    ],
+    "q35_rolling_fingerprint": [
+        ("FileScan parquet [doc_id", "column pruning at the scan"),
+        ("md5", "JVM-side hashing in codegen"),
+    ],
+    "q38_multi_model_fanout": [
+        ("Union", "per-model results unioned, one plan"),
+        ("BroadcastHashJoin", "probe tokens broadcast per model"),
+    ],
+    "q39_best_match_merged": [
+        ("WindowGroupLimit", "top-1 pushed below the exchange"),
+        ("Union", "modality union"),
+    ],
+    "q41_fuzzy_search": [
+        ("BroadcastHashJoin", "first-char block join, probe broadcast"),
+        ("levenshtein", "edit distance evaluated JVM-side"),
+    ],
+    "q42_audio_chromaprint": [
+        ("BroadcastNestedLoopJoin", "length gate joins before scoring"),
+        ("MapInPandas", "correlation scored in one Arrow pass"),
+    ],
 }
 
 FORBIDDEN = {
@@ -60,6 +83,12 @@ FORBIDDEN = {
                         "MapInPandas"],
     "q23_minhash_xxhash": ["ArrowEvalPython", "BatchEvalPython",
                            "MapInPandas"],
+    "q31_context_containment": ["ArrowEvalPython", "BatchEvalPython",
+                                "MapInPandas"],
+    "q35_rolling_fingerprint": ["ArrowEvalPython", "BatchEvalPython",
+                                "MapInPandas"],
+    "q41_fuzzy_search": ["ArrowEvalPython", "BatchEvalPython",
+                         "MapInPandas"],
 }
 
 
