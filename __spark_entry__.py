@@ -292,16 +292,22 @@ def q23_minhash_xxhash(spark, sf):
                              shingle_n=3)
 
 
-def q24_lsh_ann(spark, sf):
-    """Hyperplane-LSH bucketed ANN (rows-only; recall<1 by design)."""
+def _lsh_planes():
     import numpy as np
-    from alegre_spark.operators.ann import lsh_topk
     rng = np.random.RandomState(7)
-    planes = rng.randn(6, 64).tolist()
+    return rng.randn(6, 64).tolist()
+
+
+def q24_lsh_ann(spark, sf):
+    """Hyperplane-LSH bucketed ANN (recall<1 by design; the oracle
+    reproduces the same buckets from the same plane constants)."""
+    from alegre_spark.operators.ann import lsh_topk
     e = _t(spark, sf, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return lsh_topk(probes, e, "vec_id", "vec_id",
-                    "embedding", "embedding", planes, k=5)
+    out = lsh_topk(probes, e, "vec_id", "vec_id",
+                   "embedding", "embedding", _lsh_planes(), k=5,
+                   round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 def q25_connected_components(spark, sf):
@@ -644,6 +650,61 @@ def q46_components_oracle(spark, sf):
         .alias("nodes_csv"))
 
 
+def q47_id_url_lookup(spark, sf):
+    """J8 id/url lookup join (`media_crud.py:90-100`): resolve by
+    doc_id, fall back to url; probes are built so even ids hit by id,
+    odd ids by url, and odd ids with a broken url miss entirely."""
+    from alegre_spark.operators.merge import lookup_by_id_or_url
+    d = _t(spark, sf, "documents")
+    store = d.select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("n_chars").alias("val"))
+    probes = (d.filter(F.col("doc_id") < 30)
+              .select(F.col("doc_id").alias("orig_id"),
+                      F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+                       .otherwise(F.col("doc_id") + 1000000)
+                      .alias("doc_id"),
+                      F.when(F.col("doc_id") % 3 == 2,
+                             F.concat(F.lit("m"),
+                                      F.col("doc_id").cast("string")))
+                       .otherwise(F.concat(F.lit("u"),
+                                           F.col("doc_id").cast("string")))
+                      .alias("url")))
+    out = lookup_by_id_or_url(probes, store, "doc_id", "url", "val")
+    return out.select("orig_id", "matched_val", "match_via")
+
+
+def q48_ivf_ann(spark, sf):
+    """IVF ANN (rows-only; recall<1 by design): bounded-sample k-means
+    coarse quantizer, centroid-list partitioning, nprobe-list probe,
+    exact cosine re-rank inside the probed lists."""
+    from alegre_spark.operators.ann import ivf_fit_centroids, ivf_topk
+    e = _t(spark, sf, "embeddings")
+    C = ivf_fit_centroids(e, "vec_id", "embedding", n_centroids=8,
+                          sample=512)
+    probes = e.filter(F.col("vec_id") < 5)
+    out = ivf_topk(probes, e, "vec_id", "vec_id",
+                   "embedding", "embedding", C, nprobe=2, k=5)
+    return (out.withColumn("cosine", F.round("cosine", 4))
+            .withColumn("rank", F.col("rank").cast("int")))
+
+
+def q49_bpe_token_count(spark, sf):
+    """Token counting, whitespace + BPE-ish regex (letters runs /
+    digit runs / single punctuation — the merge-free skeleton of a BPE
+    pre-tokenizer), as pure codegen regexp."""
+    d = _t(spark, sf, "documents")
+    ws = F.size(_tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return (d.select("doc_id", ws.alias("n_ws_tokens"),
+                     bpe.alias("n_bpe_tokens"))
+            .withColumn("bpe_per_ws",
+                        F.round(F.col("n_bpe_tokens") /
+                                F.col("n_ws_tokens"), 4)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -691,6 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_image_phash_pipeline": q44_image_phash_pipeline,
         "q45_streaming_quality": q45_streaming_quality,
         "q46_components_oracle": q46_components_oracle,
+        "q47_id_url_lookup": q47_id_url_lookup,
+        "q48_ivf_ann": q48_ivf_ann,
+        "q49_bpe_token_count": q49_bpe_token_count,
     }
 
 
@@ -702,8 +766,43 @@ _TOKS_CTE = ("toks AS (SELECT doc_id, list_filter(string_split_regex("
              "lower(text), '\\s+'), x -> x <> '') AS t FROM documents)")
 
 
+def _q24_oracle() -> str:
+    """Generated: hyperplane-sign buckets with the dot product written
+    as an explicit left-associated sum (0.0 + v[1]*p1 + ...) so the
+    float64 addition order — and therefore every sign decision —
+    matches Spark's `aggregate(zip_with(...))` fold bit-for-bit."""
+    planes = _lsh_planes()
+
+    def dot(plane):
+        terms = " + ".join(f"v[{i + 1}]*({p!r})"
+                           for i, p in enumerate(plane))
+        return f"(0.0 + {terms})"
+
+    bucket = " || ".join(
+        f"(CASE WHEN {dot(p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes)
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          [CAST(x AS DOUBLE) for x in embedding] AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        j AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                     ROUND(list_cosine_similarity(p.v, c.v), 4)
+                         AS cosine
+              FROM b p JOIN b c USING (bucket)
+              WHERE p.vec_id < 5),
+        r AS (SELECT probe_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                         ORDER BY cosine DESC, cand_id ASC) AS rank
+              FROM j)
+        SELECT probe_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q24_lsh_ann": _q24_oracle(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -1077,6 +1176,30 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(doc_id)), ',')
                        AS nodes_csv
             FROM keyed GROUP BY k HAVING COUNT(*) > 1
+        """,
+        "q47_id_url_lookup": """
+            SELECT doc_id AS orig_id,
+                   CASE WHEN doc_id % 2 = 0 THEN n_chars
+                        WHEN doc_id % 3 <> 2 THEN n_chars
+                        END AS matched_val,
+                   CASE WHEN doc_id % 2 = 0 THEN 'id'
+                        WHEN doc_id % 3 <> 2 THEN 'url'
+                        END AS match_via
+            FROM documents WHERE doc_id < 30
+        """,
+        "q49_bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text),
+                        '\s+'), x -> x <> '')) AS INTEGER)
+                       AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+                       AS n_bpe_tokens,
+                   ROUND(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0 /
+                        len(list_filter(string_split_regex(lower(text),
+                        '\s+'), x -> x <> '')), 4) AS bpe_per_ws
+            FROM documents
         """,
         "q21_dedup_keep_first": f"""
             WITH {_TOKS_CTE},

@@ -89,10 +89,12 @@ def hyperplane_bucket(vec_col, planes: list[list[float]]):
 def lsh_topk(probes: DataFrame, candidates: DataFrame,
              probe_id: str, cand_id: str,
              probe_vec: str, cand_vec: str,
-             planes: list[list[float]], k: int = 10) -> DataFrame:
+             planes: list[list[float]], k: int = 10,
+             round_to: int | None = None) -> DataFrame:
     """Bucketed ANN: candidates meet probes only within the same
     hyperplane-sign bucket, then exact cosine re-rank. Recall < 1.0 by
-    construction; increase planes/bands for higher recall."""
+    construction; increase planes/bands for higher recall. round_to
+    rounds BEFORE ranking (deterministic cross-engine tie-breaks)."""
     p = (probes.select(F.col(probe_id).alias("probe_id"),
                        F.col(probe_vec).cast("array<double>").alias("_pv"))
          .withColumn("bucket", hyperplane_bucket(F.col("_pv"), planes)))
@@ -102,6 +104,93 @@ def lsh_topk(probes: DataFrame, candidates: DataFrame,
     joined = c.join(F.broadcast(p), "bucket")
     scored = joined.withColumn("cosine",
                                cosine_col(F.col("_pv"), F.col("_cv")))
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_to))
     return topk_per_group(scored.select("probe_id", "cand_id", "cosine"),
                           ["probe_id"],
                           [F.desc("cosine"), F.asc("cand_id")], k)
+
+
+def ivf_fit_centroids(df: DataFrame, id_col: str, vec_col: str,
+                      n_centroids: int = 16, sample: int = 2048,
+                      iters: int = 10) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a BOUNDED deterministic sample
+    (first `sample` rows by id), run driver-side in NumPy. The sample
+    bound makes this O(1) in table size — at 100 TB the fit still
+    collects only `sample` vectors; assignment is the distributed part.
+    Vectors are L2-normalized so nearest-centroid = max dot = cosine.
+    Returns (n_centroids, dim) float64 array."""
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample).collect())
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # deterministic init: evenly spaced sample rows (no RNG — resume-safe)
+    idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for k in range(n_centroids):
+            m = assign == k
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[k] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroids: np.ndarray, nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroids (one
+    broadcast matmul per Arrow batch). nprobe=1 builds the index side;
+    nprobe>1 is the probe side's multi-list expansion. Returns
+    (id, vec, centroid_id) — one row per (vector, probed list)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, np.float64))
+
+    def _map(batches):
+        C = bc.value
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].apply(
+                lambda v: np.asarray(v, dtype=np.float64)).values)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                               1e-12)
+            sims = V @ C.T                          # (batch, k)
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame({
+                "id": np.repeat(pdf[id_col].values, nprobe),
+                "vec": [v for v in pdf[vec_col].values
+                        for _ in range(nprobe)],
+                "centroid_id": top.ravel().astype(np.int32),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _map, schema="id long, vec array<float>, centroid_id int")
+
+
+def ivf_topk(probes: DataFrame, candidates: DataFrame,
+             probe_id: str, cand_id: str,
+             probe_vec: str, cand_vec: str,
+             centroids: np.ndarray, nprobe: int = 2,
+             k: int = 10) -> DataFrame:
+    """IVF ANN (the scale path next to LSH): candidates partitioned into
+    centroid lists once; each probe scans only its `nprobe` nearest
+    lists, then exact cosine re-rank. The centroid_id equi-join bounds
+    the pair count to ~nprobe/n_centroids of brute force; recall < 1 by
+    construction (raise nprobe to trade cost for recall)."""
+    cand_lists = ivf_assign(candidates, cand_id, cand_vec, centroids,
+                            nprobe=1) \
+        .select(F.col("id").alias("cand_id"),
+                F.col("vec").alias("_cv"), "centroid_id")
+    probe_lists = ivf_assign(probes, probe_id, probe_vec, centroids,
+                             nprobe=nprobe) \
+        .select(F.col("id").alias("probe_id"),
+                F.col("vec").alias("_pv"), "centroid_id")
+    joined = cand_lists.join(F.broadcast(probe_lists), "centroid_id")
+    scored = joined.withColumn(
+        "cosine",
+        cosine_col(F.col("_pv").cast("array<double>"),
+                   F.col("_cv").cast("array<double>")))
+    return topk_per_group(
+        scored.select("probe_id", "cand_id", "cosine").dropDuplicates(
+            ["probe_id", "cand_id"]),
+        ["probe_id"], [F.desc("cosine"), F.asc("cand_id")], k)

@@ -63,3 +63,29 @@ def merge_into_sql(target_tbl: str, source_view: str, key: str,
             f"ON t.{key} = s.{key} "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT *")
+
+
+def lookup_by_id_or_url(incoming: DataFrame, store: DataFrame,
+                        key: str = "doc_id", alt_key: str = "url",
+                        val_col: str = "val") -> DataFrame:
+    """J8 (`media_crud.get_by_doc_id_or_url`, `media_crud.py:90-100`):
+    resolve each incoming row against the store by primary id, falling
+    back to the url. Two left equi-joins + coalesce; the store side is
+    broadcast when small (dimension-lookup shape). Appends
+    `matched_<val_col>` and `match_via` ('id' | 'url' | NULL)."""
+    by_id = store.select(F.col(key).alias("_k_id"),
+                         F.col(val_col).alias("_v_id"))
+    by_url = store.select(F.col(alt_key).alias("_k_url"),
+                          F.col(val_col).alias("_v_url")).dropDuplicates(
+                              ["_k_url"])
+    out = (incoming
+           .join(F.broadcast(by_id),
+                 incoming[key] == F.col("_k_id"), "left")
+           .join(F.broadcast(by_url),
+                 incoming[alt_key] == F.col("_k_url"), "left"))
+    via = (F.when(F.col("_v_id").isNotNull(), F.lit("id"))
+            .when(F.col("_v_url").isNotNull(), F.lit("url")))
+    return (out.withColumn(f"matched_{val_col}",
+                           F.coalesce("_v_id", "_v_url"))
+            .withColumn("match_via", via)
+            .drop("_k_id", "_v_id", "_k_url", "_v_url"))

@@ -56,3 +56,62 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_keep_metrics(stream_df: DataFrame, ts_col: str,
+                          window: str = "1 minute",
+                          watermark: str = "2 minutes",
+                          cfg: PipelineConfig | None = None) -> DataFrame:
+    """Event-time windowed keep/drop metrics with late-data handling:
+    the same run_pipeline stages (all streaming-compatible — mapInPandas
+    and repartition work per micro-batch), then a watermarked tumbling
+    window aggregation. Append mode emits a window's row once the
+    watermark passes its end, so late rows within the watermark still
+    count and older ones are dropped deterministically. (The reference
+    has no windowed semantics — SURVEY.md §2.10 — this is the Spark
+    face a continuous deployment needs.)"""
+    cfg = cfg or PipelineConfig()
+    ann = run_pipeline(stream_df, cfg)
+    return (ann.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"), "keep")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("language_confidence")).alias("sum_conf"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "keep", "n",
+                    F.round(F.col("sum_conf") / F.col("n"), 4)
+                    .alias("avg_conf")))
+
+
+def first_seen_filter(stream_df: DataFrame, key_col: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    exact streaming dedup — emit each key's FIRST row across all
+    micro-batches, suppress every later duplicate. State per key is a
+    single seen flag; at 100 TB the state store shards by key exactly
+    like the shuffle. The reference's analog is create-vs-update
+    routing on doc_id (`elasticsearch.py:81-108`) done per request."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_schema = stream_df.schema
+    state_schema = "seen boolean"
+
+    def _first(key, pdfs, state: GroupState):
+        if state.exists:
+            emitted = True
+        else:
+            emitted = False
+        out = []
+        for pdf in pdfs:
+            if not emitted and len(pdf):
+                out.append(pdf.iloc[[0]])
+                emitted = True
+        if emitted and not state.exists:
+            state.update((True,))
+        if out:
+            yield pd.concat(out)
+
+    return (stream_df.groupBy(key_col)
+            .applyInPandasWithState(_first, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -258,3 +258,47 @@ def test_peel_contexts_where(spark):
     assert got == {1: [{"src": "a"}],          # peeled, survives
                    3: [{"src": "backup"}]}     # predicate false: intact
     # id 2 deleted: peel emptied its contexts
+
+
+def test_lookup_by_id_or_url(spark):
+    """J8: primary-id hit wins over url; url is the fallback; neither
+    matching yields NULLs (`media_crud.py:90-100` semantics)."""
+    from alegre_spark.operators.merge import lookup_by_id_or_url
+
+    store = spark.createDataFrame(
+        [(1, "u1", "a"), (2, "u2", "b"), (3, "u3", "c")],
+        ["doc_id", "url", "val"])
+    incoming = spark.createDataFrame(
+        [(1, "u3"),      # id hit (url would point elsewhere — id wins)
+         (99, "u2"),     # id miss, url hit
+         (98, "u99")],   # both miss
+        ["doc_id", "url"])
+    out = {r["doc_id"]: (r["matched_val"], r["match_via"])
+           for r in lookup_by_id_or_url(incoming, store).collect()}
+    assert out == {1: ("a", "id"), 99: ("b", "url"), 98: (None, None)}
+
+
+def test_ivf_ann(spark):
+    """IVF: two well-separated clusters -> centroid lists split them;
+    top-k of a cluster-A probe stays in cluster A and matches brute
+    force exactly (nprobe covering the probe's cluster)."""
+    import numpy as np
+
+    from alegre_spark.operators.ann import (brute_force_topk,
+                                            ivf_fit_centroids, ivf_topk)
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(20, 8) * 0.05 + np.array([1.0] + [0.0] * 7)
+    b = rng.randn(20, 8) * 0.05 + np.array([0.0] * 7 + [1.0])
+    vecs = [(i, row.tolist()) for i, row in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    C = ivf_fit_centroids(df, "vec_id", "embedding", n_centroids=2,
+                          sample=40, iters=5)
+    probes = df.filter("vec_id = 0")
+    got = ivf_topk(probes, df, "vec_id", "vec_id", "embedding",
+                   "embedding", C, nprobe=1, k=5).collect()
+    exact = brute_force_topk(probes, df, "vec_id", "vec_id", "embedding",
+                             "embedding", k=5).collect()
+    assert [r["cand_id"] for r in got] == [r["cand_id"] for r in exact]
+    assert all(r["cand_id"] < 20 for r in got)  # stays in cluster A

@@ -96,3 +96,96 @@ def test_fanout_and_merged_sort(spark):
     b = spark.createDataFrame([(2, 0.8)], "id long, score double")
     merged = merged_modality_sort(a, b).collect()
     assert [r["id"] for r in merged] == [2, 1]
+
+
+def test_windowed_keep_metrics(spark):
+    """Watermarked tumbling-window metrics: append mode emits a window
+    once the watermark (from a much-later event) passes its end; late
+    rows inside the watermark are still counted."""
+    from alegre_spark.corpus import FILES_SCHEMA
+    from alegre_spark.streaming import windowed_keep_metrics
+    from pyspark.sql import types as T
+
+    work = tempfile.mkdtemp()
+    inp = os.path.join(work, "incoming")
+    outdir = os.path.join(work, "sink")
+    chk = os.path.join(work, "chk")
+    try:
+        base = 1767225630  # fixed epoch; :30 into the first minute
+        files = generate_corpus(spark, 60, partitions=1)
+        # rows split across two one-minute windows, plus ONE explicit
+        # far-future row whose only job is to advance the watermark
+        # past both early windows
+        ts = F.timestamp_seconds(
+            F.lit(base) + F.pmod(F.xxhash64("path"), 2) * 60)
+        early = files.withColumn("ts", ts)
+        late = spark.createDataFrame(
+            [("r_late", "p_late", "c" * 40, "en",
+              "def late(): return 1")],
+            early.schema.fieldNames()[:5]) \
+            .withColumn("ts", F.timestamp_seconds(F.lit(base + 3600)))
+        early.unionByName(late).write.parquet(inp)
+
+        schema = T.StructType(list(FILES_SCHEMA.fields) +
+                              [T.StructField("ts", T.TimestampType())])
+        # one file per micro-batch so the watermark from the late row's
+        # batch closes the earlier windows (plus the final no-data
+        # batch flushes anything watermark-expired)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(inp))
+        agg = windowed_keep_metrics(stream, "ts", window="1 minute",
+                                    watermark="2 minutes",
+                                    cfg=PipelineConfig(salt_buckets=4))
+        q = (agg.writeStream.format("parquet")
+             .option("path", outdir).option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        got = spark.read.parquet(outdir)
+        rows = {(r["window_start"].minute, r["keep"]): r["n"]
+                for r in got.collect()}
+        # both minute-0 and minute-1 windows emitted (watermark pushed
+        # past them by the +1h row); the late row's own window is NOT
+        # emitted (still open). Counts match the batch pipeline.
+        from alegre_spark.pipeline import run_pipeline
+        ann = run_pipeline(early, PipelineConfig(salt_buckets=4))
+        expect = {(r["m"], r["keep"]): r["n"] for r in
+                  ann.groupBy(F.minute("ts").alias("m"), "keep")
+                  .agg(F.count("*").alias("n")).collect()}
+        assert rows == expect and len(rows) >= 2
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_first_seen_filter(spark):
+    """applyInPandasWithState dedup: first occurrence of each key is
+    emitted exactly once, across micro-batches (state persists)."""
+    from alegre_spark.streaming import first_seen_filter
+
+    work = tempfile.mkdtemp()
+    inp = os.path.join(work, "incoming")
+    outdir = os.path.join(work, "sink")
+    chk = os.path.join(work, "chk")
+    try:
+        # two files -> two micro-batches (maxFilesPerTrigger=1);
+        # key 'b' appears in both, must be emitted once (from batch 1)
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int") \
+            .coalesce(1).write.parquet(os.path.join(inp, "f1"))
+        spark.createDataFrame([("b", 3), ("c", 4)], "k string, v int") \
+            .coalesce(1).write.parquet(os.path.join(inp, "f2"))
+
+        stream = (spark.readStream.schema("k string, v int")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(inp + "/*"))
+        dedup = first_seen_filter(stream, "k")
+        q = (dedup.writeStream.format("parquet")
+             .option("path", outdir).option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        got = sorted((r["k"], r["v"]) for r in
+                     spark.read.parquet(outdir).collect())
+        ks = [k for k, _ in got]
+        assert ks == ["a", "b", "c"]          # each key exactly once
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

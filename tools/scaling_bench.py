@@ -48,10 +48,14 @@ cores = int(sys.argv[1]); n = int(sys.argv[2])
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=max(cores * 2, 16))
 spark.sparkContext.setLogLevel("ERROR")
-warm = generate_corpus(spark, cores * 64, seed=7, partitions=cores)
-run_pipeline(warm, PipelineConfig(salt_buckets=cores)).filter("keep").count()
+warm = generate_corpus(spark, cores * 512, seed=7, partitions=cores).persist()
+for _ in range(2):
+    run_pipeline(warm, PipelineConfig(salt_buckets=max(cores * 4, 16))) \
+        .filter("keep").count()
+warm.unpersist()
 best = None
-reps = 1 if cores <= 2 else 2  # best-of-2 (rep 0 pays JIT warmup)
+# rep 0 still pays residual JIT; steady state needs ~3 full-size passes
+reps = 3
 for rep in range(reps):
     files = spark.read.parquet("{data}")
     t0 = time.perf_counter()
