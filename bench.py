@@ -71,7 +71,9 @@ def main():
                 "q09_token_overlap_join", "q10_exact_dedup",
                 "q21_dedup_keep_first", "q14_cosine_topk",
                 "q17_langid_documents", "q20_hamming_join",
-                "q23_minhash_xxhash"]
+                "q23_minhash_xxhash", "q24_lsh_ann",
+                "q35_rolling_fingerprint", "q41_fuzzy_search",
+                "q49_bpe_token_count"]
     for name in headline:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
