@@ -26,7 +26,10 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str,
     Equivalent to S5/S7; `merge_arrays` columns get the A2
     dedup-union treatment (`elasticsearch.py:73-79`).
     """
+    from pyspark.sql.types import ArrayType, MapType
+
     value_cols = [c for c in target.columns if c != key]
+    types = {f.name: f.dataType for f in target.schema.fields}
     t = target.alias("t")
     s = source.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
@@ -34,10 +37,18 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str,
     for c in value_cols:
         tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
         if c in merge_arrays:
-            merged = F.when(
-                sc.isNotNull() & tc.isNotNull(),
-                F.array_distinct(F.concat(tc, sc))
-            ).otherwise(F.coalesce(sc, tc))
+            dt = types.get(c)
+            if isinstance(dt, ArrayType) and isinstance(dt.elementType,
+                                                        MapType):
+                # context lists: map elements aren't comparable, so
+                # array_distinct can't dedup them — use the A2
+                # canonical-JSON fold (`helpers.py:1-14`)
+                from .context import merge_context_lists
+                union = merge_context_lists(tc, sc)
+            else:
+                union = F.array_distinct(F.concat(tc, sc))
+            merged = F.when(sc.isNotNull() & tc.isNotNull(),
+                            union).otherwise(F.coalesce(sc, tc))
         else:
             merged = F.coalesce(sc, tc)
         cols.append(merged.alias(c))

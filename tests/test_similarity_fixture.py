@@ -108,3 +108,57 @@ def test_scores_ordered_and_bounded(spark, corpus):
     # the identical doc scores 1.0
     best = max(rows, key=lambda r: r["score"])
     assert best["score"] == 1.0 and best["cand_id"] == 0
+
+
+def test_reference_update_delete_story(spark):
+    """S5 update + A2 context merge + S8 delete-with-peel, mirroring the
+    reference's end-to-end story (`test_similarity.py:319-433`):
+
+    1. store 'how to slice a banana' (ctx dbid=54);
+    2. re-store the same doc_id with 'how to slice a pizza' — the
+       content is REPLACED in place (`:349-363`);
+    3. store doc '123' twice with ctx dbid=54 then dbid=55 — the two
+       contexts MERGE on one doc (`:402-433` setup);
+    4. delete doc '123' with ctx 54 — the doc SURVIVES with ctx [55]
+       (peel, `elasticsearch.py:149-166`);
+    5. delete again with ctx 55 — the doc is GONE (`:167-176`).
+    """
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.context import delete_with_context_peel
+    from alegre_spark.operators.merge import merge_upsert
+
+    schema = ("doc_id string, content string, "
+              "contexts array<map<string,string>>")
+
+    def doc(doc_id, content, dbid):
+        return spark.createDataFrame(
+            [(doc_id, content, [{"dbid": str(dbid)}])], schema)
+
+    # 1-2: update replaces content (same doc_id)
+    store = doc("a1", "how to slice a banana", 54)
+    store = merge_upsert(store, doc("a1", "how to slice a pizza", 54),
+                         "doc_id", merge_arrays=("contexts",))
+    row = store.collect()[0]
+    assert row["content"] == "how to slice a pizza"
+    assert row["contexts"] == [{"dbid": "54"}]      # merged, deduped
+
+    # 3: same doc, second context -> contexts merge
+    store = merge_upsert(store, doc("123", "how to slice a banana", 54),
+                         "doc_id", merge_arrays=("contexts",))
+    store = merge_upsert(store, doc("123", "how to slice a banana", 55),
+                         "doc_id", merge_arrays=("contexts",))
+    d123 = store.filter(F.col("doc_id") == "123").collect()[0]
+    assert d123["contexts"] == [{"dbid": "54"}, {"dbid": "55"}]
+
+    # 4: delete with ctx 54 -> doc survives with the other context
+    store = delete_with_context_peel(store, "doc_id", "123", "contexts",
+                                     {"dbid": 54})
+    d123 = store.filter(F.col("doc_id") == "123").collect()
+    assert len(d123) == 1 and d123[0]["contexts"] == [{"dbid": "55"}]
+
+    # 5: delete the last context -> doc gone; others untouched
+    store = delete_with_context_peel(store, "doc_id", "123", "contexts",
+                                     {"dbid": 55})
+    assert store.filter(F.col("doc_id") == "123").count() == 0
+    assert store.filter(F.col("doc_id") == "a1").count() == 1
