@@ -162,3 +162,41 @@ def test_reference_update_delete_story(spark):
                                      {"dbid": 55})
     assert store.filter(F.col("doc_id") == "123").count() == 0
     assert store.filter(F.col("doc_id") == "a1").count() == 1
+
+
+def test_reference_hindi_routing_story(spark):
+    """L7 routing golden (`test_similarity.py:438-474`): the reference
+    stores a Hindi and a Marathi doc (language auto-detected), then a
+    threshold-0 search with language='en' (default route) finds BOTH,
+    while the same search with language='hi' (per-language index)
+    finds only the Hindi doc — Marathi is unsupported so it never
+    routed to the hi index."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.langid import (SUPPORTED_LANGUAGES,
+                                               with_language)
+    from alegre_spark.operators.normalize import supported_language_route
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search
+
+    hindi = "नमस्ते मेरा नाम करीम है"      # fixture text, `:441`
+    marathi = "हॅलो माझे नाव करीम आहे"     # fixture text, `:442`
+    docs = spark.createDataFrame([(1, hindi), (2, marathi)],
+                                 "doc_id long, content string")
+    routed = with_language(docs, "content").withColumn(
+        "route", supported_language_route(F.col("language"),
+                                          SUPPORTED_LANGUAGES))
+    r = {row["doc_id"]: row["route"] for row in routed.collect()}
+    assert r == {1: "hi", 2: None}     # mr unsupported -> default route
+
+    probe = spark.createDataFrame([(0, hindi)],
+                                  "doc_id long, content string")
+    # language='en'/default: search across ALL docs, threshold 0
+    all_hits = lexical_similarity_search(
+        probe, routed, "doc_id", "doc_id", threshold=0.0)
+    assert all_hits.count() == 2       # `:460` assertEqual(2, ...)
+    # language='hi': only the per-language route's candidates
+    hi_hits = lexical_similarity_search(
+        probe, routed.filter(F.col("route") == "hi"),
+        "doc_id", "doc_id", threshold=0.0)
+    assert hi_hits.count() == 1        # `:474` assertEqual(1, ...)
