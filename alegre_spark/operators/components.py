@@ -21,30 +21,41 @@ def connected_components(edges: DataFrame, src: str = "src",
     """
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"),
-                               F.col(src).alias("b"))))
+                               F.col(src).alias("b")))).persist()
     labels = (sym.select("a").union(sym.select(F.col("b")))
               .distinct().withColumnRenamed("a", "node")
-              .withColumn("component", F.col("node")))
-    for _ in range(max_iter):
-        # neighbor's current label, min over neighbors + self
-        nbr = (sym.join(labels, sym["b"] == labels["node"])
-               .select(F.col("a").alias("node"),
-                       F.col("component").alias("nbr_comp")))
-        new_labels = (labels.join(nbr, "node", "left")
-                      .groupBy("node")
-                      .agg(F.least(F.min("component"),
-                                   F.coalesce(F.min("nbr_comp"),
-                                              F.min("component")))
-                           .alias("component")))
-        # converged?
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+              .withColumn("component", F.col("node"))
+              .persist())
+    try:
+        for _ in range(max_iter):
+            # neighbor's current label, min over neighbors + self
+            nbr = (sym.join(labels, sym["b"] == labels["node"])
+                   .select(F.col("a").alias("node"),
+                           F.col("component").alias("nbr_comp")))
+            new_labels = (labels.join(nbr, "node", "left")
+                          .groupBy("node")
+                          .agg(F.least(F.min("component"),
+                                       F.coalesce(F.min("nbr_comp"),
+                                                  F.min("component")))
+                               .alias("component"))
+                          # persist + localCheckpoint: each round's
+                          # convergence count is an ACTION — without
+                          # truncating lineage, round i re-executes all
+                          # i-1 prior joins from the scan (O(i²) total
+                          # work and an ever-deeper DAG at scale)
+                          .localCheckpoint(eager=True))
+            # converged?
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.component") != F.col("o.component"))
+                       .limit(1).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()
 
 
 def clusters(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -115,6 +115,14 @@ def lexical_similarity_search(
     levenshtein() (JVM built-in), and overlap counts DISTINCT matched
     probe terms, exactly like clause counting in minimum_should_match.
 
+    Scale note: the first-char block is the distributed-join form of
+    ES/Lucene's `prefix_length: 1` fuzzy option — candidates differing
+    in their FIRST character are not considered (ES defaults to
+    prefix_length 0, which has no bounded join key; documented
+    divergence). The block bounds the token-pair space to ~1/|alphabet|
+    of the cross product; AQE skew-join splits the hot first-letter
+    buckets.
+
     Reproduces the `test_similarity.py:37-163` golden counts (see
     tests/test_similarity_fixture.py)."""
     cands = candidates

@@ -1,0 +1,59 @@
+"""Bucketed co-located joins — the 100 TB join strategy the engine
+relies on for repeated doc_id equi-joins (SURVEY.md §4.2): both sides
+written bucketed by the join key join WITHOUT any Exchange in the
+plan. This is the Spark-native analog of the reference's Postgres
+btree-on-id lookups at warehouse scale."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def warehouse(spark):
+    d = tempfile.mkdtemp(prefix="alegre_wh_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse):
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content_sha256"))
+    meta = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("shard"))
+
+    for name, df in (("t_docs", docs), ("t_meta", meta)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .option("path", os.path.join(warehouse, name))
+         .format("parquet").mode("overwrite").saveAsTable(name))
+
+    # force the shuffle-join path so the assertion is about the
+    # bucket layout, not about broadcastability of a tiny test table
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("t_docs").join(spark.table("t_meta"), "doc_id"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # co-located: bucket layout replaces the shuffle on BOTH sides
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 1000
+
+        # control: the same join over unbucketed data DOES shuffle —
+        # proving the bucket layout is what removed it
+        plain = docs.join(meta, "doc_id")
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+
+def test_bucketing_cleanup(spark):
+    for name in ("t_docs", "t_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
