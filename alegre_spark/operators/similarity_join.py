@@ -88,6 +88,29 @@ def tokenize_analyzed(col: Column) -> Column:
         F.lower(col), F.lit(r"[\p{L}]+|[\p{N}]+(?:\.[\p{N}]+)?"), 0))
 
 
+def tokenize_analyzed_cjk(col: Column) -> Column:
+    """CJK-analyzer-style tokens (`language_analyzers.py` 'cjk' chain):
+    Han/Hiragana/Katakana/Hangul runs emit OVERLAPPING BIGRAMS (the
+    Lucene cjk_bigram filter — CJK text has no word spaces, so unigram
+    runs would make every sentence one token); non-CJK runs tokenize
+    like the standard analyzer. Two-step HOF over a bound token array
+    (HOF lambdas don't CSE — see `shingles_from_tokens`)."""
+    cjk = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]"
+    runs = F.regexp_extract_all(
+        F.lower(col),
+        F.lit(cjk + r"+|[\p{L}]+|[\p{N}]+(?:\.[\p{N}]+)?"), 0)
+
+    def expand(tok: Column) -> Column:
+        is_cjk = tok.rlike("^" + cjk)
+        n = F.length(tok)
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.substring(tok, i, 2))
+        return F.when(is_cjk & (n >= 2), bigrams).otherwise(F.array(tok))
+
+    return F.array_distinct(F.flatten(F.transform(runs, expand)))
+
+
 def min_should_match(n_tokens: Column, threshold: float) -> Column:
     """Lucene percentage minimum_should_match: floor(pct * n), at least
     1 (ES `minimum_should_match = round(threshold*100)%`,
@@ -104,6 +127,7 @@ def lexical_similarity_search(
     context_query: dict | None = None,
     contexts_col: str = "contexts",
     fuzzy: bool = False,
+    analyzer: str = "standard",
 ) -> DataFrame:
     """J1 with the reference's full search semantics: analyzed tokens,
     context containment pre-filter (P6), floor-percentage
@@ -131,13 +155,15 @@ def lexical_similarity_search(
         cands = cands.filter(
             context_contains(F.col(contexts_col), context_query))
 
+    tokenize = (tokenize_analyzed_cjk if analyzer == "cjk"
+                else tokenize_analyzed)
     p = (probes
          .select(F.col(probe_id).alias("probe_id"),
-                 tokenize_analyzed(F.col(probe_text)).alias("_ptoks"))
+                 tokenize(F.col(probe_text)).alias("_ptoks"))
          .withColumn("probe_tokens", F.size("_ptoks"))
          .filter(F.col("probe_tokens") > 0))
     c = cands.select(F.col(cand_id).alias("cand_id"),
-                     tokenize_analyzed(F.col(cand_text)).alias("_ctoks"))
+                     tokenize(F.col(cand_text)).alias("_ctoks"))
 
     p_tok = F.broadcast(p.select("probe_id", "probe_tokens",
                                  F.explode("_ptoks").alias("ptoken")))

@@ -200,3 +200,41 @@ def test_reference_hindi_routing_story(spark):
         probe, routed.filter(F.col("route") == "hi"),
         "doc_id", "doc_id", threshold=0.0)
     assert hi_hits.count() == 1        # `:474` assertEqual(1, ...)
+
+
+def test_cjk_bigram_analyzer(spark):
+    """L7/F15 cjk route: ES's cjk analyzer emits overlapping Han
+    bigrams (CJK has no word spaces). Two sentences sharing most
+    characters match under the cjk analyzer but score ZERO overlap
+    under the standard analyzer (each sentence is one opaque run)."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.similarity_join import (
+        lexical_similarity_search, tokenize_analyzed_cjk)
+
+    a = "我喜欢吃苹果"          # 'I like eating apples'
+    b = "我喜欢吃香蕉"          # 'I like eating bananas'
+    docs = spark.createDataFrame([(1, a), (2, b)],
+                                 "doc_id long, content string")
+    toks = docs.select(tokenize_analyzed_cjk(F.col("content"))
+                       .alias("t")).collect()
+    assert toks[0]["t"] == ["我喜", "喜欢", "欢吃", "吃苹", "苹果"]
+
+    probe = spark.createDataFrame([(0, a)], "doc_id long, content string")
+    cjk_hits = lexical_similarity_search(
+        probe, docs, "doc_id", "doc_id", threshold=0.5, analyzer="cjk")
+    got = {r["cand_id"]: r["score"] for r in cjk_hits.collect()}
+    assert got[1] == 1.0                 # exact self-match
+    assert got[2] == 0.6                 # 3 of 5 bigrams shared
+    std_hits = lexical_similarity_search(
+        probe, docs, "doc_id", "doc_id", threshold=0.5)
+    # standard analyzer: the whole sentence is one token; only the
+    # identical doc matches
+    assert {r["cand_id"] for r in std_hits.collect()} == {1}
+
+    # mixed text: latin words tokenize normally alongside bigrams
+    mixed = spark.createDataFrame([(3, "Spark 处理数据 4.5")],
+                                  "doc_id long, content string")
+    t = mixed.select(tokenize_analyzed_cjk(F.col("content"))
+                     .alias("t")).first()["t"]
+    assert "spark" in t and "4.5" in t and "处理" in t and "理数" in t
