@@ -42,8 +42,14 @@ SCRUB_PATTERNS: list[tuple[str, re.Pattern, str]] = [
     # quantifiers are BOUNDED ({1,64}/{1,255}): an unbounded `+` before
     # `@` backtracks O(n^2) on long alphanumeric runs (minified/blob
     # lines), which hangs the scan at scale.
+    # local part = RFC 5322 atext (hypothesis found `/@a.ac`-style
+    # addresses escaping a [A-Za-z0-9._%+-] class); leading \b can't
+    # anchor before specials like `/`, so a one-char lookbehind on the
+    # same class takes its place.
     ("email", re.compile(
-        r"\b[A-Za-z0-9._%+\-]{1,64}@[A-Za-z0-9.\-]{1,255}\.[A-Za-z]{2,24}\b"),
+        r"(?<![A-Za-z0-9.!#$%&'*+/=?^_`{|}~\-])"
+        r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~\-]{1,64}"
+        r"@[A-Za-z0-9.\-]{1,255}\.[A-Za-z]{2,24}\b"),
      "<PII:EMAIL>"),
     ("phone", re.compile(r"(?<![\w.])\+[1-9][0-9]{7,14}\b"), "<PII:PHONE>"),
     ("ipv4", re.compile(
@@ -66,7 +72,7 @@ CATEGORIES = [name for name, _, _ in SCRUB_PATTERNS]
 # any scrub pattern, so it skips Python entirely.
 _PREGATE_CORE = (
     "(?:-----BEGIN)|(?:AKIA[0-9A-Z]{16})|(?:ghp_)|(?:xox[baprs]-)"
-    "|(?:[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24})"
+    "|(?:@[A-Za-z0-9.-]{1,255}\\.[A-Za-z]{2,24})"
     "|(?:\\+[1-9][0-9]{7,14})"
     "|(?:[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"
 )

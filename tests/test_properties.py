@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) over the pure scoring kernels —
+the invariants that must hold for ANY input, complementing the golden
+fixtures. All driver-side Python (no Spark session), so they run fast
+and explore the space the fixtures don't."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# -- scrub ------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_scrub_idempotent_and_stable(text):
+    """scrub(scrub(x)) == scrub(x): masks must never re-trigger any
+    pattern (a mask that matched a scrub regex would corrupt output on
+    reprocessing/resume)."""
+    from alegre_spark.functions.scrub import scrub_text
+    once, counts1 = scrub_text(text)
+    twice, counts2 = scrub_text(once)
+    assert twice == once
+    # clean text passes through byte-identical
+    if not counts1:
+        assert once == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.emails())
+def test_scrub_masks_any_email(email):
+    from alegre_spark.functions.scrub import scrub_text
+    out, counts = scrub_text(f"contact me at {email} thanks")
+    assert email not in out
+    assert counts.get("email", 0) >= 1
+
+
+# -- chromaprint correlation ------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**32 - 1), min_size=2, max_size=40))
+def test_chromaprint_self_similarity_is_one(fp):
+    from alegre_spark.operators.media_match import chromaprint_score
+    assert chromaprint_score(fp, fp) == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**32 - 1), min_size=2, max_size=40),
+       st.lists(st.integers(0, 2**32 - 1), min_size=2, max_size=40))
+def test_chromaprint_bounds_and_length_gate(a, b):
+    from alegre_spark.operators.media_match import chromaprint_score
+    s = chromaprint_score(a, b)
+    assert 0.0 <= s <= 1.0
+    if not (len(a) * 0.8 <= len(b) <= len(a) * 1.2):
+        assert s == 0.0
+
+
+# -- similarity measures ----------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(-1e3, 1e3), min_size=2, max_size=16),
+       st.lists(st.floats(-1e3, 1e3), min_size=2, max_size=16))
+def test_cosine_bounds_and_symmetry(a, b):
+    from alegre_spark.functions.measures import cosine_similarity
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    c1, c2 = cosine_similarity(a, b), cosine_similarity(b, a)
+    assert abs(c1 - c2) < 1e-9
+    assert -1.0 - 1e-9 <= c1 <= 1.0 + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(-1e3, 1e3), min_size=2, max_size=16))
+def test_angular_self_similarity(v):
+    """angular(v, v) == 1 for any non-degenerate vector
+    (`similarity_measures.py:15-22` semantics)."""
+    from alegre_spark.functions.measures import angular_similarity
+    if all(abs(x) < 1e-12 for x in v):
+        return
+    assert abs(angular_similarity(v, v) - 1.0) < 1e-6
+
+
+# -- perplexity -------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_perplexity_positive_and_deterministic(text):
+    from alegre_spark.functions.perplexity import default_model
+    lm = default_model()
+    p1, p2 = lm.perplexity(text), lm.perplexity(text)
+    assert p1 == p2
+    assert p1 > 0 and math.isfinite(p1)
+
+
+# -- langid -----------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_langid_total_and_deterministic(text):
+    """Any input gets exactly one (language, confidence in [0,1]) —
+    no crash on emoji/control chars/mixed scripts; empty -> und P11."""
+    from alegre_spark.functions.langid import langid_batch
+    r1 = langid_batch([text])
+    r2 = langid_batch([text])
+    assert r1["language"][0] == r2["language"][0]
+    assert 0.0 <= r1["language_confidence"][0] <= 1.0
+    if not text.strip():
+        assert r1["language"][0] == "und"
