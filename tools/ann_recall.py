@@ -1,0 +1,68 @@
+"""ANN quality evidence: recall@k of the hyperplane-LSH and IVF paths
+vs the exact brute-force ranking, on the driver's embeddings table.
+
+Usage: python tools/ann_recall.py [sf_dir] — one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.ann import (brute_force_topk,
+                                            ivf_fit_centroids, ivf_topk,
+                                            lsh_topk)
+    from alegre_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = e.count()
+    probes = e.filter(F.col("vec_id") < 50)
+    k = 10
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["cand_id"])
+        return out
+
+    exact = topk_sets(brute_force_topk(
+        probes, e, "vec_id", "vec_id", "embedding", "embedding", k=k))
+
+    rng = np.random.RandomState(7)
+    planes = rng.randn(6, 64).tolist()
+    lsh = topk_sets(lsh_topk(probes, e, "vec_id", "vec_id",
+                             "embedding", "embedding", planes, k=k))
+
+    C = ivf_fit_centroids(e, "vec_id", "embedding", n_centroids=16,
+                          sample=2048)
+    ivf = {}
+    for nprobe in (1, 2, 4):
+        got = topk_sets(ivf_topk(probes, e, "vec_id", "vec_id",
+                                 "embedding", "embedding", C,
+                                 nprobe=nprobe, k=k))
+        ivf[f"nprobe{nprobe}"] = round(sum(
+            len(got.get(p, set()) & exact[p]) / k for p in exact
+        ) / len(exact), 4)
+
+    lsh_recall = round(sum(
+        len(lsh.get(p, set()) & exact[p]) / k for p in exact
+    ) / len(exact), 4)
+
+    print(json.dumps({"n_vectors": n, "k": k, "n_probes": len(exact),
+                      "recall_lsh_6planes": lsh_recall,
+                      "recall_ivf": ivf}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
