@@ -194,3 +194,39 @@ def ivf_topk(probes: DataFrame, candidates: DataFrame,
         scored.select("probe_id", "cand_id", "cosine").dropDuplicates(
             ["probe_id", "cand_id"]),
         ["probe_id"], [F.desc("cosine"), F.asc("cand_id")], k)
+
+
+def lsh_topk_multitable(probes: DataFrame, candidates: DataFrame,
+                        probe_id: str, cand_id: str,
+                        probe_vec: str, cand_vec: str,
+                        plane_tables: list[list[list[float]]],
+                        k: int = 10,
+                        round_to: int | None = None) -> DataFrame:
+    """Multi-table hyperplane LSH (the standard recall lever, Indyk &
+    Motwani / Charikar): L independent plane sets each bucket the data;
+    a candidate meets a probe if they collide in ANY table. Recall
+    rises with L at ~L× candidate-scan cost; single-table `lsh_topk`
+    is the L=1 case. Exact cosine re-rank over the deduped union."""
+    def with_buckets(df, id_col, vec_col, out_id):
+        base = df.select(F.col(id_col).alias(out_id),
+                         F.col(vec_col).cast("array<double>")
+                         .alias(f"_{out_id}_v"))
+        buckets = F.array(*[
+            F.concat(F.lit(f"{t}:"),
+                     hyperplane_bucket(F.col(f"_{out_id}_v"), planes))
+            for t, planes in enumerate(plane_tables)])
+        return base.select(out_id, f"_{out_id}_v",
+                           F.explode(buckets).alias("bucket"))
+
+    p = with_buckets(probes, probe_id, probe_vec, "probe_id")
+    c = with_buckets(candidates, cand_id, cand_vec, "cand_id")
+    pairs = (c.join(F.broadcast(p), "bucket")
+             .select("probe_id", "cand_id", "_probe_id_v", "_cand_id_v")
+             .dropDuplicates(["probe_id", "cand_id"]))
+    scored = pairs.withColumn(
+        "cosine", cosine_col(F.col("_probe_id_v"), F.col("_cand_id_v")))
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_to))
+    return topk_per_group(scored.select("probe_id", "cand_id", "cosine"),
+                          ["probe_id"],
+                          [F.desc("cosine"), F.asc("cand_id")], k)

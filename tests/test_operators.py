@@ -302,3 +302,39 @@ def test_ivf_ann(spark):
                              "embedding", k=5).collect()
     assert [r["cand_id"] for r in got] == [r["cand_id"] for r in exact]
     assert all(r["cand_id"] < 20 for r in got)  # stays in cluster A
+
+
+def test_lsh_multitable_recall_monotone(spark):
+    """Multi-table LSH: L tables strictly widen the candidate union,
+    so recall@k vs brute force is monotonically non-decreasing in L
+    (and meaningfully higher on structureless vectors)."""
+    import numpy as np
+
+    from alegre_spark.operators.ann import (brute_force_topk, lsh_topk,
+                                            lsh_topk_multitable)
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = e.filter("vec_id < 10")
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["cand_id"])
+        return out
+
+    exact = sets(brute_force_topk(probes, e, "vec_id", "vec_id",
+                                  "embedding", "embedding", k=5))
+    rng = np.random.RandomState(7)
+    tables = [rng.randn(6, 64).tolist() for _ in range(4)]
+
+    def recall(got):
+        return sum(len(got.get(p, set()) & exact[p]) / 5
+                   for p in exact) / len(exact)
+
+    r1 = recall(sets(lsh_topk(probes, e, "vec_id", "vec_id",
+                              "embedding", "embedding", tables[0], k=5)))
+    r4 = recall(sets(lsh_topk_multitable(
+        probes, e, "vec_id", "vec_id", "embedding", "embedding",
+        tables, k=5)))
+    assert r4 >= r1
+    assert r4 >= 0.3        # 4 tables reach useful recall here
