@@ -80,3 +80,37 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return (df.withColumn("frame_idx",
                           F.explode(F.sequence(F.lit(0), n_frames - 1)))
             .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms))
+
+
+def resize_pooled(img: np.ndarray, out_side: int = 4) -> np.ndarray:
+    """Mean-pool resize of a square grayscale block (real numpy math;
+    only the DECODE upstream is stubbed). 8x8 -> 4x4 by 2x2 means."""
+    side = img.shape[0]
+    f = side // out_side
+    return (img.reshape(out_side, f, out_side, f)
+            .mean(axis=(1, 3)).astype(np.uint8))
+
+
+def with_thumbnail(df: DataFrame, media_col: str = "media",
+                   out_side: int = 4) -> DataFrame:
+    """binary media -> decode (stub) -> mean-pool resize -> thumbnail
+    bytes. One mapInPandas pass; the schema/batching contract is the
+    production shape — a real deployment swaps only fake_decode_image.
+    """
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["thumbnail binary", "thumb_side int"])
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for data in pdf[media_col]:
+                img = fake_decode_image(bytes(data) if data is not None
+                                        else b"")
+                thumbs.append(resize_pooled(img, out_side).tobytes())
+            pdf = pdf.copy()
+            pdf["thumbnail"] = thumbs
+            pdf["thumb_side"] = out_side
+            yield pdf
+
+    return df.mapInPandas(_map, schema=out_schema)

@@ -338,3 +338,24 @@ def test_lsh_multitable_recall_monotone(spark):
         tables, k=5)))
     assert r4 >= r1
     assert r4 >= 0.3        # 4 tables reach useful recall here
+
+
+def test_with_thumbnail(spark):
+    """Multimodal resize plumbing: stub decode -> mean-pool 8x8 -> 4x4;
+    deterministic bytes, schema carries through."""
+    import hashlib
+
+    import numpy as np
+
+    from alegre_spark.functions.multimodal import (fake_decode_image,
+                                                   resize_pooled,
+                                                   with_thumbnail)
+
+    df = spark.createDataFrame([(1, b"imgdata"), (2, b"other")],
+                               "id long, media binary")
+    rows = {r["id"]: r for r in with_thumbnail(df).collect()}
+    assert rows[1]["thumb_side"] == 4
+    assert len(rows[1]["thumbnail"]) == 16
+    expect = resize_pooled(fake_decode_image(b"imgdata")).tobytes()
+    assert bytes(rows[1]["thumbnail"]) == expect
+    assert rows[1]["thumbnail"] != rows[2]["thumbnail"]
