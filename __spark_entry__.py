@@ -705,6 +705,44 @@ def q49_bpe_token_count(spark, sf):
                                 F.col("n_ws_tokens"), 4)))
 
 
+def q50_sessionization(spark, sf):
+    """Gap-based sessionization over events (30-min gap): session
+    count, size, and span per user — pure window machinery (the
+    reference has no session semantics; a training pipeline does)."""
+    from alegre_spark.operators.temporal import sessionize
+    e = _t(spark, sf, "events")
+    s = sessionize(e, "user_id", "ts", gap_minutes=30.0,
+                   tiebreak="event_id")
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event"),
+                 F.round((F.max(F.unix_micros(F.col("ts").cast("timestamp"))) -
+                          F.min(F.unix_micros(F.col("ts").cast("timestamp")))) / 1e6, 1)
+                 .alias("span_sec"))
+            .withColumn("session_seq",
+                        F.col("session_seq").cast("int")))
+
+
+def q51_asof_join(spark, sf):
+    """As-of join: each 'click' event gains the value of the user's
+    most recent at-or-before 'view' event (NULL when none). DuckDB's
+    native ASOF JOIN is the oracle."""
+    from alegre_spark.operators.temporal import asof_join
+    e = _t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    views = (e.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("value").alias("view_value"),
+                     F.col("event_id").alias("view_event")))
+    out = asof_join(clicks, views, "user_id", "ts",
+                    ["view_value", "view_event"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("asof_view_value", 4).alias("view_value"),
+        "asof_view_event")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -755,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_id_url_lookup": q47_id_url_lookup,
         "q48_ivf_ann": q48_ivf_ann,
         "q49_bpe_token_count": q49_bpe_token_count,
+        "q50_sessionization": q50_sessionization,
+        "q51_asof_join": q51_asof_join,
     }
 
 
@@ -1200,6 +1240,41 @@ def oracle_sql() -> dict[str, str]:
                         len(list_filter(string_split_regex(lower(text),
                         '\s+'), x -> x <> '')), 4) AS bpe_per_ws
             FROM documents
+        """,
+        "q50_sessionization": """
+            WITH o AS (
+              SELECT *, lag(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev
+              FROM events),
+            b AS (SELECT *,
+                     CASE WHEN prev IS NULL OR
+                          epoch_us(ts) - epoch_us(prev) > 1800000000
+                          THEN 1 ELSE 0 END AS boundary
+                  FROM o),
+            s AS (SELECT *,
+                     SUM(boundary) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+                  FROM b)
+            SELECT user_id, COUNT(*) AS n_events,
+                   MIN(event_id) AS first_event,
+                   MAX(event_id) AS last_event,
+                   ROUND((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1e6,
+                         1) AS span_sec,
+                   CAST(session_seq AS INTEGER) AS session_seq
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "q51_asof_join": """
+            WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'click'),
+            views AS (SELECT user_id, ts, value AS view_value,
+                             event_id AS view_event
+                      FROM events WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id,
+                   ROUND(v.view_value, 4) AS view_value,
+                   v.view_event AS asof_view_event
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "q21_dedup_keep_first": f"""
             WITH {_TOKS_CTE},

@@ -1,0 +1,66 @@
+"""Temporal operators over event streams (beyond-reference coverage:
+SURVEY.md §2.5 notes the reference has no analytic frames, lead/lag,
+session windows, or as-of joins — a training-data pipeline needs them
+for activity slicing, and they are pure Catalyst window machinery).
+
+- sessionize: gap-based session ids per key (lag + cumulative sum of
+  boundary flags over one key-partitioned sort — a single shuffle).
+- asof_join: for each left row, the latest right row at-or-before its
+  timestamp per key. Implemented as union + window last_value carry-
+  forward (the merge-sorted form: ONE shuffle on (key, ts), no range
+  cross join), then filter back to left rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, key: str, ts: str,
+               gap_minutes: float = 30.0,
+               tiebreak: str | None = None) -> DataFrame:
+    """Append session_seq: a new session starts when the gap to the
+    previous event of the same key exceeds `gap_minutes`. session id =
+    (key, session_seq) with session_seq the cumulative boundary count
+    — deterministic (pass the table's unique id as `tiebreak` for
+    stable order at equal timestamps; NEVER a nondeterministic id —
+    resume safety), one shuffle on key."""
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.col(ts)).over(w)
+    # integer microseconds: exact gap comparison (a float cast rounds
+    # at ~µs precision and can flip a boundary decision vs the oracle)
+    gap_us = (F.unix_micros(F.col(ts).cast("timestamp")) -
+              F.unix_micros(prev.cast("timestamp")))
+    boundary = F.when(prev.isNull() |
+                      (gap_us > int(gap_minutes * 60e6)), 1).otherwise(0)
+    return df.withColumn("session_seq",
+                         F.sum(boundary).over(
+                             w.rowsBetween(Window.unboundedPreceding, 0)))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+              right_cols: list[str]) -> DataFrame:
+    """Left as-of join: each left row gains the `right_cols` of the
+    most recent right row with right.ts <= left.ts for the same key
+    (NULLs when none). Union-merge + last_value(ignorenulls) carry-
+    forward: one shuffle on key, sorted by ts — the sort-merge as-of
+    plan, never a range cross-join."""
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        key, ts, *right_cols).withColumn("_side", F.lit(0))
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts => at-or-before
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts).asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = merged
+    for c in right_cols:
+        src = F.when(F.col("_side") == 0, F.col(c))
+        carried = carried.withColumn(
+            f"asof_{c}", F.last(src, ignorenulls=True).over(w))
+    return (carried.filter(F.col("_side") == 1)
+            .drop("_side", *right_cols))

@@ -1,0 +1,45 @@
+"""Temporal operators: gap sessionization + as-of join semantics."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts(m, s=0):
+    return datetime(2024, 1, 1, 0, m, s)
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [(1, 1, _ts(0)), (2, 1, _ts(10)), (3, 1, _ts(50)),
+            (4, 2, _ts(0))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "ts timestamp")
+    out = {r["event_id"]: r["session_seq"] for r in
+           sessionize(df, "user_id", "ts", gap_minutes=30,
+                      tiebreak="event_id").collect()}
+    # 0->10 min stays; 10->50 min (40 min gap) breaks; user 2 separate
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+    # boundary is strict '>': exactly-30min gap stays in session
+    df2 = spark.createDataFrame([(1, 1, _ts(0)), (2, 1, _ts(30))],
+                                "event_id long, user_id long, "
+                                "ts timestamp")
+    out2 = {r["event_id"]: r["session_seq"] for r in
+            sessionize(df2, "user_id", "ts", 30, "event_id").collect()}
+    assert out2 == {1: 1, 2: 1}
+
+
+def test_asof_join_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(5)), (2, 1, _ts(10)), (3, 1, _ts(1)), (4, 2, _ts(5))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(2), 20.0), (1, _ts(10), 30.0), (2, _ts(9), 40.0)],
+        "user_id long, ts timestamp, v double")
+    out = {r["event_id"]: r["asof_v"] for r in
+           asof_join(left, right, "user_id", "ts", ["v"]).collect()}
+    assert out[1] == 20.0        # latest right at-or-before 00:05
+    assert out[2] == 30.0        # equal timestamp counts (at-or-before)
+    assert out[3] is None        # nothing before 00:01
+    assert out[4] is None        # user 2's view is later than the click
