@@ -173,12 +173,19 @@ def lexical_similarity_search(
         max_edits = (
             F.when(F.length("ptoken") < 3, F.lit(0))
              .when(F.length("ptoken") < 6, F.lit(1)).otherwise(F.lit(2)))
+        # cheap gates first: |len diff| <= max_edits is a lower bound on
+        # edit distance; then the THRESHOLD-bounded levenshtein (O(n*k)
+        # early-exit DP, returns -1 above the bound) instead of the
+        # full O(n*m) distance
+        lev = F.levenshtein("ptoken", "ctoken", 2)
         joined = (p_tok
                   .withColumn("block", F.substring("ptoken", 1, 1))
                   .join(c_tok.withColumn("block",
                                          F.substring("ctoken", 1, 1)),
                         "block")
-                  .filter(F.levenshtein("ptoken", "ctoken") <= max_edits))
+                  .filter((F.abs(F.length("ptoken") -
+                                 F.length("ctoken")) <= max_edits) &
+                          (lev >= 0) & (lev <= max_edits)))
         agg = (joined.groupBy("probe_id", "cand_id", "probe_tokens")
                .agg(F.countDistinct("ptoken").alias("overlap")))
     else:
