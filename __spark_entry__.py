@@ -743,6 +743,20 @@ def q51_asof_join(spark, sf):
         "asof_view_event")
 
 
+def q52_prefix_filter_search(spark, sf):
+    """J1 via PREFIX FILTERING (PPJoin-style): df-ascending prefix
+    tokens generate candidates, array_intersect verifies — the scale
+    path when high-document-frequency tokens make the naive inverted
+    index quadratic. Same semantics as q09 (same oracle)."""
+    from alegre_spark.operators.similarity_join import \
+        token_overlap_join_prefix
+    d = _t(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") < 5)
+    out = token_overlap_join_prefix(probes, d, "doc_id", "doc_id",
+                                    "text", "text", threshold=0.6)
+    return out.withColumn("score", F.round("score", 4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -795,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_bpe_token_count": q49_bpe_token_count,
         "q50_sessionization": q50_sessionization,
         "q51_asof_join": q51_asof_join,
+        "q52_prefix_filter_search": q52_prefix_filter_search,
     }
 
 
@@ -1275,6 +1290,23 @@ def oracle_sql() -> dict[str, str]:
                    v.view_event AS asof_view_event
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+                "q52_prefix_filter_search": f"""
+            WITH {_TOKS_CTE},
+            dt AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+            p AS (SELECT doc_id AS probe_id, unnest(dt) AS token,
+                         len(dt) AS probe_tokens
+                  FROM dt WHERE doc_id < 5),
+            c AS (SELECT doc_id AS cand_id, unnest(dt) AS token FROM dt),
+            agg AS (SELECT probe_id, cand_id,
+                           any_value(probe_tokens) AS probe_tokens,
+                           COUNT(*) AS overlap
+                    FROM p JOIN c USING (token)
+                    GROUP BY probe_id, cand_id)
+            SELECT probe_id, cand_id, overlap,
+                   CAST(probe_tokens AS INTEGER) AS probe_tokens,
+                   ROUND(overlap * 1.0 / probe_tokens, 4) AS score
+            FROM agg WHERE overlap >= CEIL(0.6 * probe_tokens)
         """,
         "q21_dedup_keep_first": f"""
             WITH {_TOKS_CTE},

@@ -242,3 +242,75 @@ def hamming_join(
            .withColumn("score", hamming64_col(F.col("_ph"), F.col("_ch"))))
     return (out.filter(F.col("score") >= threshold)
             .select("probe_id", "cand_id", "score"))
+
+
+def token_overlap_join_prefix(
+    probes: DataFrame, candidates: DataFrame,
+    probe_id: str, cand_id: str,
+    probe_text: str = "content", cand_text: str = "content",
+    threshold: float = 0.6,
+    df_stop_fraction: float | None = None,
+) -> DataFrame:
+    """J1 with PREFIX FILTERING (Chaudhuri et al. 2006 / PPJoin): a
+    candidate with overlap >= m must share at least one of the probe's
+    (n - m + 1) RAREST tokens (pigeonhole over df-ascending order), so
+    only those prefix tokens generate candidate pairs; the full overlap
+    is then verified pair-wise with array_intersect. On Zipfian corpora
+    this prunes the high-document-frequency tail that makes the naive
+    inverted-index join quadratic (every stop-word-ish token joins all
+    docs). Same result set as `token_overlap_join`.
+
+    df_stop_fraction additionally DROPS tokens with document frequency
+    above that fraction of the corpus from candidate GENERATION only
+    (verification still counts them) — the Lucene stop-filter analog;
+    None keeps exact semantics.
+    """
+    from pyspark.sql import Window
+
+    p = (probes
+         .select(F.col(probe_id).alias("probe_id"),
+                 tokenize_distinct(F.col(probe_text)).alias("_ptoks"))
+         .withColumn("probe_tokens", F.size("_ptoks"))
+         .filter(F.col("probe_tokens") > 0))
+    c = (candidates
+         .select(F.col(cand_id).alias("cand_id"),
+                 tokenize_distinct(F.col(cand_text)).alias("_ctoks")))
+
+    n_cands = c.count()
+    c_post = c.select("cand_id", F.explode("_ctoks").alias("token"))
+    df_tbl = c_post.groupBy("token").agg(F.count("*").alias("df"))
+    if df_stop_fraction is not None:
+        df_tbl = df_tbl.filter(F.col("df") <=
+                               F.lit(df_stop_fraction * n_cands))
+
+    # m matches token_overlap_join's ceil form (lexical search uses
+    # the Lucene floor form; the prefix bound just needs the same m as
+    # the verification filter)
+    m = F.ceil(F.lit(threshold) * F.col("probe_tokens")).cast("int")
+    prefix_len = (F.col("probe_tokens") - m + 1)
+    w = Window.partitionBy("probe_id").orderBy(F.asc("df"), F.asc("token"))
+    p_prefix = (p.select("probe_id", "probe_tokens",
+                         F.explode("_ptoks").alias("token"))
+                .join(df_tbl, "token")           # drops stopped tokens
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= prefix_len)
+                .select("probe_id", "token"))
+
+    pairs = (F.broadcast(p_prefix)
+             .join(c_post, "token")
+             .select("probe_id", "cand_id").distinct())
+
+    verified = (pairs
+                .join(F.broadcast(p.select("probe_id", "probe_tokens",
+                                           "_ptoks")), "probe_id")
+                .join(c, "cand_id")
+                .withColumn("overlap",
+                            F.size(F.array_intersect("_ptoks", "_ctoks"))))
+    return (verified
+            .filter(F.col("overlap") >=
+                    F.ceil(F.lit(threshold) * F.col("probe_tokens")))
+            .withColumn("score",
+                        F.col("overlap") /
+                        F.col("probe_tokens").cast("double"))
+            .select("probe_id", "cand_id", "overlap", "probe_tokens",
+                    "score"))

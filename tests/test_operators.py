@@ -359,3 +359,64 @@ def test_with_thumbnail(spark):
     expect = resize_pooled(fake_decode_image(b"imgdata")).tobytes()
     assert bytes(rows[1]["thumbnail"]) == expect
     assert rows[1]["thumbnail"] != rows[2]["thumbnail"]
+
+
+def test_prefix_filter_join_equivalence_and_pruning(spark):
+    """Prefix-filtered J1 returns EXACTLY the naive join's results,
+    while generating far fewer candidate pairs on a Zipfian vocabulary
+    (the df-ascending prefix skips stop-word-ish tokens)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.similarity_join import (
+        token_overlap_join, token_overlap_join_prefix, tokenize_distinct)
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(2000)]
+    zipf_p = 1.0 / np.arange(1, len(vocab) + 1)
+    zipf_p /= zipf_p.sum()
+    rows = [(i, " ".join(rng.choice(vocab, size=20, p=zipf_p)))
+            for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = docs.filter("doc_id < 20")
+
+    naive = token_overlap_join(probes, docs, "doc_id", "doc_id",
+                               "text", "text", threshold=0.3)
+    pref = token_overlap_join_prefix(probes, docs, "doc_id", "doc_id",
+                                     "text", "text", threshold=0.3)
+
+    def norm(df):
+        return sorted((r["probe_id"], r["cand_id"], r["overlap"],
+                       r["probe_tokens"]) for r in df.collect())
+
+    assert norm(naive) == norm(pref)
+
+    # pruning accounting: distinct candidate pairs generated
+    toks = docs.select("doc_id", tokenize_distinct(F.col("text"))
+                       .alias("t"))
+    p_tok = (toks.filter("doc_id < 20")
+             .select(F.col("doc_id").alias("p"),
+                     F.explode("t").alias("token")))
+    c_tok = toks.select(F.col("doc_id").alias("c"),
+                        F.explode("t").alias("token"))
+    naive_pairs = (p_tok.join(c_tok, "token")
+                   .select("p", "c").distinct().count())
+    # the prefix join's generated pairs = its verification input
+    df_tbl = c_tok.groupBy("token").count()
+    # (observed ~3-6x fewer pairs; assert a conservative bound)
+    from pyspark.sql import Window
+    m_frac = 0.3
+    sized = toks.filter("doc_id < 20").select(
+        F.col("doc_id").alias("p"), F.size("t").alias("n"),
+        F.explode("t").alias("token"))
+    w = Window.partitionBy("p").orderBy(F.asc("count"), F.asc("token"))
+    prefix_tok = (sized.join(df_tbl, "token")
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <=
+                          F.col("n") - F.greatest(
+                              F.floor(F.lit(m_frac) * F.col("n"))
+                              .cast("int"), F.lit(1)) + 1))
+    pref_pairs = (prefix_tok.select("p", "token")
+                  .join(c_tok, "token")
+                  .select("p", "c").distinct().count())
+    assert pref_pairs < naive_pairs * 0.7
