@@ -69,6 +69,18 @@ CHECKS = {
         ("BroadcastNestedLoopJoin", "length gate joins before scoring"),
         ("MapInPandas", "correlation scored in one Arrow pass"),
     ],
+    "q50_sessionization": [
+        ("Window", "lag + cumulative boundary sum windows"),
+        ("partial_count", "session rollup partial-aggregated"),
+    ],
+    "q51_asof_join": [
+        ("Union", "merge-sorted union, not a range cross join"),
+        ("Window", "carry-forward window"),
+    ],
+    "q52_prefix_filter_search": [
+        ("BroadcastHashJoin", "prefix tokens broadcast"),
+        ("array_intersect", "pair-wise verification JVM-side"),
+    ],
 }
 
 FORBIDDEN = {
@@ -89,6 +101,13 @@ FORBIDDEN = {
                                 "MapInPandas"],
     "q41_fuzzy_search": ["ArrowEvalPython", "BatchEvalPython",
                          "MapInPandas"],
+    "q50_sessionization": ["ArrowEvalPython", "BatchEvalPython",
+                           "MapInPandas"],
+    "q51_asof_join": ["ArrowEvalPython", "BatchEvalPython",
+                      "MapInPandas", "CartesianProduct",
+                      "BroadcastNestedLoopJoin"],
+    "q52_prefix_filter_search": ["ArrowEvalPython", "BatchEvalPython",
+                                 "MapInPandas", "CartesianProduct"],
 }
 
 
