@@ -757,6 +757,20 @@ def q52_prefix_filter_search(spark, sf):
     return out.withColumn("score", F.round("score", 4))
 
 
+def q53_compression_ratio(spark, sf):
+    """Low-entropy signal (rows-only): zlib compression-ratio
+    histogram over documents — boilerplate detection for training-data
+    curation (pandas-UDF stage, not SQL-expressible)."""
+    from alegre_spark.functions.quality import with_compression_ratio
+    d = _t(spark, sf, "documents").withColumnRenamed("text", "content")
+    out = with_compression_ratio(d)
+    bucket = F.floor(F.col("compression_ratio") * 10).cast("int")
+    return (out.groupBy(bucket.alias("ratio_decile"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("compression_ratio"), 4).alias("avg_ratio"))
+            .orderBy("ratio_decile"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -810,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_sessionization": q50_sessionization,
         "q51_asof_join": q51_asof_join,
         "q52_prefix_filter_search": q52_prefix_filter_search,
+        "q53_compression_ratio": q53_compression_ratio,
     }
 
 

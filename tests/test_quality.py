@@ -54,3 +54,21 @@ def test_no_python_udf_in_plan(spark):
     df = spark.createDataFrame([(GOOD,)], "content string")
     plan = with_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_compression_ratio_signal(spark):
+    """Boilerplate compresses far below varied text; bounds hold;
+    empty -> 1.0."""
+    from alegre_spark.functions.quality import with_compression_ratio
+
+    rows = [(1, "the same line\n" * 200),
+            (2, "def f(a1, bq2): return a1 * 7 + int('0x2f', 16) "
+                "# varied tokens zebra quartz jigsaw vex"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "id long, content string")
+    out = {r["id"]: r["compression_ratio"]
+           for r in with_compression_ratio(df).collect()}
+    assert out[1] < 0.05          # pure boilerplate
+    assert out[2] > 0.5           # short varied text barely compresses
+    assert out[3] == 1.0
+    assert all(0 < v <= 1.5 for v in out.values())
