@@ -276,10 +276,13 @@ def token_overlap_join_prefix(
          .select(F.col(cand_id).alias("cand_id"),
                  tokenize_distinct(F.col(cand_text)).alias("_ctoks")))
 
-    n_cands = c.count()
     c_post = c.select("cand_id", F.explode("_ctoks").alias("token"))
     df_tbl = c_post.groupBy("token").agg(F.count("*").alias("df"))
     if df_stop_fraction is not None:
+        # corpus size only needed for the stop cutoff — counted here,
+        # NOT unconditionally (an eager count at plan-build time would
+        # add a full scan even when no stopping was requested)
+        n_cands = c.count()
         df_tbl = df_tbl.filter(F.col("df") <=
                                F.lit(df_stop_fraction * n_cands))
 
