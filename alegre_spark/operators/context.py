@@ -110,3 +110,31 @@ def delete_with_context_peel(df: DataFrame, doc_id: str, doc_id_value,
         contexts_col,
         F.when(is_target, peeled).otherwise(F.col(contexts_col)))
     return out.filter(~(is_target & (F.size(F.col(contexts_col)) == 0)))
+
+
+def context_matches_json(entries_col: Column, query: dict) -> Column:
+    """P8 strict re-check over JSONB-shaped contexts (`context_matches`,
+    `app/main/lib/helpers.py:17-42`): entries are JSON-object STRINGS
+    (the reference's JSONB rows), so values may be scalars OR lists —
+    `{"dbid": [54, 55]}` matches query dbid=54 via set intersection
+    (`helpers.py:34`), scalars via equality; AND across query keys,
+    ignored keys skipped. Pure Catalyst: get_json_object + from_json +
+    arrays_overlap.
+    """
+    def entry_matches(entry: Column) -> Column:
+        cond = F.lit(True)
+        for k, v in query.items():
+            if k in IGNORED_CONTEXT_KEYS:
+                continue
+            qvals = [str(x) for x in (v if isinstance(v, (list, tuple))
+                                      else [v])]
+            sval = F.get_json_object(entry, f"$.{k}")
+            arr = F.from_json(sval, "array<string>")
+            c = F.when(arr.isNotNull(),
+                       F.arrays_overlap(arr, F.array(
+                           *[F.lit(x) for x in qvals]))) \
+                 .otherwise(sval.isin(qvals))
+            cond = cond & F.coalesce(c, F.lit(False))
+        return cond
+
+    return F.exists(entries_col, entry_matches)

@@ -420,3 +420,31 @@ def test_prefix_filter_join_equivalence_and_pruning(spark):
                   .join(c_tok, "token")
                   .select("p", "c").distinct().count())
     assert pref_pairs < naive_pairs * 0.7
+
+
+def test_context_matches_json_list_values(spark):
+    """P8 strict re-check with JSONB-shaped entries: doc-side LIST
+    values use set intersection (`helpers.py:34`), scalars equality;
+    ignored keys skipped (the reference's exact semantics on the
+    `{'dbid': [54, 55]}` fixture shape)."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.context import context_matches_json
+
+    df = spark.createDataFrame(
+        [(1, ['{"dbid": ["54", "55"]}']),
+         (2, ['{"dbid": "54"}']),
+         (3, ['{"dbid": ["56"]}']),
+         (4, ['{"team": "x"}'])],
+        "id long, contexts array<string>")
+
+    def ids(query):
+        return sorted(r["id"] for r in
+                      df.filter(context_matches_json(
+                          F.col("contexts"), query)).collect())
+
+    assert ids({"dbid": 54}) == [1, 2]          # list∩ + scalar==
+    assert ids({"dbid": [55, 56]}) == [1, 3]    # list∩list
+    assert ids({"dbid": 99}) == []
+    assert ids({"dbid": 54, "project_media_id": 7}) == [1, 2]  # ignored
+    assert ids({"dbid": 54, "team": "x"}) == []  # AND across keys
