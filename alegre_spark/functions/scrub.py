@@ -42,13 +42,17 @@ SCRUB_PATTERNS: list[tuple[str, re.Pattern, str]] = [
     # quantifiers are BOUNDED ({1,64}/{1,255}): an unbounded `+` before
     # `@` backtracks O(n^2) on long alphanumeric runs (minified/blob
     # lines), which hangs the scan at scale.
-    # local part = RFC 5322 atext (hypothesis found `/@a.ac`-style
-    # addresses escaping a [A-Za-z0-9._%+-] class); leading \b can't
-    # anchor before specials like `/`, so a one-char lookbehind on the
-    # same class takes its place.
+    # local part = RFC 5322 atext MINUS the URL-structural chars
+    # / ? = & # : a full-atext class makes the match start walk left
+    # across URL paths/query strings ('.../path?user=x@y.com' would
+    # mask the whole URL tail as <PII:EMAIL> — over-redaction destroys
+    # more training text than the vanishingly rare slash-bearing
+    # address is worth). Leading \b can't anchor before specials, so a
+    # one-char lookbehind on the same class replaces it (hypothesis
+    # found `!a@b.co`-style addresses escaping [A-Za-z0-9._%+-]).
     ("email", re.compile(
-        r"(?<![A-Za-z0-9.!#$%&'*+/=?^_`{|}~\-])"
-        r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~\-]{1,64}"
+        r"(?<![A-Za-z0-9.!$%'*+^_`{|}~\-])"
+        r"[A-Za-z0-9.!$%'*+^_`{|}~\-]{1,64}"
         r"@[A-Za-z0-9.\-]{1,255}\.[A-Za-z]{2,24}\b"),
      "<PII:EMAIL>"),
     ("phone", re.compile(r"(?<![\w.])\+[1-9][0-9]{7,14}\b"), "<PII:PHONE>"),

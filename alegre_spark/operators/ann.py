@@ -122,8 +122,13 @@ def ivf_fit_centroids(df: DataFrame, id_col: str, vec_col: str,
     Returns (n_centroids, dim) float64 array."""
     rows = (df.select(id_col, vec_col).orderBy(id_col)
             .limit(sample).collect())
+    if not rows:
+        raise ValueError("cannot fit IVF centroids on an empty input")
     X = np.array([r[1] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # fewer sample rows than requested lists would duplicate centroids
+    # forever (identical starts never separate) — clamp instead
+    n_centroids = min(n_centroids, len(X))
     # deterministic init: evenly spaced sample rows (no RNG — resume-safe)
     idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
     C = X[idx].copy()
@@ -145,6 +150,11 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     (id, vec, centroid_id) — one row per (vector, probed list)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(np.asarray(centroids, np.float64))
+    # derive id/vec types from the input — a hardcoded "id long,
+    # vec array<float>" breaks string ids and silently narrows
+    # double embeddings to float32 before the exact re-rank
+    id_dt = df.schema[id_col].dataType.simpleString()
+    vec_dt = df.schema[vec_col].dataType.simpleString()
 
     def _map(batches):
         C = bc.value
@@ -155,7 +165,6 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                                1e-12)
             sims = V @ C.T                          # (batch, k)
             top = np.argsort(-sims, axis=1)[:, :nprobe]
-            n = len(pdf)
             yield pd.DataFrame({
                 "id": np.repeat(pdf[id_col].values, nprobe),
                 "vec": [v for v in pdf[vec_col].values
@@ -164,7 +173,7 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
             })
 
     return df.select(id_col, vec_col).mapInPandas(
-        _map, schema="id long, vec array<float>, centroid_id int")
+        _map, schema=f"id {id_dt}, vec {vec_dt}, centroid_id int")
 
 
 def ivf_topk(probes: DataFrame, candidates: DataFrame,

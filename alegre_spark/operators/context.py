@@ -91,12 +91,21 @@ def peel_contexts_where(df: DataFrame, predicate: Column,
     for every row satisfying `predicate`, remove context entries
     matching `query`; rows whose context list empties are deleted —
     the `elasticsearch.py:149-176` semantics applied as one
-    MERGE-shaped pass instead of per-document requests."""
+    MERGE-shaped pass instead of per-document requests.
+
+    The predicate is materialized BEFORE the contexts column is
+    replaced: predicates that reference the contexts column (the
+    natural 'peel wherever it appears' form) must evaluate against
+    the ORIGINAL contexts, not the peeled ones — otherwise a row whose
+    list empties sees the predicate flip false and survives with []."""
     peeled = remove_context_entry(F.col(contexts_col), query)
-    out = df.withColumn(
-        contexts_col,
-        F.when(predicate, peeled).otherwise(F.col(contexts_col)))
-    return out.filter(~(predicate & (F.size(F.col(contexts_col)) == 0)))
+    out = (df.withColumn("_peel_pred", predicate)
+           .withColumn(contexts_col,
+                       F.when(F.col("_peel_pred"), peeled)
+                       .otherwise(F.col(contexts_col))))
+    return (out.filter(~(F.col("_peel_pred") &
+                         (F.size(F.col(contexts_col)) == 0)))
+            .drop("_peel_pred"))
 
 
 def delete_with_context_peel(df: DataFrame, doc_id: str, doc_id_value,

@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 from .similarity_join import tokenize_distinct
 
 
+def tokenize_ws(col):
+    """Lowercased non-empty whitespace tokens — THE tokenizer for the
+    dedup family (one definition; minhash/jaccard/shingles must not
+    drift apart)."""
+    return F.filter(F.split(F.lower(col), r"\s+"),
+                    lambda x: x != F.lit(""))
+
+
 def normalize_text(col):
     """Whitespace-collapse + lowercase: the canonical form for exact
     dedup (mirrors the reference's newline flattening `langid.py:90`)."""
@@ -68,17 +76,15 @@ def token_shingles(col, n: int = 3):
     """Word n-gram shingles as strings (array<string>) straight from a
     text column. Prefer the two-step `tokenize -> shingles_from_tokens`
     form in plans (see that function's docstring for why)."""
-    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit(""))
-    return shingles_from_tokens(toks, n)
+    return shingles_from_tokens(tokenize_ws(col), n)
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
     """(id, sig array<bigint>): sig[i] = min over shingles of
     xxhash64(i, shingle). One explode + one groupBy."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda x: x != F.lit(""))
-    sh = (df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    sh = (df.select(F.col(id_col).alias("id"),
+                    tokenize_ws(F.col(text_col)).alias("_toks"))
           .select("id",
                   F.explode(shingles_from_tokens(F.col("_toks"),
                                                  shingle_n))
@@ -141,9 +147,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """Exact n-gram Jaccard pairs >= threshold. If `candidates`
     (id_a, id_b) given, verifies only those (the LSH-then-verify
     pattern); else all pairs sharing >=1 shingle."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda x: x != F.lit(""))
-    sh = (df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    sh = (df.select(F.col(id_col).alias("id"),
+                    tokenize_ws(F.col(text_col)).alias("_toks"))
           .select("id", shingles_from_tokens(F.col("_toks"), n)
                   .alias("sh")))
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
@@ -200,10 +205,15 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
     """
     txt = F.col(text_col)
     n_win = F.greatest(F.length(txt) - F.lit(window - 1), F.lit(1))
-    hashes = F.transform(
+    # running min via aggregate — constant memory per row. The
+    # transform+array_min form materializes one 32-char hash per
+    # CHARACTER of the document (a 1 MB row would allocate a ~60 MB
+    # transient array) before reducing; least() skips its NULL seed.
+    fp = F.aggregate(
         F.sequence(F.lit(1), n_win),
-        lambda i: F.md5(F.substring(txt, i, window)))
+        F.lit(None).cast("string"),
+        lambda acc, i: F.least(acc, F.md5(F.substring(txt, i, window))))
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_min(hashes).alias("fingerprint"),
+        fp.alias("fingerprint"),
         n_win.cast("int").alias("n_windows"))

@@ -84,11 +84,14 @@ def lookup_by_id_or_url(incoming: DataFrame, store: DataFrame,
     back to the url. Two left equi-joins + coalesce; the store side is
     broadcast when small (dimension-lookup shape). Appends
     `matched_<val_col>` and `match_via` ('id' | 'url' | NULL)."""
-    by_id = store.select(F.col(key).alias("_k_id"),
-                         F.col(val_col).alias("_v_id"))
-    by_url = store.select(F.col(alt_key).alias("_k_url"),
-                          F.col(val_col).alias("_v_url")).dropDuplicates(
-                              ["_k_url"])
+    # deterministic dedup on BOTH sides: dropDuplicates picks a
+    # plan-dependent winner (breaks resume determinism), and duplicate
+    # ids would fan incoming rows out. max_by the primary key is the
+    # explicit tiebreak; ids tie-broken by the url.
+    by_id = (store.groupBy(F.col(key).alias("_k_id"))
+             .agg(F.max_by(val_col, alt_key).alias("_v_id")))
+    by_url = (store.groupBy(F.col(alt_key).alias("_k_url"))
+              .agg(F.max_by(val_col, key).alias("_v_url")))
     out = (incoming
            .join(F.broadcast(by_id),
                  incoming[key] == F.col("_k_id"), "left")

@@ -96,9 +96,14 @@ def tokenize_analyzed_cjk(col: Column) -> Column:
     like the standard analyzer. Two-step HOF over a bound token array
     (HOF lambdas don't CSE — see `shingles_from_tokens`)."""
     cjk = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]"
+    # the letter alternative must EXCLUDE CJK (class intersection),
+    # else a Latin-led run greedily swallows adjacent CJK chars
+    # ('iPhone充电器' would become one opaque token, never bigrammed)
+    latin = (r"[\p{L}&&[^\p{IsHan}\p{IsHiragana}"
+             r"\p{IsKatakana}\p{IsHangul}]]+")
     runs = F.regexp_extract_all(
         F.lower(col),
-        F.lit(cjk + r"+|[\p{L}]+|[\p{N}]+(?:\.[\p{N}]+)?"), 0)
+        F.lit(cjk + r"+|" + latin + r"|[\p{N}]+(?:\.[\p{N}]+)?"), 0)
 
     def expand(tok: Column) -> Column:
         is_cjk = tok.rlike("^" + cjk)

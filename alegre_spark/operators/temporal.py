@@ -49,6 +49,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     (NULLs when none). Union-merge + last_value(ignorenulls) carry-
     forward: one shuffle on key, sorted by ts — the sort-merge as-of
     plan, never a range cross-join."""
+    clash = set(left.columns) & set(right_cols)
+    if clash:
+        raise ValueError(
+            f"left already has column(s) {sorted(clash)}; rename them "
+            "or the union would merge left and right values")
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.select(
         key, ts, *right_cols).withColumn("_side", F.lit(0))
@@ -57,10 +62,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     w = (Window.partitionBy(key)
          .orderBy(F.col(ts).asc(), F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = merged
+    # carry ONE struct of the right row's columns: per-column
+    # carry-forward would tear values from DIFFERENT right rows when
+    # the latest row holds a NULL (and would skip that legitimate NULL)
+    row_struct = F.when(F.col("_side") == 0,
+                        F.struct(*[F.col(c) for c in right_cols]))
+    carried = merged.withColumn(
+        "_asof_row", F.last(row_struct, ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
     for c in right_cols:
-        src = F.when(F.col("_side") == 0, F.col(c))
-        carried = carried.withColumn(
-            f"asof_{c}", F.last(src, ignorenulls=True).over(w))
-    return (carried.filter(F.col("_side") == 1)
-            .drop("_side", *right_cols))
+        out = out.withColumn(f"asof_{c}", F.col("_asof_row")[c])
+    return out.drop("_side", "_asof_row", *right_cols)

@@ -448,3 +448,25 @@ def test_context_matches_json_list_values(spark):
     assert ids({"dbid": 99}) == []
     assert ids({"dbid": 54, "project_media_id": 7}) == [1, 2]  # ignored
     assert ids({"dbid": 54, "team": "x"}) == []  # AND across keys
+
+
+def test_peel_contexts_where_contexts_predicate(spark):
+    """The bulk-peel predicate may reference the contexts column
+    itself ('peel q wherever it appears'); it must be evaluated
+    against the ORIGINAL contexts so emptied rows are deleted."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.context import (context_contains,
+                                                peel_contexts_where)
+
+    df = spark.createDataFrame(
+        [(1, [{"src": "a"}, {"src": "backup"}]),
+         (2, [{"src": "backup"}]),      # peels to [] -> must be DELETED
+         (3, [{"src": "c"}])],
+        "id long, contexts array<map<string,string>>")
+    pred = context_contains(F.col("contexts"), {"src": "backup"})
+    out = peel_contexts_where(df, pred, "contexts", {"src": "backup"})
+    got = {r["id"]: [dict(m) for m in r["contexts"]]
+           for r in out.collect()}
+    assert got == {1: [{"src": "a"}], 3: [{"src": "c"}]}
+    assert "_peel_pred" not in out.columns

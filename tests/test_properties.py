@@ -29,10 +29,27 @@ def test_scrub_idempotent_and_stable(text):
 @settings(max_examples=100, deadline=None)
 @given(st.emails())
 def test_scrub_masks_any_email(email):
+    """Any RFC address masks, EXCEPT local parts containing the
+    URL-structural chars / ? = & # — deliberately excluded so URL
+    paths/query strings aren't swallowed into the mask (documented
+    boundary in scrub.py; such addresses are vanishingly rare)."""
     from alegre_spark.functions.scrub import scrub_text
+    local = email.rsplit("@", 1)[0]
+    if any(c in local for c in "/?=&#"):
+        return
     out, counts = scrub_text(f"contact me at {email} thanks")
     assert email not in out
     assert counts.get("email", 0) >= 1
+
+
+def test_scrub_does_not_swallow_urls():
+    """Over-redaction regression: only the address itself masks, not
+    the URL path/query it sits in."""
+    from alegre_spark.functions.scrub import scrub_text
+    out, _ = scrub_text("see https://ex.com/path?user=x@y.com now")
+    assert out == "see https://ex.com/path?user=<PII:EMAIL> now"
+    out2, _ = scrub_text("path/to/file@example.com")
+    assert out2 == "path/to/<PII:EMAIL>"
 
 
 # -- chromaprint correlation ------------------------------------------------

@@ -238,3 +238,18 @@ def test_cjk_bigram_analyzer(spark):
     t = mixed.select(tokenize_analyzed_cjk(F.col("content"))
                      .alias("t")).first()["t"]
     assert "spark" in t and "4.5" in t and "处理" in t and "理数" in t
+
+
+def test_cjk_latin_adjacent_runs_split(spark):
+    """A Latin run glued to a CJK run must split (the letter
+    alternative excludes CJK): 'iphone充电器' -> 'iphone' + bigrams."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.similarity_join import \
+        tokenize_analyzed_cjk
+
+    df = spark.createDataFrame([(1, "iPhone充电器")],
+                               "id long, content string")
+    t = df.select(tokenize_analyzed_cjk(F.col("content"))
+                  .alias("t")).first()["t"]
+    assert t == ["iphone", "充电", "电器"]

@@ -43,3 +43,24 @@ def test_asof_join_at_or_before(spark):
     assert out[2] == 30.0        # equal timestamp counts (at-or-before)
     assert out[3] is None        # nothing before 00:01
     assert out[4] is None        # user 2's view is later than the click
+
+
+def test_asof_join_no_row_tearing(spark):
+    """The matched right row is atomic: a NULL field in the latest
+    right row stays NULL (per-column carry-forward would reach back to
+    an older row and tear columns across two rows)."""
+    left = spark.createDataFrame([(1, 1, _ts(5))],
+                                 "event_id long, user_id long, "
+                                 "ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(1), 10.0, "old"), (1, _ts(3), None, "new")],
+        "user_id long, ts timestamp, a double, b string")
+    row = asof_join(left, right, "user_id", "ts", ["a", "b"]).first()
+    assert row["asof_b"] == "new"
+    assert row["asof_a"] is None     # the matched row's own NULL
+
+    # name collision is an explicit error, not silent data loss
+    import pytest
+    bad_left = left.withColumn("a", F.lit(1.0))
+    with pytest.raises(ValueError):
+        asof_join(bad_left, right, "user_id", "ts", ["a"])
