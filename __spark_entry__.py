@@ -159,7 +159,7 @@ def q10_exact_dedup(spark, sf):
 
 def q11_minhash_lsh(spark, sf):
     """MinHash+LSH candidate pairs, md5 hash family (oracle-checkable;
-    the production operator uses xxhash64 — see q12/q22)."""
+    the production operator uses xxhash64 — see q23/q22)."""
     d = _t(spark, sf, "documents")
     toks = d.select(F.col("doc_id").alias("id"),
                     F.explode(F.array_distinct(_tokens(F.col("text"))))
@@ -736,7 +736,8 @@ def q51_asof_join(spark, sf):
              .select("user_id", "ts", F.col("value").alias("view_value"),
                      F.col("event_id").alias("view_event")))
     out = asof_join(clicks, views, "user_id", "ts",
-                    ["view_value", "view_event"])
+                    ["view_value", "view_event"],
+                    right_tiebreak="view_event")
     return out.select(
         "event_id", "user_id",
         F.round("asof_view_value", 4).alias("view_value"),
@@ -1297,9 +1298,11 @@ def oracle_sql() -> dict[str, str]:
         "q51_asof_join": """
             WITH clicks AS (SELECT event_id, user_id, ts FROM events
                             WHERE event_type = 'click'),
-            views AS (SELECT user_id, ts, value AS view_value,
-                             event_id AS view_event
-                      FROM events WHERE event_type = 'view')
+            views AS (SELECT user_id, ts,
+                             arg_max(value, event_id) AS view_value,
+                             MAX(event_id) AS view_event
+                      FROM events WHERE event_type = 'view'
+                      GROUP BY user_id, ts)
             SELECT c.event_id, c.user_id,
                    ROUND(v.view_value, 4) AS view_value,
                    v.view_event AS asof_view_event

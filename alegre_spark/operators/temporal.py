@@ -43,7 +43,8 @@ def sessionize(df: DataFrame, key: str, ts: str,
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
-              right_cols: list[str]) -> DataFrame:
+              right_cols: list[str],
+              right_tiebreak: str | None = None) -> DataFrame:
     """Left as-of join: each left row gains the `right_cols` of the
     most recent right row with right.ts <= left.ts for the same key
     (NULLs when none). Union-merge + last_value(ignorenulls) carry-
@@ -58,9 +59,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     r_tag = right.select(
         key, ts, *right_cols).withColumn("_side", F.lit(0))
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts => at-or-before
-    w = (Window.partitionBy(key)
-         .orderBy(F.col(ts).asc(), F.col("_side").asc())
+    # right rows sort before left rows at equal ts => at-or-before;
+    # right_tiebreak (a column of right_cols, e.g. the event id) makes
+    # the pick among equal-(key, ts) right rows deterministic — without
+    # it, duplicates resolve plan-dependently
+    order = [F.col(ts).asc(), F.col("_side").asc()]
+    if right_tiebreak is not None:
+        if right_tiebreak not in right_cols:
+            raise ValueError("right_tiebreak must be one of right_cols")
+        order.append(F.col(right_tiebreak).asc())
+    w = (Window.partitionBy(key).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
     # carry ONE struct of the right row's columns: per-column
     # carry-forward would tear values from DIFFERENT right rows when

@@ -14,7 +14,6 @@ sys.path.insert(0, ".")
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    import numpy as np
     from pyspark.sql import functions as F
 
     from alegre_spark.operators.ann import (brute_force_topk,
@@ -38,8 +37,8 @@ def main():
     exact = topk_sets(brute_force_topk(
         probes, e, "vec_id", "vec_id", "embedding", "embedding", k=k))
 
-    rng = np.random.RandomState(7)
-    planes = rng.randn(6, 64).tolist()
+    from __spark_entry__ import _lsh_planes  # the q24 oracle's planes
+    planes = _lsh_planes()
     lsh = topk_sets(lsh_topk(probes, e, "vec_id", "vec_id",
                              "embedding", "embedding", planes, k=k))
 

@@ -26,7 +26,11 @@ def value_hash(pdf: pd.DataFrame) -> str:
         cells = []
         for v in tup:
             if isinstance(v, float):
-                cells.append(f"{v:.6g}")
+                # 12 significant digits: %.6g hid any disagreement
+                # past the 6th digit (±500 on a 5e8 sum hashed OK);
+                # +0.0 collapses -0.0 vs 0.0 (sign of a rounded zero
+                # is summation-order noise, not a semantic diff)
+                cells.append(f"{v + 0.0:.12g}")
             else:
                 cells.append(str(v))
         rows.append("\x1f".join(cells))
@@ -49,6 +53,10 @@ def main():
                     f"FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -29,7 +29,7 @@ CHECKS = {
     ],
     "q09_token_overlap_join": [
         ("BroadcastHashJoin", "probe token list broadcast"),
-        ("doc_id", "probe filter pushed toward the scan"),
+        ("PushedFilters: [IsNotNull(doc_id)", "probe filter pushed to the scan"),
         ("partial_count", "overlap count partial agg"),
     ],
     "q02_top_orders_per_cust": [

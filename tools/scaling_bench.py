@@ -5,10 +5,13 @@ taskset to exactly that many physical cores, identical input).
 Protocol:
   1. generate a deterministic corpus ONCE (distributed) and write it to
      parquet — both levels read the same files;
-  2. per level: fresh JVM pinned to N cores, warmup pass (Python worker
-     + JIT spin-up; a real cluster amortizes this over hours), then
-     best-of-2 timed runs of scan -> full pipeline -> keep-count;
-  3. efficiency = (files/s at 32) / (files/s at 8) / 4.
+  2. per level: fresh JVM pinned to N cores, two warmup passes plus
+     best-of-3 full-size steady runs (Python worker + JIT spin-up; a
+     real cluster amortizes this over hours);
+  3. the pass gate is efficiency(2 -> 8) >= 0.8 — the disjoint-core
+     pair where both levels have memory-bandwidth headroom (the
+     cluster proxy); efficiency(8 -> 32) is reported alongside but
+     shares one box's memory subsystem across all workers.
 
 The job must be long relative to fixed stage costs for the ratio to
 mean anything — default 1M files (~10 GB-scale shape at 1000x).
@@ -22,6 +25,8 @@ import shutil
 import subprocess
 import sys
 import tempfile
+
+PINNED = shutil.which("taskset") is not None
 
 N_FILES = int(os.environ.get("ALEGRE_SCALING_FILES", "1000000"))
 
@@ -79,8 +84,8 @@ def run_at(cores: int, data: str) -> dict:
         f.write(_CHILD.format(repo=repo, data=data))
         path = f.name
     cmd = [sys.executable, path, str(cores), str(N_FILES)]
-    if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    if PINNED:
+        cmd = [shutil.which("taskset"), "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
     os.unlink(path)
     for line in reversed(out.stdout.splitlines()):
@@ -120,7 +125,10 @@ def main():
             # bandwidth) — reported for completeness:
             "efficiency_8_to_32": eff(8, 32),
             "target": 0.8,
-            "pass": eff(2, 8) >= 0.8,
+            "pinned": PINNED,
+            # without taskset the levels contend for all cores and the
+            # ratio measures nothing — never claim a pass unpinned
+            "pass": PINNED and eff(2, 8) >= 0.8,
         }))
     finally:
         shutil.rmtree(os.path.dirname(data), ignore_errors=True)
