@@ -61,11 +61,14 @@ def with_image_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
         for pdf in batches:
             hashes = []
             for data in pdf[media_col]:
-                img = fake_decode_image(bytes(data) if data is not None
-                                        else b"")
-                hashes.append(phash64(img))
+                if data is None:
+                    # NULL media stays NULL — hashing b"" would mint a
+                    # real-looking phash and cluster null rows together
+                    hashes.append(None)
+                    continue
+                hashes.append(phash64(fake_decode_image(bytes(data))))
             pdf = pdf.copy()
-            pdf["phash"] = pd.array(hashes, dtype="int64")
+            pdf["phash"] = pd.array(hashes, dtype="Int64")
             yield pdf
 
     return df.mapInPandas(_map, schema=out_schema)
@@ -105,8 +108,10 @@ def with_thumbnail(df: DataFrame, media_col: str = "media",
         for pdf in batches:
             thumbs = []
             for data in pdf[media_col]:
-                img = fake_decode_image(bytes(data) if data is not None
-                                        else b"")
+                if data is None:
+                    thumbs.append(None)      # NULL media stays NULL
+                    continue
+                img = fake_decode_image(bytes(data))
                 thumbs.append(resize_pooled(img, out_side).tobytes())
             pdf = pdf.copy()
             pdf["thumbnail"] = thumbs

@@ -175,8 +175,6 @@ def with_perplexity(df: DataFrame, text_col: str = "content",
     spark = spark or df.sparkSession
     bc = spark.sparkContext.broadcast(model.to_tables())
 
-    out_schema = df.schema.simpleString()[7:-1] + ",perplexity:double"
-    # simpleString -> struct<...>; build DDL instead for clarity:
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + ["perplexity double"])

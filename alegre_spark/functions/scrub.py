@@ -116,7 +116,9 @@ def with_scrub(df: DataFrame, text_col: str = "content") -> DataFrame:
     union with the clean slice (scrubbed_content = content, empty map).
     Both slices read the same scan; Catalyst reuses the exchange.
     """
-    gate = F.col(text_col).rlike(PREGATE_RLIKE)
+    # NULL-safe: rlike(NULL) is NULL, which fails BOTH gate and ~gate
+    # — null-text rows would vanish from the union entirely
+    gate = F.coalesce(F.col(text_col).rlike(PREGATE_RLIKE), F.lit(False))
     dirty = df.filter(gate)
     clean = df.filter(~gate).withColumns({
         "scrubbed_content": F.col(text_col),

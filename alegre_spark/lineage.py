@@ -37,15 +37,21 @@ OUTPUT_COLUMNS = [
 
 
 def compute_run_id(input_fingerprint: str, cfg: PipelineConfig) -> str:
+    """Hashes the FULL config: any knob that can change a keep/drop
+    decision must change the run_id, or a rerun with new thresholds
+    would see every bucket committed and silently keep stale output."""
+    import dataclasses
     import hashlib
     payload = json.dumps(
         {"input": input_fingerprint,
          "cfg": {"default_threshold": cfg.default_threshold,
+                 "per_rule_threshold": cfg.per_rule_threshold,
                  "max_perplexity": cfg.max_perplexity,
                  "salt_buckets": cfg.salt_buckets,
                  "allowed": list(cfg.allowed_languages),
-                 "require_language": cfg.require_language}},
-        sort_keys=True)
+                 "require_language": cfg.require_language,
+                 "quality": dataclasses.asdict(cfg.quality)}},
+        sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -62,8 +68,9 @@ def input_fingerprint(df: DataFrame) -> str:
 
 def committed_buckets(spark: SparkSession, metrics_path: str,
                       run_id: str) -> set[int]:
-    if not os.path.exists(metrics_path):
-        return set()
+    # no driver-local exists() fast-path: metrics_path may be a
+    # remote URI (s3a://...) where os.path.exists is always False and
+    # would wrongly reset resume state; the reader handles absence
     try:
         rows = (spark.read.parquet(metrics_path)
                 .filter(F.col("run_id") == run_id)

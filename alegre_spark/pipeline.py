@@ -38,6 +38,23 @@ from .functions.quality import QualityConfig, with_quality
 _WORKER_LM_CACHE: dict[int, CharNgramLM] = {}
 
 
+# Driver-side broadcast cache for the DEFAULT model: one broadcast per
+# SparkContext instead of one per annotate_fused call — a streaming
+# foreachBatch loop would otherwise pile up a new broadcast every
+# micro-batch AND defeat the per-worker LM cache (new bc_id each time).
+_DEFAULT_BC_CACHE: dict[int, object] = {}
+
+
+def _default_tables_broadcast(sc):
+    key = id(sc)
+    bc = _DEFAULT_BC_CACHE.get(key)
+    if bc is None:
+        bc = sc.broadcast(default_model().to_tables())
+        _DEFAULT_BC_CACHE.clear()
+        _DEFAULT_BC_CACHE[key] = bc
+    return bc
+
+
 def _cached_lm(bc, bc_id: int) -> CharNgramLM:
     model = _WORKER_LM_CACHE.get(bc_id)
     if model is None:
@@ -88,10 +105,25 @@ def salt_repartition(df: DataFrame, buckets: int = 64) -> DataFrame:
               .repartition(buckets, "salt_bucket"))
 
 
+# analyzer-route tokens that are GROUPS of detected ISO codes: langid
+# emits cleaned codes ('zh'/'ja'/'ko'; 'pt-br' -> 'pt'), so the route
+# names from the reference's analyzer list must expand before the
+# membership test or CJK docs would never count as allowed.
+_ROUTE_EXPANSIONS = {"cjk": ("zh", "ja", "ko"), "pt-br": ("pt",)}
+
+
+def effective_allowed(langs) -> list[str]:
+    out: set[str] = set()
+    for lang in langs:
+        out.update(_ROUTE_EXPANSIONS.get(lang, (lang,)))
+    return sorted(out)
+
+
 def with_decision(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """keep boolean + drop_reason, first-match-wins:
-    language gate -> quality rule -> perplexity gate."""
-    lang_known = F.col("language").isin(list(cfg.allowed_languages))
+    quality rule -> perplexity gate -> language gate."""
+    lang_known = F.col("language").isin(
+        effective_allowed(cfg.allowed_languages))
     lang_conf_ok = F.col("language_confidence") >= F.lit(
         cfg.threshold_for("langid"))
     lang_fail = (
@@ -129,8 +161,10 @@ def annotate_fused(df: DataFrame, text_col: str = "content",
     from .functions.langid import langid_batch
     from .functions.scrub import PREGATE_RE, scrub_text
 
-    lm = lm or default_model()
-    bc = df.sparkSession.sparkContext.broadcast(lm.to_tables())
+    if lm is None:
+        bc = _default_tables_broadcast(df.sparkSession.sparkContext)
+    else:
+        bc = df.sparkSession.sparkContext.broadcast(lm.to_tables())
     bc_id = bc._jbroadcast.id()  # plain int, safe to close over
 
     out_schema = ", ".join(

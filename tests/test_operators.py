@@ -470,3 +470,17 @@ def test_peel_contexts_where_contexts_predicate(spark):
            for r in out.collect()}
     assert got == {1: [{"src": "a"}], 3: [{"src": "c"}]}
     assert "_peel_pred" not in out.columns
+
+
+def test_multimodal_null_media_stays_null(spark):
+    """NULL media must not mint a real-looking phash/thumbnail (b''
+    would hash deterministically and cluster null rows together)."""
+    from alegre_spark.functions.multimodal import (with_image_phash,
+                                                   with_thumbnail)
+
+    df = spark.createDataFrame([(1, None), (2, b"img")],
+                               "id long, media binary")
+    ph = {r["id"]: r["phash"] for r in with_image_phash(df).collect()}
+    assert ph[1] is None and ph[2] is not None
+    th = {r["id"]: r["thumbnail"] for r in with_thumbnail(df).collect()}
+    assert th[1] is None and th[2] is not None

@@ -110,3 +110,27 @@ def test_resume_idempotent(spark):
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_run_id_covers_full_config(spark):
+    """Any config knob that changes decisions must change run_id —
+    otherwise a rerun with new thresholds resumes into stale output."""
+    from alegre_spark.functions.quality import QualityConfig
+    from alegre_spark.lineage import compute_run_id
+    from alegre_spark.pipeline import PipelineConfig
+
+    base = compute_run_id("fp", PipelineConfig())
+    assert compute_run_id("fp", PipelineConfig(
+        quality=QualityConfig(min_chars=100))) != base
+    assert compute_run_id("fp", PipelineConfig(
+        per_rule_threshold={"langid": 0.9})) != base
+    assert compute_run_id("fp", PipelineConfig()) == base  # stable
+
+
+def test_effective_allowed_expands_routes(spark):
+    """Analyzer-route tokens expand to detected ISO codes: 'cjk' covers
+    zh/ja/ko and 'pt-br' folds into 'pt' (langid strips the region)."""
+    from alegre_spark.pipeline import effective_allowed
+
+    got = effective_allowed(["en", "cjk", "pt-br"])
+    assert got == ["en", "ja", "ko", "pt", "zh"]

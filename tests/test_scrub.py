@@ -80,3 +80,16 @@ def test_pregate_is_superset(spark):
     from pyspark.sql import functions as F
     n = df.filter(F.col("content").rlike(PREGATE_RLIKE)).count()
     assert n == len(samples)
+
+
+def test_with_scrub_preserves_null_text_rows(spark):
+    """NULL-text rows must survive with_scrub: rlike(NULL) is NULL,
+    which fails both the gate and its negation."""
+    from alegre_spark.functions.scrub import with_scrub
+
+    df = spark.createDataFrame([(1, None), (2, "clean text")],
+                               "id long, content string")
+    out = with_scrub(df)
+    assert out.count() == 2
+    row = out.filter("id = 1").first()
+    assert row["scrubbed_content"] is None and row["scrub_counts"] == {}
