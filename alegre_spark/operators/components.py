@@ -13,11 +13,14 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
     """Returns (node, component) where component = min node id reachable.
 
-    Checkpoint-free small-N variant; for web-scale graphs swap in the
-    large-star/small-star algorithm — the join structure is identical.
+    One-hop min-label propagation: converges in O(graph diameter)
+    rounds (NOT O(log n) — chain-shaped similarity graphs need one
+    round per hop; the large-star/small-star algorithm is the
+    O(log n) swap-in with the same join structure). Raises rather
+    than returning silently-wrong labels when max_iter is exhausted.
     """
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"),
@@ -34,9 +37,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                            F.col("component").alias("nbr_comp")))
             new_labels = (labels.join(nbr, "node", "left")
                           .groupBy("node")
+                          # least() skips NULLs: isolated nodes (all
+                          # nbr_comp NULL) keep their own component
                           .agg(F.least(F.min("component"),
-                                       F.coalesce(F.min("nbr_comp"),
-                                                  F.min("component")))
+                                       F.min("nbr_comp"))
                                .alias("component"))
                           # persist + localCheckpoint: each round's
                           # convergence count is an ACTION — without
@@ -52,8 +56,11 @@ def connected_components(edges: DataFrame, src: str = "src",
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                break
-        return labels
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds (graph diameter exceeds max_iter); raise max_iter "
+            "or use a doubling algorithm for chain-shaped graphs")
     finally:
         sym.unpersist()
 

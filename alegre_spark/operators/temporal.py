@@ -26,15 +26,17 @@ def sessionize(df: DataFrame, key: str, ts: str,
     — deterministic (pass the table's unique id as `tiebreak` for
     stable order at equal timestamps; NEVER a nondeterministic id —
     resume safety), one shuffle on key."""
-    order = [F.col(ts).asc()]
+    ts_t = F.col(ts).cast("timestamp")
+    # order by the SAME cast expression the gap uses: ordering raw
+    # strings while diffing casts would disagree on neighbor order
+    order = [ts_t.asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
     w = Window.partitionBy(key).orderBy(*order)
-    prev = F.lag(F.col(ts)).over(w)
+    prev = F.lag(ts_t).over(w)
     # integer microseconds: exact gap comparison (a float cast rounds
     # at ~µs precision and can flip a boundary decision vs the oracle)
-    gap_us = (F.unix_micros(F.col(ts).cast("timestamp")) -
-              F.unix_micros(prev.cast("timestamp")))
+    gap_us = F.unix_micros(ts_t) - F.unix_micros(prev)
     boundary = F.when(prev.isNull() |
                       (gap_us > int(gap_minutes * 60e6)), 1).otherwise(0)
     return df.withColumn("session_seq",
@@ -56,8 +58,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
             f"left already has column(s) {sorted(clash)}; rename them "
             "or the union would merge left and right values")
     l_tag = left.withColumn("_side", F.lit(1))
-    r_tag = right.select(
-        key, ts, *right_cols).withColumn("_side", F.lit(0))
+    # a NULL-ts right row would sort first (asc = nulls-first) and be
+    # carried forward as a bogus "predecessor" for every left row
+    r_tag = (right.select(key, ts, *right_cols)
+             .filter(F.col(ts).isNotNull())
+             .withColumn("_side", F.lit(0)))
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # right rows sort before left rows at equal ts => at-or-before;
     # right_tiebreak (a column of right_cols, e.g. the event id) makes

@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # honored when the JVM is launched from plain `python` (the
+        # bench/test path); under spark-submit the driver JVM already
+        # exists, so size it with --driver-memory there instead
         .config("spark.driver.memory", os.environ.get("ALEGRE_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -8,8 +8,9 @@ identical `run_pipeline`, and appended to the output with their
 metrics — `foreachBatch` keeps one code path for batch and stream.
 
 Late data: file-source ordering is irrelevant to a per-row filter, so
-no watermark is needed; idempotence comes from `doc_id` determinism
-plus checkpointing (exactly-once per micro-batch).
+no watermark is needed. foreachBatch is at-least-once; effective
+exactly-once comes from batch_id-partitioned DYNAMIC OVERWRITE writes
+(a replayed batch replaces its own partition) plus checkpointing.
 """
 
 from __future__ import annotations
@@ -40,14 +41,23 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
               .parquet(input_dir))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once for non-transactional sinks: a
+        # retry of batch N must REPLACE batch N's rows, not append a
+        # second copy — so both writes partition by batch_id and use
+        # dynamic partition overwrite (replay idempotence).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
         ann = run_pipeline(batch_df, cfg)
         ann.persist()
         try:
             (ann.select(*OUTPUT_COLUMNS)
-             .write.mode("append").parquet(output_path))
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.partitionBy("batch_id").mode("overwrite")
+             .parquet(output_path))
             (partition_metrics(ann)
              .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(metrics_path))
+             .write.partitionBy("batch_id").mode("overwrite")
+             .parquet(metrics_path))
         finally:
             ann.unpersist()
 
@@ -97,10 +107,7 @@ def first_seen_filter(stream_df: DataFrame, key_col: str) -> DataFrame:
     state_schema = "seen boolean"
 
     def _first(key, pdfs, state: GroupState):
-        if state.exists:
-            emitted = True
-        else:
-            emitted = False
+        emitted = state.exists   # already-seen keys emit nothing more
         out = []
         for pdf in pdfs:
             if not emitted and len(pdf):

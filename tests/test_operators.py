@@ -484,3 +484,18 @@ def test_multimodal_null_media_stays_null(spark):
     assert ph[1] is None and ph[2] is not None
     th = {r["id"]: r["thumbnail"] for r in with_thumbnail(df).collect()}
     assert th[1] is None and th[2] is not None
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter must raise, not silently return
+    wrong labels."""
+    import pytest
+
+    from alegre_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    ok = connected_components(chain, max_iter=10)
+    assert ok.agg({"component": "max"}).first()[0] == 0

@@ -64,3 +64,15 @@ def test_asof_join_no_row_tearing(spark):
     bad_left = left.withColumn("a", F.lit(1.0))
     with pytest.raises(ValueError):
         asof_join(bad_left, right, "user_id", "ts", ["a"])
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """A NULL-ts right row must never act as an at-or-before match."""
+    left = spark.createDataFrame([(1, 1, _ts(5))],
+                                 "event_id long, user_id long, "
+                                 "ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, _ts(9), 5.0)],
+        "user_id long, ts timestamp, v double")
+    row = asof_join(left, right, "user_id", "ts", ["v"]).first()
+    assert row["asof_v"] is None   # the only timed view is later
