@@ -311,17 +311,24 @@ def q24_lsh_ann(spark, sf):
 
 
 def q25_connected_components(spark, sf):
-    """A5 graph clustering over near-dup edges (rows-only)."""
-    from alegre_spark.operators.components import clusters
+    """A5 graph clustering over near-dup edges via the O(log n)
+    large-star/small-star algorithm; edges are star-form (row →
+    group-min, O(g) not O(g²) — a 1M-row dup group emits 1M edges, not
+    10^12). `nodes` projected to CSV: the driver canonicalizer sorts
+    columns in pandas and cannot sort array cells."""
+    from alegre_spark.operators.components import clusters, star_edges
     d = _t(spark, sf, "documents")
     key = F.md5(F.concat_ws(
         " ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))))
     keyed = d.select("doc_id", key.alias("k"))
-    edges = (keyed.alias("a").join(keyed.alias("b"), "k")
-             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("src"),
-                     F.col("b.doc_id").alias("dst")))
-    return clusters(edges)
+    edges = star_edges(keyed, "k", "doc_id")
+    out = clusters(edges, algorithm="star")
+    return out.select(
+        "component",
+        F.col("size").cast("int").alias("size"),
+        F.concat_ws(",", F.transform(F.col("nodes"),
+                                     lambda n: n.cast("string")))
+        .alias("nodes_csv"))
 
 
 def q26_scrub_documents(spark, sf):
@@ -632,15 +639,14 @@ def q45_streaming_quality(spark, sf):
 def q46_components_oracle(spark, sf):
     """A5 connected components (iterative min-label propagation) with
     an oracle: components over exact-dup edges equal the dup groups."""
-    from alegre_spark.operators.components import clusters
+    from alegre_spark.operators.components import clusters, star_edges
     d = _t(spark, sf, "documents")
     key = F.md5(F.concat_ws(
         " ", F.array_sort(F.array_distinct(_tokens(F.col("text"))))))
     keyed = d.select("doc_id", key.alias("k"))
-    edges = (keyed.alias("a").join(keyed.alias("b"), "k")
-             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("src"),
-                     F.col("b.doc_id").alias("dst")))
+    # star edges (row → group-min): O(g) per dup group, identical
+    # components to the all-pairs form the oracle models
+    edges = star_edges(keyed, "k", "doc_id")
     out = clusters(edges)
     return out.select(
         "component",

@@ -71,12 +71,21 @@ def committed_buckets(spark: SparkSession, metrics_path: str,
     # no driver-local exists() fast-path: metrics_path may be a
     # remote URI (s3a://...) where os.path.exists is always False and
     # would wrongly reset resume state; the reader handles absence
+    from pyspark.errors import AnalysisException
     try:
         rows = (spark.read.parquet(metrics_path)
                 .filter(F.col("run_id") == run_id)
                 .select("salt_bucket").distinct().collect())
-    except Exception:
-        return set()
+    except AnalysisException as e:
+        # ONLY "no metrics yet" may reset resume state. A transient read
+        # failure (throttle, auth, corrupt footer) must propagate —
+        # treating it as empty would re-run committed buckets and append
+        # their rows a second time.
+        cond = (e.getCondition() if hasattr(e, "getCondition")
+                else getattr(e, "errorClass", None)) or ""
+        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
+            return set()
+        raise
     return {r["salt_bucket"] for r in rows}
 
 
@@ -117,12 +126,19 @@ def run_with_resume(spark: SparkSession, files: DataFrame, out_dir: str,
     else:
         out_rows = pending
 
-    # dynamic partition overwrite: replayed buckets replace prior partials
+    # dynamic partition overwrite: replayed buckets replace prior
+    # partials. Scoped save/restore so a concurrent non-partitioned
+    # overwrite elsewhere in the session is unaffected after we return.
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (out_rows.select(*OUTPUT_COLUMNS)
-     .write.partitionBy("salt_bucket").mode("overwrite")
-     .parquet(output_path))
-    metrics.write.mode("append").parquet(metrics_path)
+    try:
+        (out_rows.select(*OUTPUT_COLUMNS)
+         .write.partitionBy("salt_bucket").mode("overwrite")
+         .parquet(output_path))
+        metrics.write.mode("append").parquet(metrics_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     processed = out_rows.count()
     pending.unpersist()

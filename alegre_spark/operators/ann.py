@@ -56,6 +56,11 @@ def topk_pandas(probes_matrix: np.ndarray, probe_ids: np.ndarray,
     def _map(batches):
         mat, ids = bc.value
         for pdf in batches:
+            # zero-row Arrow batches happen (empty file splits) and
+            # np.stack raises on them; NULL vectors can't score — skip
+            pdf = pdf[pdf[cand_vec].notna()]
+            if not len(pdf):
+                continue
             cv = np.stack(pdf[cand_vec].apply(
                 lambda v: np.asarray(v, dtype=np.float64)).values)
             cv = cv / np.maximum(np.linalg.norm(cv, axis=1, keepdims=True),
@@ -159,6 +164,11 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     def _map(batches):
         C = bc.value
         for pdf in batches:
+            # guard empty batches (np.stack raises) and NULL vectors
+            # (unassignable — dropped, not crashed)
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
             V = np.stack(pdf[vec_col].apply(
                 lambda v: np.asarray(v, dtype=np.float64)).values)
             V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),

@@ -65,9 +65,99 @@ def connected_components(edges: DataFrame, src: str = "src",
         sym.unpersist()
 
 
-def clusters(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Group nodes per component (`graph.py:76-89` response shape)."""
-    cc = connected_components(edges, src, dst)
+def star_edges(df: DataFrame, group_cols: list[str] | str,
+               id_col: str) -> DataFrame:
+    """O(g) edge generation for dedup→CC composition: each row links to
+    its group's min id instead of all-pairs. A 1M-row duplicate group
+    emits 10^6 edges, not 10^12 — and the resulting components are
+    identical (every member is connected through the group min).
+    Returns (src, dst) with src = row id, dst = group-min id."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    mins = df.groupBy(*group_cols).agg(F.min(id_col).alias("_root"))
+    return (df.join(mins, group_cols)
+            .filter(F.col(id_col) != F.col("_root"))
+            .select(F.col(id_col).alias("src"),
+                    F.col("_root").alias("dst"))
+            .distinct())
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond', SoCC 2014): connect each strictly-larger neighbor of u
+    to min(N(u) ∪ {u})."""
+    sym = (edges.union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"))))
+    mins = (sym.groupBy("src")
+            .agg(F.least(F.min("dst"), F.first("src")).alias("_m")))
+    return (sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient each edge large→small, then connect every
+    smaller neighbor (and u itself) to u's overall min."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst")).filter(
+            F.col("src") != F.col("dst"))
+    mins = directed.groupBy("src").agg(F.min("dst").alias("_m"))
+    nbrs = (directed.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst")))
+    selfs = mins.select(F.col("src"), F.col("_m").alias("dst"))
+    return (nbrs.union(selfs)
+            .filter(F.col("src") != F.col("dst")).distinct())
+
+
+def connected_components_star(edges: DataFrame, src: str = "src",
+                              dst: str = "dst",
+                              max_iter: int = 30) -> DataFrame:
+    """O(log n)-round CC via alternating large-star/small-star — the
+    swap-in for chain-shaped similarity graphs where one-hop min-label
+    propagation needs O(diameter) rounds. Fixed point = star per
+    component centered at its min; same output contract as
+    `connected_components`: (node, component)."""
+    all_nodes = (edges.select(F.col(src).alias("node"))
+                 .union(edges.select(F.col(dst).alias("node")))
+                 .distinct().persist())
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iter):
+            # localCheckpoint per round: same O(i²) lineage trap as the
+            # label-propagation loop (see connected_components)
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            changed = (e2.union(e).groupBy("src", "dst")
+                       .agg(F.count("*").alias("n"))
+                       .filter(F.col("n") != 2).limit(1).count())
+            e = e2
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components_star did not converge in "
+                f"{max_iter} rounds")
+        # fixed point is a star: every non-root points at its root
+        labels = e.select(F.col("src").alias("node"),
+                          F.col("dst").alias("component"))
+        return (all_nodes.join(labels, "node", "left")
+                .select("node",
+                        F.coalesce("component", "node").alias("component")))
+    finally:
+        all_nodes.unpersist()
+
+
+def clusters(edges: DataFrame, src: str = "src", dst: str = "dst",
+             algorithm: str = "label") -> DataFrame:
+    """Group nodes per component (`graph.py:76-89` response shape).
+    algorithm='star' switches to the O(log n) large/small-star CC."""
+    cc_fn = (connected_components_star if algorithm == "star"
+             else connected_components)
+    cc = cc_fn(edges, src, dst)
     return (cc.groupBy("component")
             .agg(F.sort_array(F.collect_list("node")).alias("nodes"),
                  F.count("*").alias("size")))

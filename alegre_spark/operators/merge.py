@@ -78,12 +78,18 @@ def merge_into_sql(target_tbl: str, source_view: str, key: str,
 
 def lookup_by_id_or_url(incoming: DataFrame, store: DataFrame,
                         key: str = "doc_id", alt_key: str = "url",
-                        val_col: str = "val") -> DataFrame:
+                        val_col: str = "val",
+                        broadcast_store: bool | None = None) -> DataFrame:
     """J8 (`media_crud.get_by_doc_id_or_url`, `media_crud.py:90-100`):
     resolve each incoming row against the store by primary id, falling
-    back to the url. Two left equi-joins + coalesce; the store side is
-    broadcast when small (dimension-lookup shape). Appends
-    `matched_<val_col>` and `match_via` ('id' | 'url' | NULL)."""
+    back to the url. Two left equi-joins + coalesce. Appends
+    `matched_<val_col>` and `match_via` ('id' | 'url' | NULL).
+
+    `broadcast_store`: True forces a broadcast of the store-side
+    aggregates (the reference's point-lookup shape, tiny store); False
+    forbids it (large-store batch resolve — broadcasting a 100 TB
+    store's aggregate OOMs the driver); None (default) leaves the
+    choice to Catalyst/AQE size estimation."""
     # deterministic dedup on BOTH sides: dropDuplicates picks a
     # plan-dependent winner (breaks resume determinism), and duplicate
     # ids would fan incoming rows out. max_by the primary key is the
@@ -92,11 +98,16 @@ def lookup_by_id_or_url(incoming: DataFrame, store: DataFrame,
              .agg(F.max_by(val_col, alt_key).alias("_v_id")))
     by_url = (store.groupBy(F.col(alt_key).alias("_k_url"))
               .agg(F.max_by(val_col, key).alias("_v_url")))
+    if broadcast_store is True:
+        by_id, by_url = F.broadcast(by_id), F.broadcast(by_url)
+    elif broadcast_store is False:
+        # explicit NO_BROADCAST_HASH hint so even a mis-estimated small
+        # aggregate of a huge store cannot be driver-collected
+        by_id = by_id.hint("shuffle_hash")
+        by_url = by_url.hint("shuffle_hash")
     out = (incoming
-           .join(F.broadcast(by_id),
-                 incoming[key] == F.col("_k_id"), "left")
-           .join(F.broadcast(by_url),
-                 incoming[alt_key] == F.col("_k_url"), "left"))
+           .join(by_id, incoming[key] == F.col("_k_id"), "left")
+           .join(by_url, incoming[alt_key] == F.col("_k_url"), "left"))
     via = (F.when(F.col("_v_id").isNotNull(), F.lit("id"))
             .when(F.col("_v_url").isNotNull(), F.lit("url")))
     return (out.withColumn(f"matched_{val_col}",

@@ -46,8 +46,16 @@ _DEFAULT_BC_CACHE: dict[int, object] = {}
 
 
 def _default_tables_broadcast(sc):
-    key = id(sc)
+    # keyed by applicationId, not id(sc): after a context stop/recreate
+    # CPython can reuse the same address, which would hand back a
+    # broadcast owned by the destroyed context (job failure/stale model)
+    key = sc.applicationId
     bc = _DEFAULT_BC_CACHE.get(key)
+    if bc is not None:
+        try:  # broadcast may belong to a stopped context — verify alive
+            bc.value  # noqa: B018 (liveness probe)
+        except Exception:
+            bc = None
     if bc is None:
         bc = sc.broadcast(default_model().to_tables())
         _DEFAULT_BC_CACHE.clear()

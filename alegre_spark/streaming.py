@@ -28,7 +28,8 @@ from .lineage import OUTPUT_COLUMNS
 def stream_quality_filter(spark: SparkSession, input_dir: str,
                           out_dir: str,
                           cfg: PipelineConfig | None = None,
-                          trigger_available_now: bool = True):
+                          trigger_available_now: bool = True,
+                          max_files_per_trigger: int = 64):
     """readStream(files) -> run_pipeline per micro-batch -> append
     output + metrics. Returns the started StreamingQuery."""
     cfg = cfg or PipelineConfig()
@@ -37,7 +38,7 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
     stream = (spark.readStream.schema(FILES_SCHEMA)
-              .option("maxFilesPerTrigger", 64)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(input_dir))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -45,8 +46,17 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
         # retry of batch N must REPLACE batch N's rows, not append a
         # second copy — so both writes partition by batch_id and use
         # dynamic partition overwrite (replay idempotence).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
+        #
+        # The conf must be set on batch_df's OWN session: the streaming
+        # query runs under a session cloned at start(), so setting it on
+        # the outer `spark` would leave the batch write in STATIC mode,
+        # where mode("overwrite") truncates the whole directory each
+        # micro-batch and only the last batch's rows survive.
+        sess = batch_df.sparkSession
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
+                             "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode",
+                      "dynamic")
         ann = run_pipeline(batch_df, cfg)
         ann.persist()
         try:
@@ -60,6 +70,7 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
              .parquet(metrics_path))
         finally:
             ann.unpersist()
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = (stream.writeStream.foreachBatch(_process)
               .option("checkpointLocation", checkpoint))

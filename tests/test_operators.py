@@ -175,6 +175,49 @@ def test_connected_components(spark):
     assert out[1] == [1, 2, 3] and out[5] == [5, 6] and out[7] == [7]
 
 
+def test_connected_components_star_matches_label_prop(spark):
+    """large-star/small-star CC returns the same labels as min-label
+    propagation, including on a chain where propagation is O(diameter)
+    but the star algorithm is O(log n): a 64-node chain resolves within
+    10 star rounds (propagation needs 63)."""
+    from alegre_spark.operators.components import (
+        clusters, connected_components_star)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "src long, dst long")
+    out = {r["component"]: r["nodes"]
+           for r in clusters(edges, algorithm="star").collect()}
+    assert out[1] == [1, 2, 3] and out[5] == [5, 6] and out[7] == [7]
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "src long, dst long")
+    labels = connected_components_star(chain, max_iter=10).collect()
+    assert len(labels) == 64
+    assert all(r["component"] == 0 for r in labels)
+
+
+def test_star_edges_no_pair_explosion(spark):
+    """star_edges emits O(g) edges per dup group (row → group-min), not
+    O(g²) all-pairs: a single 10k-row dup group yields exactly 9,999
+    edges and the CC over them is one component rooted at the min id."""
+    from pyspark.sql import functions as F
+    from alegre_spark.operators.components import (
+        connected_components_star, star_edges)
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("samekey").alias("k"))
+    edges = star_edges(df, "k", "doc_id")
+    assert edges.count() == 9_999
+    cc = connected_components_star(edges, max_iter=10)
+    assert (cc.select("component").distinct().count() == 1
+            and cc.first()["component"] == 0)
+    # two groups + a singleton: singleton emits no edge (isolated row)
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (9, "c")],
+        "doc_id long, k string")
+    got = {(r["src"], r["dst"]) for r in
+           star_edges(df2, "k", "doc_id").collect()}
+    assert got == {(2, 1), (4, 3)}
+
+
 def test_ann_brute_force_and_lsh(spark):
     import numpy as np
     from alegre_spark.operators.ann import brute_force_topk, lsh_topk
@@ -276,6 +319,33 @@ def test_lookup_by_id_or_url(spark):
     out = {r["doc_id"]: (r["matched_val"], r["match_via"])
            for r in lookup_by_id_or_url(incoming, store).collect()}
     assert out == {1: ("a", "id"), 99: ("b", "url"), 98: (None, None)}
+
+
+def test_lookup_broadcast_is_conditional(spark):
+    """Scale guard (r2): the store-side aggregates must NOT be
+    broadcast when the caller marks the store large — broadcasting a
+    100 TB store's id/url aggregate OOMs the driver. broadcast_store
+    True/False/None switch plans; results identical in all modes."""
+    from alegre_spark.operators.merge import lookup_by_id_or_url
+
+    store = spark.createDataFrame(
+        [(i, f"u{i}", str(i)) for i in range(100)],
+        ["doc_id", "url", "val"])
+    incoming = spark.createDataFrame(
+        [(1, "u3"), (199, "u2"), (200, "u300")], ["doc_id", "url"])
+
+    forced = lookup_by_id_or_url(incoming, store, broadcast_store=True)
+    forbidden = lookup_by_id_or_url(incoming, store, broadcast_store=False)
+    assert "BroadcastHashJoin" in forced._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" not in forbidden._jdf.queryExecution() \
+        .executedPlan().toString()
+    expect = {1: ("1", "id"), 199: ("2", "url"), 200: (None, None)}
+    for df in (forced, forbidden,
+               lookup_by_id_or_url(incoming, store, broadcast_store=None)):
+        got = {r["doc_id"]: (r["matched_val"], r["match_via"])
+               for r in df.collect()}
+        assert got == expect
 
 
 def test_ivf_ann(spark):

@@ -50,6 +50,38 @@ def test_stream_matches_batch(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_stream_multi_batch_fresh_session(spark):
+    """Regression (r2 advice): the streaming query runs under a session
+    CLONED at start(), so the dynamic-partition-overwrite conf must be
+    set on the batch's own session inside _process. A fresh session
+    (static overwrite mode) + one file per micro-batch: every batch's
+    rows must survive — in the broken form only the last batch's did."""
+    work = tempfile.mkdtemp()
+    inp = os.path.join(work, "incoming")
+    out = os.path.join(work, "out")
+    fresh = spark.newSession()          # own SQLConf, like a new driver
+    assert fresh.conf.get(
+        "spark.sql.sources.partitionOverwriteMode") != "dynamic"
+    try:
+        for i in range(3):
+            (generate_corpus(spark, 20, seed=i, partitions=1)
+             .write.mode("append").parquet(inp))
+        q = stream_quality_filter(fresh, inp, out,
+                                  PipelineConfig(salt_buckets=4),
+                                  max_files_per_trigger=1)
+        q.awaitTermination(120)
+        got = spark.read.parquet(f"{out}/filtered")
+        n_batches = got.select("batch_id").distinct().count()
+        assert n_batches >= 2, "expected multiple micro-batches"
+        assert got.count() == 60        # ALL batches' rows survive
+        # and the conf was restored on the cloned session's scope only;
+        # the fresh outer session is untouched
+        assert fresh.conf.get(
+            "spark.sql.sources.partitionOverwriteMode") != "dynamic"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_normalize_ops(spark):
     from alegre_spark.operators.normalize import (normalize_body,
                                                   store_mode_projection,
