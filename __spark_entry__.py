@@ -218,27 +218,21 @@ def q16_quality_stats(spark, sf):
                  F.round(F.avg("nt"), 4).alias("avg_tokens")))
 
 
-def q17_langid_documents(spark, sf):
-    """Language-ID distribution over documents (pandas-UDF stage;
-    non-SQL-expressible -> rows-only check)."""
-    from alegre_spark.functions.langid import with_language
-    d = _t(spark, sf, "documents").withColumnRenamed("text", "content")
-    out = with_language(d, "content")
-    return (out.groupBy("language")
-            .agg(F.count("*").alias("n_docs"),
-                 F.round(F.avg("language_confidence"), 4).alias("avg_conf"))
-            .orderBy(F.desc("n_docs"), "language"))
-
-
 def q18_pipeline_decisions(spark, sf):
-    """Full quality-filter pipeline decision rollup (rows-only)."""
+    """Full quality-filter pipeline rollup (rows-only), including the
+    language dimension: the L1/L2 langid stage (pandas-UDF,
+    non-SQL-expressible), L8 confidence gate and L10 perplexity stage
+    all show up in the (language, keep, drop_reason) cells (absorbs
+    the former q17 langid-distribution query — r2 50-query cap)."""
     from alegre_spark.corpus import documents_as_files
     from alegre_spark.pipeline import PipelineConfig, run_pipeline
     files = documents_as_files(spark, sf)
     ann = run_pipeline(files, PipelineConfig(salt_buckets=8))
-    return (ann.groupBy("keep", "drop_reason")
-            .agg(F.count("*").alias("n"))
-            .orderBy("keep", "drop_reason"))
+    return (ann.groupBy("language", "keep", "drop_reason")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("language_confidence"), 4)
+                 .alias("avg_conf"))
+            .orderBy("language", "keep", "drop_reason"))
 
 
 def q19_token_count_hist(spark, sf):
@@ -277,19 +271,25 @@ def q21_dedup_keep_first(spark, sf):
             .filter(F.col("group_size") > 1))
 
 
-def q22_simhash(spark, sf):
-    """SimHash fingerprints (xxhash64-based; rows-only)."""
-    from alegre_spark.operators.dedup import simhash64
+def q22_hash_signatures(spark, sf):
+    """Production xxhash64 hash family, both fingerprint operators in
+    one rows-only query (merged r2 — the driver runs the first 50
+    queries() entries, so rows-only evidence is consolidated):
+    SimHash64 fingerprints and MinHash-LSH band pairs, tagged by kind.
+    The md5-family oracle twins are q11 (minhash) / q54 (composed)."""
+    from alegre_spark.operators.dedup import minhash_lsh_pairs, simhash64
     d = _t(spark, sf, "documents")
-    return simhash64(d, "doc_id", "text")
-
-
-def q23_minhash_xxhash(spark, sf):
-    """Production MinHash-LSH pairs, xxhash64 family (rows-only)."""
-    from alegre_spark.operators.dedup import minhash_lsh_pairs
-    d = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=4,
-                             shingle_n=3)
+    sim = (simhash64(d, "doc_id", "text")
+           .select(F.lit("simhash").alias("kind"),
+                   F.col("id").alias("a"),
+                   F.lit(None).cast("long").alias("b"),
+                   F.col("simhash").alias("v")))
+    mh = (minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=4,
+                            shingle_n=3)
+          .select(F.lit("minhash_band_pair").alias("kind"),
+                  F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+                  F.col("n_bands").cast("long").alias("v")))
+    return sim.unionByName(mh)
 
 
 def _lsh_planes():
@@ -562,53 +562,55 @@ def q41_fuzzy_search(spark, sf):
     return out.withColumn("score", F.round("score", 4))
 
 
-def q42_audio_chromaprint(spark, sf):
-    """J6 audio chromaprint join (rows-only): +-20%% length gate
-    JVM-side, sliding XOR-popcount correlation in one Arrow pass."""
-    from alegre_spark.operators.media_match import audio_similarity_join
+def q42_media_match(spark, sf):
+    """J4/J6/J7 media matching, all three modalities in one rows-only
+    query (merged r2, driver 50-query cap; each modality keeps its own
+    golden/exact pytest evidence — test_media_match.py):
+
+    - audio: chromaprint ±20% length gate JVM-side, sliding
+      XOR-popcount correlation in one Arrow pass;
+    - video: cheap L1 cosine gate in Catalyst, TMK-refine UDF on
+      survivors only;
+    - image: binary media column → stubbed decode → phash64
+      (mapInPandas) → J4 hamming self-join.
+    Output normalized to (modality, probe_id, cand_id, score)."""
+    from alegre_spark.functions.multimodal import with_image_phash
+    from alegre_spark.operators.media_match import (audio_similarity_join,
+                                                    video_similarity_join)
+    from alegre_spark.operators.similarity_join import hamming_join
     d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+
     fp = F.transform(
         F.sequence(F.lit(1), F.lit(24) + (F.col("doc_id") % 8).cast("int")),
         lambda i: ((F.col("doc_id") + 1) * F.lit(2654435761) +
                    i.cast("bigint") * F.lit(2246822519)) %
         F.lit(4294967296))
     fps = d.select("doc_id", fp.alias("chromaprint"))
-    probes = fps.filter(F.col("doc_id") < 3)
-    out = audio_similarity_join(probes, fps, "doc_id", "doc_id",
-                                threshold=0.5)
-    return out.withColumn("score", F.round("score", 4))
+    audio = (audio_similarity_join(fps.filter(F.col("doc_id") < 3), fps,
+                                   "doc_id", "doc_id", threshold=0.5)
+             .select(F.lit("audio").alias("modality"), "probe_id",
+                     "cand_id", F.round("score", 4).alias("score")))
 
-
-def q43_video_two_stage(spark, sf):
-    """J7 video two-stage match (rows-only): cheap L1 cosine gate in
-    Catalyst, then the TMK-refine UDF on survivors only."""
-    from alegre_spark.operators.media_match import video_similarity_join
-    e = _t(spark, sf, "embeddings")
     vids = e.select(
         "vec_id",
         F.slice(F.col("embedding").cast("array<double>"), 1, 8)
         .alias("l1_hash"),
         F.encode(F.sha2(F.col("vec_id").cast("string"), 256), "utf-8")
         .alias("tmk"))
-    probes = vids.filter(F.col("vec_id") < 3)
-    out = video_similarity_join(probes, vids, "vec_id", "vec_id",
-                                gate=0.2, threshold=0.0)
-    return (out.withColumn("l1_cosine", F.round("l1_cosine", 4))
-            .withColumn("score", F.round("score", 6)))
+    video = (video_similarity_join(vids.filter(F.col("vec_id") < 3), vids,
+                                   "vec_id", "vec_id", gate=0.2,
+                                   threshold=0.0)
+             .select(F.lit("video").alias("modality"), "probe_id",
+                     "cand_id", F.round("score", 6).alias("score")))
 
-
-def q44_image_phash_pipeline(spark, sf):
-    """Multimodal plumbing (rows-only): binary media column -> stubbed
-    decode -> phash64 (mapInPandas) -> J4 hamming self-join."""
-    from alegre_spark.functions.multimodal import with_image_phash
-    from alegre_spark.operators.similarity_join import hamming_join
-    d = _t(spark, sf, "documents")
     media = d.select("doc_id", F.encode("text", "utf-8").alias("media"))
     hashed = with_image_phash(media).select("doc_id", "phash")
-    probes = hashed.filter(F.col("doc_id") < 3)
-    out = hamming_join(probes, hashed, "doc_id", "doc_id",
-                       threshold=0.75)
-    return out.withColumn("score", F.round("score", 4))
+    image = (hamming_join(hashed.filter(F.col("doc_id") < 3), hashed,
+                          "doc_id", "doc_id", threshold=0.75)
+             .select(F.lit("image").alias("modality"), "probe_id",
+                     "cand_id", F.round("score", 4).alias("score")))
+    return audio.unionByName(video).unionByName(image)
 
 
 def q45_streaming_quality(spark, sf):
@@ -778,6 +780,84 @@ def q53_compression_ratio(spark, sf):
             .orderBy("ratio_decile"))
 
 
+def q54_dedup_corpus(spark, sf):
+    """THE composed dedup workflow (LSH candidates → exact Jaccard
+    verify → star connected components → keeper selection) as ONE
+    operator, oracle-checked end to end: candidates use the md5 hash
+    family (q11's, DuckDB-reproducible), verify is unigram Jaccard
+    ≥0.8, and the oracle replays CC with a recursive CTE."""
+    from alegre_spark.operators.dedup import dedup_corpus
+    d = _t(spark, sf, "documents")
+    cands = q11_minhash_lsh(spark, sf)   # md5-family LSH candidates
+    return dedup_corpus(d, "doc_id", "text", verify_n=1, threshold=0.8,
+                        candidate_pairs=cands)
+
+
+def q55_analyzed_routed_search(spark, sf):
+    """F15/L7 per-language-analyzer search (reference
+    `language_analyzers.py:6-304` + routing goldens
+    `test_similarity_lang_analyzers.py:32-135`): each row tokenizes
+    with its own language's ES chain (stopwords + light stem +
+    asciifold) and probes meet candidates only within the same
+    language route. Oracle replays every chain in DuckDB SQL."""
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search_routed
+    d = _t(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") < 5)
+    out = lexical_similarity_search_routed(
+        probes, d, "doc_id", "doc_id", "text", "text",
+        probe_lang="lang", cand_lang="lang", threshold=0.6)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _analyzer_chain_sql(lang: str) -> str:
+    """DuckDB replica of `analyzers.tokenize_analyzed_lang` for the
+    oracle: same token regex, stopword list, light-stem rules, fold."""
+    from alegre_spark.functions.analyzers import (
+        _FOLD_DST, _FOLD_SRC, _STEM_RULES, STOPWORDS)
+    base = (r"regexp_extract_all(lower(text), "
+            r"'[\pL][\pL\pM]*(?:[''’][\pL]+)*|[\pN]+(?:\.[\pN]+)?')")
+    if lang == "zh":            # cjk chain on ASCII == standard tokens
+        return f"list_distinct({base})"
+    stops = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in STOPWORDS[lang]) + "]"
+    x = "x"
+    for pat, rep in _STEM_RULES.get(lang, []):
+        duck_rep = rep.replace("$1", r"\1")
+        duck_pat = pat.replace("'", "''")
+        x = f"regexp_replace({x}, '{duck_pat}', '{duck_rep}')"
+    x = (f"translate(regexp_replace({x}, 'ß', 'ss'), "
+         f"'{_FOLD_SRC}', '{_FOLD_DST}')")
+    return (f"list_distinct(list_filter(list_transform("
+            f"list_filter({base}, x -> NOT list_contains({stops}, x)), "
+            f"x -> {x}), x -> x <> ''))")
+
+
+def _q55_oracle() -> str:
+    routed = " UNION ALL ".join(
+        f"SELECT doc_id, lang, {_analyzer_chain_sql(lg)} AS t "
+        f"FROM documents WHERE lang = '{lg}'"
+        for lg in ("en", "es", "de", "fr", "zh"))
+    return f"""
+        WITH routed AS ({routed}),
+        p AS (SELECT doc_id AS probe_id, lang, unnest(t) AS token,
+                     len(t) AS probe_tokens
+              FROM routed WHERE doc_id < 5 AND len(t) > 0),
+        c AS (SELECT doc_id AS cand_id, lang, unnest(t) AS token
+              FROM routed),
+        agg AS (SELECT probe_id, cand_id,
+                       any_value(probe_tokens) AS probe_tokens,
+                       COUNT(*) AS overlap
+                FROM p JOIN c USING (lang, token)
+                GROUP BY probe_id, cand_id)
+        SELECT probe_id, cand_id, overlap,
+               CAST(probe_tokens AS INTEGER) AS probe_tokens,
+               ROUND(overlap * 1.0 / probe_tokens, 4) AS score
+        FROM agg
+        WHERE overlap >= GREATEST(FLOOR(0.6 * probe_tokens), 1)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -795,13 +875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_cosine_topk": q14_cosine_topk,
         "q15_embedding_dup_pairs": q15_embedding_dup_pairs,
         "q16_quality_stats": q16_quality_stats,
-        "q17_langid_documents": q17_langid_documents,
         "q18_pipeline_decisions": q18_pipeline_decisions,
         "q19_token_count_hist": q19_token_count_hist,
         "q20_hamming_join": q20_hamming_join,
         "q21_dedup_keep_first": q21_dedup_keep_first,
-        "q22_simhash": q22_simhash,
-        "q23_minhash_xxhash": q23_minhash_xxhash,
+        "q22_hash_signatures": q22_hash_signatures,
         "q24_lsh_ann": q24_lsh_ann,
         "q25_connected_components": q25_connected_components,
         "q26_scrub_documents": q26_scrub_documents,
@@ -820,9 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_best_match_merged": q39_best_match_merged,
         "q40_split_existing_new": q40_split_existing_new,
         "q41_fuzzy_search": q41_fuzzy_search,
-        "q42_audio_chromaprint": q42_audio_chromaprint,
-        "q43_video_two_stage": q43_video_two_stage,
-        "q44_image_phash_pipeline": q44_image_phash_pipeline,
+        "q42_media_match": q42_media_match,
         "q45_streaming_quality": q45_streaming_quality,
         "q46_components_oracle": q46_components_oracle,
         "q47_id_url_lookup": q47_id_url_lookup,
@@ -832,6 +908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_asof_join": q51_asof_join,
         "q52_prefix_filter_search": q52_prefix_filter_search,
         "q53_compression_ratio": q53_compression_ratio,
+        "q54_dedup_corpus": q54_dedup_corpus,
+        "q55_analyzed_routed_search": q55_analyzed_routed_search,
     }
 
 
@@ -880,6 +958,7 @@ def _q24_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q24_lsh_ann": _q24_oracle(),
+        "q55_analyzed_routed_search": _q55_oracle(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -1005,6 +1084,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz x ON id_a = x.doc_id
             JOIN sz y ON id_b = y.doc_id
             WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+        """,
+        "q54_dedup_corpus": f"""
+            WITH RECURSIVE {_TOKS_CTE},
+            dt AS (SELECT doc_id AS id, list_distinct(t) AS s FROM toks),
+            tok AS (SELECT id, unnest(s) AS token FROM dt),
+            sigs AS (SELECT id,
+                {", ".join(f"MIN(md5(CAST({s} AS VARCHAR) || '|' || token)) AS s{s}" for s in range(8))}
+                FROM tok GROUP BY id),
+            bands AS (
+                {" UNION ALL ".join(f"SELECT id, {b} AS band, md5(s{2*b} || '#' || s{2*b+1}) AS bkey FROM sigs" for b in range(4))}
+            ),
+            cand AS (SELECT a.id AS id_a, b.id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.id < b.id
+                     GROUP BY a.id, b.id),
+            ver AS (SELECT id_a, id_b
+                    FROM cand JOIN dt x ON id_a = x.id
+                              JOIN dt y ON id_b = y.id
+                    WHERE len(list_intersect(x.s, y.s)) * 1.0 /
+                          (len(x.s) + len(y.s)
+                           - len(list_intersect(x.s, y.s))) >= 0.8),
+            sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                    UNION ALL SELECT id_b, id_a FROM ver),
+            reach AS (SELECT a, b FROM sym
+                      UNION
+                      SELECT r.a, s.b FROM reach r
+                      JOIN sym s ON r.b = s.a),
+            minreach AS (SELECT a AS id, MIN(b) AS mn
+                         FROM reach GROUP BY a),
+            lab AS (SELECT d.doc_id AS id,
+                           LEAST(COALESCE(m.mn, d.doc_id), d.doc_id)
+                               AS keeper_id
+                    FROM documents d
+                    LEFT JOIN minreach m ON d.doc_id = m.id),
+            sz AS (SELECT keeper_id, COUNT(*) AS group_size
+                   FROM lab GROUP BY keeper_id)
+            SELECT l.id, l.keeper_id, l.id = l.keeper_id AS is_keeper,
+                   CAST(sz.group_size AS INTEGER) AS group_size
+            FROM lab l JOIN sz USING (keeper_id)
         """,
         "q14_cosine_topk": """
             WITH scored AS (

@@ -1,0 +1,215 @@
+"""Per-language analyzer chains (F15 full form; reference spec
+`app/main/lib/language_analyzers.py:6-304`).
+
+The reference builds one OpenSearch index per supported language, each
+with the ES language analyzer: standard tokenizer + lowercase +
+language stopword filter + language (light) stemmer + asciifolding.
+This module reproduces those chains as pure Catalyst expressions
+(regexp_extract_all / array_except / transform / translate — all
+whole-stage-codegen, no Python):
+
+- stopword sets: compact public Lucene/Snowball lists (the en set IS
+  Lucene's 33-word ENGLISH_STOP_WORDS_SET; others are the high-
+  frequency head of the Snowball lists).
+- stemmers: the *light* stemmer family (Lucene *LightStemmer shape):
+  guarded suffix chops, not full Porter/Snowball — documented
+  approximation, exact algorithms are public but their full rule
+  tables add no retrieval signal at these token lengths.
+- asciifolding: Latin-1/Latin-A accent fold via translate + ß→ss.
+- ar: stopwords + Arabic letter normalization (alef/teh-marbuta/ya
+  forms, the Lucene arabic_normalization step) instead of a stemmer.
+- hi / bn: stopword-only chains (the ES hindi/bengali stemmers are
+  indic-suffix strippers; omitted, documented).
+- cjk: the bigram chain lives in `similarity_join.tokenize_analyzed_cjk`.
+
+Chain order follows ES: lowercase → stopwords (matched in native
+accented form) → stem → fold → distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Lucene ENGLISH_STOP_WORDS_SET (CharArraySet in StandardAnalyzer) —
+# public constant, 33 entries.
+_EN_STOPS = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with",
+]
+
+# Head of the public Snowball stopword lists (function words only —
+# no content words, unlike the langid profiles which deliberately mix
+# fixture vocabulary in).
+_ES_STOPS = [
+    "de", "la", "que", "el", "en", "y", "a", "los", "del", "se",
+    "las", "por", "un", "para", "con", "no", "una", "su", "al", "lo",
+    "como", "más", "pero", "sus", "le", "ya", "o", "este", "sí",
+    "porque", "esta", "entre", "cuando", "muy", "sin", "sobre",
+    "también", "me", "hasta", "hay", "donde", "quien", "desde",
+    "todo", "nos", "durante", "todos", "uno", "les", "ni", "contra",
+    "otros", "ese", "eso", "ante", "ellos", "e", "esto", "mí",
+    "antes", "algunos", "qué", "unos", "yo", "otro", "otras", "otra",
+    "él", "tanto", "esa", "estos", "mucho", "quienes", "nada",
+    "muchos", "cual", "poco", "ella", "estar", "estas", "algunas",
+    "algo", "nosotros",
+]
+_PT_STOPS = [
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+    "é", "com", "não", "uma", "os", "no", "se", "na", "por", "mais",
+    "as", "dos", "como", "mas", "foi", "ao", "ele", "das", "tem",
+    "à", "seu", "sua", "ou", "ser", "quando", "muito", "há", "nos",
+    "já", "está", "eu", "também", "só", "pelo", "pela", "até",
+    "isso", "ela", "entre", "era", "depois", "sem", "mesmo", "aos",
+    "ter", "seus", "quem", "nas", "me", "esse", "eles", "estão",
+    "você", "tinha", "foram", "essa", "num", "nem", "suas", "meu",
+    "às", "minha", "têm", "numa", "pelos", "elas", "havia",
+]
+_FR_STOPS = [
+    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du",
+    "elle", "en", "et", "eux", "il", "ils", "je", "la", "le", "les",
+    "leur", "lui", "ma", "mais", "me", "même", "mes", "moi", "mon",
+    "ne", "nos", "notre", "nous", "on", "ou", "par", "pas", "pour",
+    "qu", "que", "qui", "sa", "se", "ses", "son", "sur", "ta", "te",
+    "tes", "toi", "ton", "tu", "un", "une", "vos", "votre", "vous",
+    "c", "d", "j", "l", "à", "m", "n", "s", "t", "y", "été", "être",
+    "est", "sont", "cette", "cet",
+]
+_DE_STOPS = [
+    "aber", "alle", "allem", "allen", "aller", "alles", "als",
+    "also", "am", "an", "ander", "auch", "auf", "aus", "bei", "bin",
+    "bis", "bist", "da", "damit", "dann", "der", "den", "des", "dem",
+    "die", "das", "dass", "du", "er", "sie", "es", "ein", "eine",
+    "einem", "einen", "einer", "eines", "für", "hat", "hatte",
+    "haben", "ich", "ihr", "im", "in", "ist", "kann", "mit", "nach",
+    "nicht", "noch", "nur", "oder", "sind", "so", "um", "und", "uns",
+    "von", "vor", "war", "wie", "wir", "zu", "zum", "zur", "über",
+    "werden", "wird",
+]
+_ID_STOPS = [
+    "yang", "dan", "di", "itu", "dengan", "ini", "untuk", "dari",
+    "dalam", "tidak", "akan", "pada", "juga", "ke", "karena",
+    "tersebut", "bisa", "ada", "mereka", "lebih", "kata", "sudah",
+    "atau", "saat", "oleh", "menjadi", "ia", "telah", "adalah",
+    "seperti", "sebagai", "bahwa", "dapat", "para", "harus",
+    "namun", "kita",
+]
+# ES hindi/bengali/arabic stop filters — high-frequency function words.
+_HI_STOPS = [
+    "के", "का", "की", "को", "में", "से", "है", "हैं", "और", "यह",
+    "वह", "पर", "एक", "था", "थी", "थे", "हो", "ही", "भी", "तो",
+    "ने", "कि", "जो", "कर", "या", "हम", "आप", "इस", "उस", "अपने",
+]
+_BN_STOPS = [
+    "এই", "ও", "থেকে", "করে", "না", "এবং", "একটি", "করা", "যে",
+    "তার", "সে", "এর", "কি", "আর", "হয়", "জন্য", "সঙ্গে", "হয়ে",
+    "তিনি", "আমি", "আমরা", "তা", "বা", "দিয়ে", "এক", "হবে",
+]
+_AR_STOPS = [
+    "في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "هذه",
+    "ذلك", "التي", "الذي", "كان", "كانت", "لم", "لا", "ما", "هو",
+    "هي", "قد", "كل", "بعد", "غير", "حتى", "إذا", "أو", "ثم", "منذ",
+]
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": _EN_STOPS, "es": _ES_STOPS, "pt": _PT_STOPS,
+    "pt-br": _PT_STOPS, "fr": _FR_STOPS, "de": _DE_STOPS,
+    "id": _ID_STOPS, "hi": _HI_STOPS, "bn": _BN_STOPS, "ar": _AR_STOPS,
+}
+
+# accent fold (asciifolding step, Latin-1/Latin Extended-A head)
+_FOLD_SRC = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿœæ"
+_FOLD_DST = "aaaaaaeeeeiiiiooooouuuucnyyoa"
+
+# light-stemmer suffix rules: (regex, replacement), applied in order.
+# Each keeps a >=3-char stem (the .{3,}? guard) like the Lucene light
+# stemmers' minimum-length checks.
+_STEM_RULES: dict[str, list[tuple[str, str]]] = {
+    # possessive ('s) then plural (sses→ss, ies→i, trailing s)
+    "en": [(r"'s$|['’]$", ""), (r"^(.{3,}?)sses$", r"$1ss"),
+           (r"^(.{3,}?)ies$", r"$1i"), (r"^(.{3,}?[^su])s$", r"$1")],
+    # SpanishLightStemmer shape: chop plural/gender vowel suffixes
+    "es": [(r"^(.{3,}?)(?:os|as|es|o|a|e)$", r"$1")],
+    "pt": [(r"^(.{3,}?)(?:ões|ais|eis|os|as|es|o|a|e)$", r"$1")],
+    "pt-br": [(r"^(.{3,}?)(?:ões|ais|eis|os|as|es|o|a|e)$", r"$1")],
+    # FrenchLightStemmer shape: plural x/s then mute e
+    "fr": [(r"^(.{3,}?)(?:aux|eux|x|s)$", r"$1"),
+           (r"^(.{3,}?)e$", r"$1")],
+    # GermanLightStemmer shape: plural/case endings; umlaut fold below
+    "de": [(r"^(.{3,}?)(?:ern|em|en|er|es|e|s)$", r"$1")],
+}
+
+# Arabic normalization (Lucene arabic_normalization): alef forms → ا,
+# teh marbuta → ه, alef maksura → ي, and tatweel/diacritic strip.
+_AR_NORM_SRC = "أإآٱةى"
+_AR_NORM_DST = "ااااهي"
+_AR_STRIP = r"[ـً-ٰٟ]"  # tatweel + harakat
+
+
+def _standard_tokens(col: Column) -> Column:
+    """Standard-analyzer token stream for the LANGUAGE chains. Differs
+    from `similarity_join.tokenize_analyzed` in two Unicode-correct
+    ways the language analyzers need: combining marks stay inside
+    tokens (Devanagari/Bengali matras are \\p{M} — without it केले
+    shreds into consonants), and apostrophe words stay whole so the
+    possessive stemmer can see \"dog's\". Non-distinct: the chain
+    dedups at the end, after stemming collapses variants."""
+    return F.regexp_extract_all(
+        F.lower(col),
+        F.lit(r"[\p{L}][\p{L}\p{M}]*(?:['’][\p{L}]+)*"
+              r"|[\p{N}]+(?:\.[\p{N}]+)?"), 0)
+
+
+def fold_ascii(tok: Column) -> Column:
+    """asciifolding filter head: accent fold + ß→ss."""
+    return F.translate(F.regexp_replace(tok, "ß", "ss"),
+                       _FOLD_SRC, _FOLD_DST)
+
+
+def _stem(tok: Column, lang: str) -> Column:
+    for pat, rep in _STEM_RULES.get(lang, []):
+        tok = F.regexp_replace(tok, pat, rep)
+    return tok
+
+
+def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
+    """The full ES language chain for one language, as one Catalyst
+    expression: lowercase tokens → stopword removal (native accented
+    forms) → light stem → asciifold (ar: normalization) → distinct.
+    Unknown languages fall back to the standard chain."""
+    from ..operators.similarity_join import (tokenize_analyzed,
+                                             tokenize_analyzed_cjk)
+    if lang == "cjk" or lang == "zh":
+        return tokenize_analyzed_cjk(col)
+    if lang not in STOPWORDS:
+        return tokenize_analyzed(col)
+    toks = _standard_tokens(col)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    toks = F.array_except(toks, stops)
+    if lang == "ar":
+        toks = F.transform(
+            toks, lambda t: F.translate(
+                F.regexp_replace(t, _AR_STRIP, ""),
+                _AR_NORM_SRC, _AR_NORM_DST))
+    else:
+        toks = F.transform(toks, lambda t: fold_ascii(_stem(t, lang)))
+    return F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
+
+
+def tokenize_analyzed_routed(col: Column, lang_col: Column,
+                             langs: tuple[str, ...] = (
+                                 "en", "es", "pt", "pt-br", "fr", "de",
+                                 "id", "hi", "bn", "ar", "zh", "cjk",
+                             )) -> Column:
+    """L7-routed analysis: each row tokenizes with ITS OWN language's
+    chain (the Spark form of the reference's per-language indices,
+    `language_analyzers.init_indices`). One CASE expression — still
+    whole-stage codegen, no Python."""
+    from ..operators.similarity_join import tokenize_analyzed
+    expr = tokenize_analyzed(col)          # default route
+    for lg in langs:
+        expr = F.when(lang_col == lg,
+                      tokenize_analyzed_lang(col, lg)).otherwise(expr)
+    return expr

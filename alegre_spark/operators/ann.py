@@ -215,6 +215,31 @@ def ivf_topk(probes: DataFrame, candidates: DataFrame,
         ["probe_id"], [F.desc("cosine"), F.asc("cand_id")], k)
 
 
+def default_plane_tables(dim: int, n_tables: int = 4, n_planes: int = 8,
+                         seed: int = 0) -> list[list[list[float]]]:
+    """Deterministic multi-table hyperplane sets (seeded NumPy — no
+    runtime RNG, resume-safe) for the recommended ANN default."""
+    rng = np.random.RandomState(seed)
+    return [rng.randn(n_planes, dim).tolist() for _ in range(n_tables)]
+
+
+def ann_topk(probes: DataFrame, candidates: DataFrame,
+             probe_id: str, cand_id: str,
+             probe_vec: str, cand_vec: str, dim: int,
+             k: int = 10, n_tables: int = 4, n_planes: int = 8,
+             seed: int = 0, round_to: int | None = None) -> DataFrame:
+    """THE recommended ANN entry point: multi-table hyperplane LSH with
+    L=4 tables (the standard recall lever — measured recall@10 vs
+    single-table is in BENCH.md §ANN). Single-table `lsh_topk` remains
+    the L=1 special case (used by the q24 oracle, whose plane constants
+    are fixed); `ivf_topk` is the alternative when the corpus is
+    cluster-structured and a coarse quantizer fits it."""
+    return lsh_topk_multitable(
+        probes, candidates, probe_id, cand_id, probe_vec, cand_vec,
+        default_plane_tables(dim, n_tables, n_planes, seed),
+        k=k, round_to=round_to)
+
+
 def lsh_topk_multitable(probes: DataFrame, candidates: DataFrame,
                         probe_id: str, cand_id: str,
                         probe_vec: str, cand_vec: str,

@@ -151,6 +151,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     tokenize_ws(F.col(text_col)).alias("_toks"))
           .select("id", shingles_from_tokens(F.col("_toks"), n)
                   .alias("sh")))
+    if candidates is not None:
+        # candidate-driven path: join shingle SETS onto the candidate
+        # pairs and intersect per pair (JVM array_intersect). This is
+        # O(|candidates|) — the explode-join inverted index below would
+        # materialize every co-shingle pair BEFORE the semi-join could
+        # prune, which is exactly the blowup LSH exists to avoid.
+        pa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
+        pb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
+        out = (candidates.select("id_a", "id_b")
+               .join(pa, "id_a").join(pb, "id_b")
+               .withColumn("inter",
+                           F.size(F.array_intersect("_sha", "_shb")))
+               .withColumn("jaccard",
+                           F.col("inter") /
+                           (F.size("_sha") + F.size("_shb")
+                            - F.col("inter")).cast("double")))
+        return (out.filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "inter", "jaccard"))
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     ex = sh.select("id", F.explode("sh").alias("shingle"))
     inter = (ex.alias("a").join(ex.alias("b"), "shingle")
@@ -158,9 +176,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
              .groupBy(F.col("a.id").alias("id_a"),
                       F.col("b.id").alias("id_b"))
              .agg(F.count("*").alias("inter")))
-    if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"),
-                           ["id_a", "id_b"], "left_semi")
     out = (inter
            .join(sizes.withColumnRenamed("id", "id_a")
                  .withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -187,6 +202,50 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def dedup_corpus(df: DataFrame, id_col: str, text_col: str,
+                 num_hashes: int = 16, bands: int = 4,
+                 shingle_n: int = 3, verify_n: int | None = None,
+                 threshold: float = 0.8,
+                 candidate_pairs: DataFrame | None = None,
+                 cc_max_iter: int = 30) -> DataFrame:
+    """THE composed LLM-pipeline dedup workflow, end to end:
+
+        minhash_lsh_pairs  (candidate generation, band-bucket join)
+      → ngram_jaccard_pairs(candidates=…)  (exact verify, O(|cands|))
+      → connected_components_star  (O(log n) rounds)
+      → keeper = component min id
+
+    Every stage is the bucketed/bounded form: no all-pairs joins
+    anywhere, so the plan survives a 100× corpus. Covers EVERY input
+    row — singletons keep themselves. `candidate_pairs` overrides the
+    LSH stage (e.g. an oracle-reproducible md5 hash family, or exact
+    sha256 groups via star_edges). Returns
+    (id, keeper_id, is_keeper, group_size) — group_size counts the
+    near-dup group including the keeper.
+    """
+    from .components import connected_components_star
+    verify_n = shingle_n if verify_n is None else verify_n
+    cands = (candidate_pairs if candidate_pairs is not None
+             else minhash_lsh_pairs(df, id_col, text_col,
+                                    num_hashes, bands, shingle_n))
+    verified = ngram_jaccard_pairs(df, id_col, text_col, n=verify_n,
+                                   threshold=threshold, candidates=cands)
+    edges = verified.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+    # component label IS the min reachable id == the keeper
+    cc = connected_components_star(edges, max_iter=cc_max_iter)
+    labeled = (df.select(F.col(id_col).alias("id"))
+               .join(cc.withColumnRenamed("node", "id"), "id", "left")
+               .select("id", F.coalesce("component", "id")
+                       .alias("keeper_id")))
+    sizes = labeled.groupBy("keeper_id").agg(
+        F.count("*").alias("group_size"))
+    return (labeled.join(sizes, "keeper_id")
+            .select("id", "keeper_id",
+                    (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
+                    F.col("group_size").cast("int").alias("group_size")))
 
 
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,

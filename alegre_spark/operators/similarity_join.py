@@ -133,6 +133,7 @@ def lexical_similarity_search(
     contexts_col: str = "contexts",
     fuzzy: bool = False,
     analyzer: str = "standard",
+    fuzzy_prefix_length: int = 1,
 ) -> DataFrame:
     """J1 with the reference's full search semantics: analyzed tokens,
     context containment pre-filter (P6), floor-percentage
@@ -144,13 +145,19 @@ def lexical_similarity_search(
     levenshtein() (JVM built-in), and overlap counts DISTINCT matched
     probe terms, exactly like clause counting in minimum_should_match.
 
-    Scale note: the first-char block is the distributed-join form of
-    ES/Lucene's `prefix_length: 1` fuzzy option — candidates differing
-    in their FIRST character are not considered (ES defaults to
-    prefix_length 0, which has no bounded join key; documented
-    divergence). The block bounds the token-pair space to ~1/|alphabet|
-    of the cross product; AQE skew-join splits the hot first-letter
-    buckets.
+    Scale note: with `fuzzy_prefix_length=1` (default) the block key is
+    the first character — the distributed-join form of ES/Lucene's
+    `prefix_length: 1` option. Candidates whose edit is at position 0
+    are not considered; the block bounds the token-pair space to
+    ~1/|alphabet| of the cross product and AQE skew-join splits hot
+    first-letter buckets. `fuzzy_prefix_length=0` is FULL `prefix_length
+    0` parity (ES's default): the block key becomes the token LENGTH
+    BAND — each probe token explodes into its (2·max_edits+1) admissible
+    candidate lengths (|len diff| <= edit distance always, so recall is
+    exact). Costs more (a band holds every candidate token of one
+    length vs ~1/26 of them) but stays a bounded equi-join, never a
+    cross product. Measured recall delta between the two modes is in
+    BENCH.md §fuzzy.
 
     Reproduces the `test_similarity.py:37-163` golden counts (see
     tests/test_similarity_fixture.py)."""
@@ -160,8 +167,15 @@ def lexical_similarity_search(
         cands = cands.filter(
             context_contains(F.col(contexts_col), context_query))
 
-    tokenize = (tokenize_analyzed_cjk if analyzer == "cjk"
-                else tokenize_analyzed)
+    if analyzer == "cjk":
+        tokenize = tokenize_analyzed_cjk
+    elif analyzer == "standard":
+        tokenize = tokenize_analyzed
+    else:
+        # a supported language code: the full ES language chain
+        # (stopwords + light stem + fold — analyzers.py)
+        from ..functions.analyzers import tokenize_analyzed_lang
+        tokenize = lambda c: tokenize_analyzed_lang(c, analyzer)  # noqa: E731
     p = (probes
          .select(F.col(probe_id).alias("probe_id"),
                  tokenize(F.col(probe_text)).alias("_ptoks"))
@@ -183,14 +197,26 @@ def lexical_similarity_search(
         # early-exit DP, returns -1 above the bound) instead of the
         # full O(n*m) distance
         lev = F.levenshtein("ptoken", "ctoken", 2)
-        joined = (p_tok
-                  .withColumn("block", F.substring("ptoken", 1, 1))
-                  .join(c_tok.withColumn("block",
-                                         F.substring("ctoken", 1, 1)),
-                        "block")
-                  .filter((F.abs(F.length("ptoken") -
-                                 F.length("ctoken")) <= max_edits) &
-                          (lev >= 0) & (lev <= max_edits)))
+        if fuzzy_prefix_length == 0:
+            # prefix_length-0 parity: length-band block (exact recall —
+            # |len(p)-len(c)| <= edits is an invariant of edit distance)
+            p_blocked = p_tok.withColumn(
+                "block",
+                F.explode(F.sequence(F.length("ptoken") - max_edits,
+                                     F.length("ptoken") + max_edits)))
+            joined = (p_blocked
+                      .join(c_tok.withColumn("block", F.length("ctoken")),
+                            "block")
+                      .filter((lev >= 0) & (lev <= max_edits)))
+        else:
+            joined = (p_tok
+                      .withColumn("block", F.substring("ptoken", 1, 1))
+                      .join(c_tok.withColumn("block",
+                                             F.substring("ctoken", 1, 1)),
+                            "block")
+                      .filter((F.abs(F.length("ptoken") -
+                                     F.length("ctoken")) <= max_edits) &
+                              (lev >= 0) & (lev <= max_edits)))
         agg = (joined.groupBy("probe_id", "cand_id", "probe_tokens")
                .agg(F.countDistinct("ptoken").alias("overlap")))
     else:
@@ -198,6 +224,51 @@ def lexical_similarity_search(
                           F.col("ptoken") == F.col("ctoken"))
                .groupBy("probe_id", "cand_id", "probe_tokens")
                .agg(F.count("*").alias("overlap")))
+    return (agg.filter(F.col("overlap") >=
+                       min_should_match(F.col("probe_tokens"), threshold))
+            .withColumn("score",
+                        F.col("overlap") /
+                        F.col("probe_tokens").cast("double"))
+            .select("probe_id", "cand_id", "overlap", "probe_tokens",
+                    "score"))
+
+
+def lexical_similarity_search_routed(
+    probes: DataFrame, candidates: DataFrame,
+    probe_id: str, cand_id: str,
+    probe_text: str = "content", cand_text: str = "content",
+    probe_lang: str = "language", cand_lang: str = "language",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Per-language-index search: the Spark form of the reference's
+    one-OpenSearch-index-per-language design
+    (`language_analyzers.init_indices`, validated by
+    `test_similarity_lang_analyzers.py:32-135`). Each side tokenizes
+    with its OWN language's analyzer chain and probes only meet
+    candidates in the SAME language route — the (route, token) join
+    key is the index-per-language boundary. Tokenization is one CASE
+    expression (whole-stage codegen); scoring matches
+    `lexical_similarity_search`."""
+    from ..functions.analyzers import tokenize_analyzed_routed
+    p = (probes
+         .select(F.col(probe_id).alias("probe_id"),
+                 F.col(probe_lang).alias("route"),
+                 tokenize_analyzed_routed(
+                     F.col(probe_text), F.col(probe_lang))
+                 .alias("_ptoks"))
+         .withColumn("probe_tokens", F.size("_ptoks"))
+         .filter(F.col("probe_tokens") > 0))
+    c = candidates.select(F.col(cand_id).alias("cand_id"),
+                          F.col(cand_lang).alias("route"),
+                          tokenize_analyzed_routed(
+                              F.col(cand_text), F.col(cand_lang))
+                          .alias("_ctoks"))
+    p_tok = F.broadcast(p.select("probe_id", "route", "probe_tokens",
+                                 F.explode("_ptoks").alias("token")))
+    c_tok = c.select("cand_id", "route", F.explode("_ctoks").alias("token"))
+    agg = (p_tok.join(c_tok, ["route", "token"])
+           .groupBy("probe_id", "cand_id", "probe_tokens")
+           .agg(F.count("*").alias("overlap")))
     return (agg.filter(F.col("overlap") >=
                        min_should_match(F.col("probe_tokens"), threshold))
             .withColumn("score",

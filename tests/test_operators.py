@@ -94,6 +94,27 @@ def test_ngram_jaccard(spark):
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
 
 
+def test_dedup_corpus_end_to_end(spark):
+    """Composed dedup (LSH → Jaccard verify → star CC → keeper) with
+    the production xxhash64 family: near-dup chain {1,2,3} collapses to
+    keeper 1 via transitivity (1~2 and 2~3 need not imply a direct 1~3
+    candidate — CC closes the chain), distinct doc keeps itself."""
+    from alegre_spark.operators.dedup import dedup_corpus
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    near2 = near.replace("quick", "swift", 1)
+    far = "completely different content about spark shuffle partitions " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, near2), (4, far)],
+        "id long, text string")
+    out = {r["id"]: (r["keeper_id"], r["is_keeper"], r["group_size"])
+           for r in dedup_corpus(df, "id", "text",
+                                 threshold=0.6).collect()}
+    assert out[1] == (1, True, 3)
+    assert out[2] == (1, False, 3) and out[3] == (1, False, 3)
+    assert out[4] == (4, True, 1)
+
+
 def test_simhash_similar_texts_close(spark):
     from alegre_spark.operators.dedup import simhash64
     base = "the quick brown fox jumps over the lazy dog and keeps running"

@@ -253,3 +253,115 @@ def test_cjk_latin_adjacent_runs_split(spark):
     t = df.select(tokenize_analyzed_cjk(F.col("content"))
                   .alias("t")).first()["t"]
     assert t == ["iphone", "充电", "电器"]
+
+
+def test_language_analyzer_chains(spark):
+    """Per-language chains (reference `language_analyzers.py:6-304`):
+    stopword removal, light stemming, asciifolding — morphological
+    variants match where the standard analyzer misses them."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.analyzers import tokenize_analyzed_lang
+
+    def toks(text, lang):
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(tokenize_analyzed_lang(F.col("t"), lang)
+                         .alias("x")).first()["x"]
+
+    # en: stopwords out, possessive + plural stem, banana==bananas
+    assert set(toks("how to slice the bananas", "en")) == \
+        set(toks("how slice a banana", "en"))
+    assert set(toks("the dog's bones", "en")) == {"dog", "bone"}
+    # es: plural/gender chop + accent fold: plátano==platanos
+    assert set(toks("como rebanar un plátano", "es")) == \
+        set(toks("como rebanar los platanos", "es"))
+    # fr: plural + mute-e: bananes==banane; stopwords out
+    assert set(toks("les bananes", "fr")) == set(toks("la banane", "fr"))
+    # de: plural endings + ß/umlaut fold: Bananen==Banane, straße==strasse
+    assert set(toks("die Bananen auf der Straße", "de")) == \
+        set(toks("eine Banane strasse", "de"))
+    # hi/bn: stopword-only chains keep content words intact
+    assert "केले" in toks("केले को कैसे काटें", "hi")
+    assert "को" not in toks("केले को कैसे काटें", "hi")
+    assert "কলা" in toks("কিভাবে একটি কলা টুকরা করা হয়", "bn")
+    # ar: alef/teh-marbuta normalization unifies orthographic variants
+    assert toks("أهمية", "ar") == toks("اهمية", "ar")
+    # unknown language falls back to the standard chain
+    assert toks("The Dogs", "xx") == ["the", "dogs"]
+
+
+def test_language_routed_search_goldens(spark):
+    """The reference's analyzer-routing goldens
+    (`test_similarity_lang_analyzers.py:32-135`): each language's
+    probe self-matches through ITS language route at threshold 0, a
+    morphological variant matches through the language chain, and
+    routes are isolated (en probe never hits the es doc)."""
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search_routed
+
+    docs = spark.createDataFrame(
+        [(1, "केले को कैसे काटें", "hi"),
+         (2, "how to slice a banana", "en"),
+         (3, "como rebanar un plátano", "es"),
+         (4, "কিভাবে একটি কলা টুকরা করা হয়", "bn"),
+         (5, "香蕉切片的方法", "zh")],
+        "doc_id long, content string, language string")
+    hits = lexical_similarity_search_routed(
+        docs, docs, "doc_id", "doc_id", threshold=0.0)
+    pairs = {(r["probe_id"], r["cand_id"]) for r in hits.collect()}
+    for i in range(1, 6):
+        assert (i, i) in pairs          # every probe self-matches
+    assert (2, 3) not in pairs and (3, 2) not in pairs  # route isolation
+
+    # morphological variants match within the route
+    variants = spark.createDataFrame(
+        [(10, "slicing the bananas", "en"),
+         (11, "rebanando los platanos", "es")],
+        "doc_id long, content string, language string")
+    vhits = lexical_similarity_search_routed(
+        variants, docs, "doc_id", "doc_id", threshold=0.3)
+    vpairs = {(r["probe_id"], r["cand_id"]) for r in vhits.collect()}
+    assert (10, 2) in vpairs            # bananas ~ banana (en stem)
+    assert (11, 3) in vpairs            # platanos ~ plátano (es stem+fold)
+
+
+def test_fuzzy_prefix_length_zero_parity(spark):
+    """ES defaults to fuzzy prefix_length 0; our default block key is
+    the first char (prefix_length 1). On a corpus misspelled AT
+    POSITION 0 the blocked mode must miss and the length-band parity
+    mode (fuzzy_prefix_length=0) must hit — quantifies the recall cost
+    of the block (number recorded in BENCH.md §fuzzy)."""
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search
+
+    docs = spark.createDataFrame(
+        [(1, "zebra crossing ahead"), (2, "quantum mechanics course")],
+        "doc_id long, content string")
+    # position-0 substitutions: xebra~zebra, ruantum~quantum
+    probes = spark.createDataFrame(
+        [(10, "xebra crossing ahead"), (11, "ruantum mechanics course")],
+        "doc_id long, content string")
+
+    blocked = lexical_similarity_search(
+        probes, docs, "doc_id", "doc_id", threshold=1.0, fuzzy=True)
+    parity = lexical_similarity_search(
+        probes, docs, "doc_id", "doc_id", threshold=1.0, fuzzy=True,
+        fuzzy_prefix_length=0)
+    bp = {(r["probe_id"], r["cand_id"]) for r in blocked.collect()}
+    pp = {(r["probe_id"], r["cand_id"]) for r in parity.collect()}
+    # parity mode: full recall (both probes hit their doc)
+    assert (10, 1) in pp and (11, 2) in pp
+    # blocked mode: the position-0 edit drops the misspelled token, so
+    # overlap misses full-threshold match
+    assert (10, 1) not in bp and (11, 2) not in bp
+
+    # mid-word edits: both modes identical (the common case)
+    probes2 = spark.createDataFrame(
+        [(12, "zebra crosing ahead")], "doc_id long, content string")
+    b2 = {(r["probe_id"], r["cand_id"]) for r in lexical_similarity_search(
+        probes2, docs, "doc_id", "doc_id", threshold=1.0,
+        fuzzy=True).collect()}
+    p2 = {(r["probe_id"], r["cand_id"]) for r in lexical_similarity_search(
+        probes2, docs, "doc_id", "doc_id", threshold=1.0, fuzzy=True,
+        fuzzy_prefix_length=0).collect()}
+    assert (12, 1) in b2 and b2 == p2

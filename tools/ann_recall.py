@@ -42,6 +42,12 @@ def main():
     lsh = topk_sets(lsh_topk(probes, e, "vec_id", "vec_id",
                              "embedding", "embedding", planes, k=k))
 
+    # the recommended default: multi-table L=4 (ann_topk)
+    from alegre_spark.operators.ann import ann_topk
+    dim = len(e.select("embedding").first()[0])
+    multi = topk_sets(ann_topk(probes, e, "vec_id", "vec_id",
+                               "embedding", "embedding", dim, k=k))
+
     C = ivf_fit_centroids(e, "vec_id", "embedding", n_centroids=16,
                           sample=2048)
     ivf = {}
@@ -53,13 +59,41 @@ def main():
             len(got.get(p, set()) & exact[p]) / k for p in exact
         ) / len(exact), 4)
 
-    lsh_recall = round(sum(
-        len(lsh.get(p, set()) & exact[p]) / k for p in exact
-    ) / len(exact), 4)
+    def recall(got):
+        return round(sum(
+            len(got.get(p, set()) & exact[p]) / k for p in exact
+        ) / len(exact), 4)
+
+    # clustered corpus (the honest case: real embedding spaces have
+    # cluster structure; uniform random vectors are adversarial for
+    # any locality method): 20 centers, small within-cluster noise.
+    import numpy as np
+    rng = np.random.RandomState(3)
+    centers = rng.randn(20, dim)
+    cvecs = [(i, (centers[i % 20] + 0.15 * rng.randn(dim)).tolist())
+             for i in range(2000)]
+    cdf = spark.createDataFrame(cvecs, "vec_id long, embedding array<double>")
+    cprobes = cdf.filter(F.col("vec_id") < 50)
+    cexact = topk_sets(brute_force_topk(
+        cprobes, cdf, "vec_id", "vec_id", "embedding", "embedding", k=k))
+    cmulti = topk_sets(ann_topk(cprobes, cdf, "vec_id", "vec_id",
+                                "embedding", "embedding", dim, k=k))
+    csingle = topk_sets(lsh_topk(cprobes, cdf, "vec_id", "vec_id",
+                                 "embedding", "embedding", planes, k=k))
+    crecall = {
+        "multitable_L4": round(sum(
+            len(cmulti.get(p, set()) & cexact[p]) / k for p in cexact
+        ) / len(cexact), 4),
+        "single_6planes": round(sum(
+            len(csingle.get(p, set()) & cexact[p]) / k for p in cexact
+        ) / len(cexact), 4),
+    }
 
     print(json.dumps({"n_vectors": n, "k": k, "n_probes": len(exact),
-                      "recall_lsh_6planes": lsh_recall,
-                      "recall_ivf": ivf}))
+                      "recall_lsh_6planes": recall(lsh),
+                      "recall_lsh_multitable_L4_default": recall(multi),
+                      "recall_ivf": ivf,
+                      "clustered_corpus": crecall}))
     spark.stop()
 
 

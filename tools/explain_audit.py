@@ -42,7 +42,7 @@ CHECKS = {
     "q08_global_topk": [
         ("TakeOrderedAndProject", "global top-k without full sort"),
     ],
-    "q23_minhash_xxhash": [
+    "q22_hash_signatures": [
         ("xxhash64", "JVM-side hashing (no Python)"),
         ("partial_min", "signature mins partial-aggregated"),
     ],
@@ -65,7 +65,7 @@ CHECKS = {
         ("BroadcastHashJoin", "first-char block join, probe broadcast"),
         ("levenshtein", "edit distance evaluated JVM-side"),
     ],
-    "q42_audio_chromaprint": [
+    "q42_media_match": [
         ("BroadcastNestedLoopJoin", "length gate joins before scoring"),
         ("MapInPandas", "correlation scored in one Arrow pass"),
     ],
@@ -93,7 +93,7 @@ FORBIDDEN = {
                                "MapInPandas"],
     "q14_cosine_topk": ["ArrowEvalPython", "BatchEvalPython",
                         "MapInPandas"],
-    "q23_minhash_xxhash": ["ArrowEvalPython", "BatchEvalPython",
+    "q22_hash_signatures": ["ArrowEvalPython", "BatchEvalPython",
                            "MapInPandas"],
     "q31_context_containment": ["ArrowEvalPython", "BatchEvalPython",
                                 "MapInPandas"],

@@ -1,0 +1,108 @@
+"""Reproducible Zipf-corpus evidence for the prefix-filter join
+(`token_overlap_join_prefix`, PPJoin-style) vs the naive inverted-index
+join: candidate-pair volume and wall time on a deterministic Zipfian
+corpus (seed 11). The naive join's candidate volume is sum over tokens
+of probe_df(t)·cand_df(t) — on Zipf corpora the head tokens make that
+quadratic; the prefix filter only generates pairs from each probe's
+(n−m+1) rarest tokens.
+
+Usage: python tools/prefix_filter_bench.py [n_docs] — one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def zipf_corpus(n_docs: int, vocab: int = 2000, doc_len: int = 30,
+                seed: int = 11):
+    """Deterministic Zipf(s=1.1) word soup: heavy head, long tail."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    ranks = np.arange(1, vocab + 1)
+    probs = 1.0 / ranks ** 1.1
+    probs /= probs.sum()
+    words = [f"w{r}" for r in ranks]
+    docs = []
+    for i in range(n_docs):
+        idx = rng.choice(vocab, size=doc_len, p=probs)
+        docs.append((i, " ".join(words[j] for j in idx)))
+    return docs
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.similarity_join import (
+        token_overlap_join, token_overlap_join_prefix, tokenize_distinct)
+    from alegre_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.createDataFrame(zipf_corpus(n_docs),
+                                 "doc_id long, content string")
+    docs = docs.persist()
+    docs.count()
+    probes = docs.filter(F.col("doc_id") < 50)
+    threshold = 0.6
+
+    # candidate volumes (analytic, engine-independent):
+    tok = docs.select("doc_id", F.explode(
+        tokenize_distinct(F.col("content"))).alias("token"))
+    ptok = probes.select("doc_id", F.explode(
+        tokenize_distinct(F.col("content"))).alias("token"))
+    dfs = tok.groupBy("token").agg(F.count("*").alias("cdf"))
+    pdfs = ptok.groupBy("token").agg(F.count("*").alias("pdf"))
+    naive_pairs = (dfs.join(pdfs, "token")
+                   .agg(F.sum(F.col("cdf") * F.col("pdf")))
+                   .first()[0])
+
+    # the prefix join's actual generated pair count: re-derive its
+    # prefix selection (same expressions as the operator)
+    from pyspark.sql import Window
+    p = (probes.select(F.col("doc_id").alias("probe_id"),
+                       tokenize_distinct(F.col("content")).alias("_t"))
+         .withColumn("n", F.size("_t")))
+    m = F.ceil(F.lit(threshold) * F.col("n")).cast("int")
+    w = Window.partitionBy("probe_id").orderBy(F.asc("cdf"), F.asc("token"))
+    p_prefix = (p.select("probe_id", "n", F.explode("_t").alias("token"))
+                .join(dfs, "token")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= F.col("n") - m + 1)
+                .select("probe_id", "token"))
+    prefix_pairs = (p_prefix.join(tok.withColumnRenamed("doc_id", "cand_id"),
+                                  "token")
+                    .select("probe_id", "cand_id").distinct().count())
+
+    def run(fn):
+        t0 = time.perf_counter()
+        n = fn().count()
+        return n, round(time.perf_counter() - t0, 2)
+
+    n_naive, t_naive = run(lambda: token_overlap_join(
+        probes, docs, "doc_id", "doc_id", "content", "content",
+        threshold=threshold))
+    n_pref, t_pref = run(lambda: token_overlap_join_prefix(
+        probes, docs, "doc_id", "doc_id", "content", "content",
+        threshold=threshold))
+    assert n_naive == n_pref, "result sets must be identical"
+
+    print(json.dumps({
+        "n_docs": n_docs, "zipf_s": 1.1, "vocab": 2000,
+        "threshold": threshold,
+        "naive_candidate_volume": int(naive_pairs),
+        "prefix_candidate_pairs": int(prefix_pairs),
+        "candidate_reduction": round(1 - prefix_pairs / naive_pairs, 4),
+        "result_rows": n_naive,
+        "wall_naive_s": t_naive, "wall_prefix_s": t_pref,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
