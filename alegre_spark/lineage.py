@@ -80,10 +80,15 @@ def committed_buckets(spark: SparkSession, metrics_path: str,
         # ONLY "no metrics yet" may reset resume state. A transient read
         # failure (throttle, auth, corrupt footer) must propagate —
         # treating it as empty would re-run committed buckets and append
-        # their rows a second time.
+        # their rows a second time. Two shapes mean "no metrics yet":
+        # the path missing entirely, and the path existing with no
+        # readable parquet (a crash during the FIRST metrics write
+        # leaves only _temporary/ — UNABLE_TO_INFER_SCHEMA; re-raising
+        # that would wedge resume forever).
         cond = (e.getCondition() if hasattr(e, "getCondition")
                 else getattr(e, "errorClass", None)) or ""
-        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
+        probe = cond + " " + str(e)
+        if "PATH_NOT_FOUND" in probe or "UNABLE_TO_INFER_SCHEMA" in probe:
             return set()
         raise
     return {r["salt_bucket"] for r in rows}

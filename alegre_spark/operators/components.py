@@ -120,35 +120,38 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     propagation needs O(diameter) rounds. Fixed point = star per
     component centered at its min; same output contract as
     `connected_components`: (node, component)."""
+    # eager localCheckpoint, not persist(): nothing in the loop ever
+    # actions all_nodes, so a lazy persist would be unpersisted before
+    # first use and the (possibly expensive) edge lineage — e.g. q54's
+    # LSH→Jaccard chain — would re-run at result-action time. Built
+    # from the ORIGINAL edges: self-loop-only nodes are dropped from
+    # `e` below but must still appear in the output.
     all_nodes = (edges.select(F.col(src).alias("node"))
                  .union(edges.select(F.col(dst).alias("node")))
-                 .distinct().persist())
+                 .distinct().localCheckpoint(eager=True))
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .filter(F.col("src") != F.col("dst")).distinct()
          .localCheckpoint(eager=True))
-    try:
-        for _ in range(max_iter):
-            # localCheckpoint per round: same O(i²) lineage trap as the
-            # label-propagation loop (see connected_components)
-            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            changed = (e2.union(e).groupBy("src", "dst")
-                       .agg(F.count("*").alias("n"))
-                       .filter(F.col("n") != 2).limit(1).count())
-            e = e2
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components_star did not converge in "
-                f"{max_iter} rounds")
-        # fixed point is a star: every non-root points at its root
-        labels = e.select(F.col("src").alias("node"),
-                          F.col("dst").alias("component"))
-        return (all_nodes.join(labels, "node", "left")
-                .select("node",
-                        F.coalesce("component", "node").alias("component")))
-    finally:
-        all_nodes.unpersist()
+    for _ in range(max_iter):
+        # localCheckpoint per round: same O(i²) lineage trap as the
+        # label-propagation loop (see connected_components)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        changed = (e2.union(e).groupBy("src", "dst")
+                   .agg(F.count("*").alias("n"))
+                   .filter(F.col("n") != 2).limit(1).count())
+        e = e2
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iter} rounds")
+    # fixed point is a star: every non-root points at its root
+    labels = e.select(F.col("src").alias("node"),
+                      F.col("dst").alias("component"))
+    return (all_nodes.join(labels, "node", "left")
+            .select("node",
+                    F.coalesce("component", "node").alias("component")))
 
 
 def clusters(edges: DataFrame, src: str = "src", dst: str = "dst",

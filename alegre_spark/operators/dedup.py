@@ -167,7 +167,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                            F.col("inter") /
                            (F.size("_sha") + F.size("_shb")
                             - F.col("inter")).cast("double")))
-        return (out.filter(F.col("jaccard") >= threshold)
+        # inter >= 1 keeps parity with the inverted-index path, which
+        # can only ever emit pairs sharing a shingle — without it a
+        # threshold<=0 call would pass zero-overlap candidate pairs
+        return (out.filter((F.col("jaccard") >= threshold) &
+                           (F.col("inter") >= 1))
                 .select("id_a", "id_b", "inter", "jaccard"))
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     ex = sh.select("id", F.explode("sh").alias("shingle"))

@@ -101,8 +101,11 @@ def lookup_by_id_or_url(incoming: DataFrame, store: DataFrame,
     if broadcast_store is True:
         by_id, by_url = F.broadcast(by_id), F.broadcast(by_url)
     elif broadcast_store is False:
-        # explicit NO_BROADCAST_HASH hint so even a mis-estimated small
-        # aggregate of a huge store cannot be driver-collected
+        # a SHUFFLE_HASH join-STRATEGY hint: it outranks size-based
+        # broadcast selection, so even a mis-estimated small aggregate
+        # of a huge store cannot be driver-collected (note it also
+        # excludes sort-merge — intended: the aggregate is pre-hashed
+        # by key, a shuffled hash join is the right physical form)
         by_id = by_id.hint("shuffle_hash")
         by_url = by_url.hint("shuffle_hash")
     out = (incoming

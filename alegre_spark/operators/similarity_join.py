@@ -209,10 +209,13 @@ def lexical_similarity_search(
                             "block")
                       .filter((lev >= 0) & (lev <= max_edits)))
         else:
+            # block on the first `fuzzy_prefix_length` chars (ES
+            # semantics: edits inside the prefix are not considered)
+            pl = fuzzy_prefix_length
             joined = (p_tok
-                      .withColumn("block", F.substring("ptoken", 1, 1))
+                      .withColumn("block", F.substring("ptoken", 1, pl))
                       .join(c_tok.withColumn("block",
-                                             F.substring("ctoken", 1, 1)),
+                                             F.substring("ctoken", 1, pl)),
                             "block")
                       .filter((F.abs(F.length("ptoken") -
                                      F.length("ctoken")) <= max_edits) &

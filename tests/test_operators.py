@@ -590,3 +590,41 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(chain, max_iter=3)
     ok = connected_components(chain, max_iter=10)
     assert ok.agg({"component": "max"}).first()[0] == 0
+
+
+def test_ngram_jaccard_candidates_path_matches_inverted_index(spark):
+    """r2 review: the candidate-driven verify path must agree with the
+    inverted-index path — in particular a zero-overlap candidate pair
+    must NOT pass at threshold 0 (the inverted index can only emit
+    pairs sharing a shingle)."""
+    from alegre_spark.operators.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "id long, text string")
+    cands = spark.createDataFrame([(1, 2), (1, 3)],
+                                  "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"])
+           for r in ngram_jaccard_pairs(df, "id", "text", n=3,
+                                        threshold=0.0,
+                                        candidates=cands).collect()}
+    assert got == {(1, 2)}          # (1,3) shares nothing -> excluded
+
+
+def test_fuzzy_prefix_length_two_blocks_two_chars(spark):
+    """r2 review: fuzzy_prefix_length=2 must block on the first TWO
+    characters (an edit at position 1 is excluded), not silently act
+    like prefix_length 1."""
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search
+    docs = spark.createDataFrame([(1, "zebra crossing ahead")],
+                                 "doc_id long, content string")
+    probes = spark.createDataFrame([(10, "zybra crossing ahead")],
+                                   "doc_id long, content string")
+    p1 = {(r["probe_id"], r["cand_id"]) for r in lexical_similarity_search(
+        probes, docs, "doc_id", "doc_id", threshold=1.0, fuzzy=True,
+        fuzzy_prefix_length=1).collect()}
+    p2 = {(r["probe_id"], r["cand_id"]) for r in lexical_similarity_search(
+        probes, docs, "doc_id", "doc_id", threshold=1.0, fuzzy=True,
+        fuzzy_prefix_length=2).collect()}
+    assert (10, 1) in p1            # edit at position 1, prefix-1 ok
+    assert (10, 1) not in p2        # prefix-2 blocks it (zy != ze)

@@ -134,3 +134,26 @@ def test_effective_allowed_expands_routes(spark):
 
     got = effective_allowed(["en", "cjk", "pt-br"])
     assert got == ["en", "ja", "ko", "pt", "zh"]
+
+
+def test_committed_buckets_unreadable_dir_resets_not_raises(spark):
+    """r2 review: a crash during the FIRST metrics write leaves the
+    directory with no readable parquet (only _temporary/) — that must
+    read as 'no metrics yet' (resume from scratch), not wedge resume
+    with UNABLE_TO_INFER_SCHEMA forever. A genuinely missing path also
+    resets; other Analysis errors still propagate."""
+    import os
+    import tempfile
+
+    from alegre_spark.lineage import committed_buckets
+
+    work = tempfile.mkdtemp()
+    try:
+        empty = os.path.join(work, "metrics")
+        os.makedirs(os.path.join(empty, "_temporary"))
+        assert committed_buckets(spark, empty, "r1") == set()
+        assert committed_buckets(spark, os.path.join(work, "nope"),
+                                 "r1") == set()
+    finally:
+        import shutil
+        shutil.rmtree(work, ignore_errors=True)

@@ -59,10 +59,11 @@ def main():
             len(got.get(p, set()) & exact[p]) / k for p in exact
         ) / len(exact), 4)
 
-    def recall(got):
+    def recall(got, ref=None):
+        ref = exact if ref is None else ref
         return round(sum(
-            len(got.get(p, set()) & exact[p]) / k for p in exact
-        ) / len(exact), 4)
+            len(got.get(p, set()) & ref[p]) / k for p in ref
+        ) / len(ref), 4)
 
     # clustered corpus (the honest case: real embedding spaces have
     # cluster structure; uniform random vectors are adversarial for
@@ -81,12 +82,8 @@ def main():
     csingle = topk_sets(lsh_topk(cprobes, cdf, "vec_id", "vec_id",
                                  "embedding", "embedding", planes, k=k))
     crecall = {
-        "multitable_L4": round(sum(
-            len(cmulti.get(p, set()) & cexact[p]) / k for p in cexact
-        ) / len(cexact), 4),
-        "single_6planes": round(sum(
-            len(csingle.get(p, set()) & cexact[p]) / k for p in cexact
-        ) / len(cexact), 4),
+        "multitable_L4": recall(cmulti, cexact),
+        "single_6planes": recall(csingle, cexact),
     }
 
     print(json.dumps({"n_vectors": n, "k": k, "n_probes": len(exact),

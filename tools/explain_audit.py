@@ -81,6 +81,15 @@ CHECKS = {
         ("BroadcastHashJoin", "prefix tokens broadcast"),
         ("array_intersect", "pair-wise verification JVM-side"),
     ],
+    "q54_dedup_corpus": [
+        ("array_intersect", "Jaccard verify is per-candidate-pair, "
+                            "JVM-side (no explode-join blowup)"),
+    ],
+    "q55_analyzed_routed_search": [
+        ("BroadcastHashJoin", "probe route+token join broadcast"),
+        ("CASE WHEN", "per-language analyzer routing is one codegen "
+                      "CASE expression"),
+    ],
 }
 
 FORBIDDEN = {
@@ -108,6 +117,12 @@ FORBIDDEN = {
                       "BroadcastNestedLoopJoin"],
     "q52_prefix_filter_search": ["ArrowEvalPython", "BatchEvalPython",
                                  "MapInPandas", "CartesianProduct"],
+    # composed dedup: every stage (LSH, array_intersect verify, star
+    # CC, keeper agg) must stay JVM-side
+    "q54_dedup_corpus": ["ArrowEvalPython", "BatchEvalPython",
+                         "MapInPandas", "CartesianProduct"],
+    "q55_analyzed_routed_search": ["ArrowEvalPython", "BatchEvalPython",
+                                   "MapInPandas", "CartesianProduct"],
 }
 
 
