@@ -628,3 +628,16 @@ def test_fuzzy_prefix_length_two_blocks_two_chars(spark):
         fuzzy_prefix_length=2).collect()}
     assert (10, 1) in p1            # edit at position 1, prefix-1 ok
     assert (10, 1) not in p2        # prefix-2 blocks it (zy != ze)
+
+
+def test_connected_components_star_empty_and_selfloop_edges(spark):
+    """Degenerate inputs: an empty edge list yields an empty labeling
+    (round 1 converges immediately); a self-loop-only graph keeps the
+    node as its own singleton component (self-loops are dropped from
+    the star iteration but the node must survive into the output)."""
+    from alegre_spark.operators.components import connected_components_star
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(empty).count() == 0
+    loops = spark.createDataFrame([(7, 7)], "src long, dst long")
+    got = connected_components_star(loops).collect()
+    assert [(r["node"], r["component"]) for r in got] == [(7, 7)]
