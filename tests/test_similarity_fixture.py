@@ -365,3 +365,35 @@ def test_fuzzy_prefix_length_zero_parity(spark):
         probes2, docs, "doc_id", "doc_id", threshold=1.0, fuzzy=True,
         fuzzy_prefix_length=0).collect()}
     assert (12, 1) in b2 and b2 == p2
+
+
+def test_language_analyzer_remaining_chains(spark):
+    """pt/pt-br/id chains + the analyzer= language-code entry point of
+    lexical_similarity_search (not just the routed wrapper)."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.analyzers import tokenize_analyzed_lang
+
+    def toks(text, lang):
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(tokenize_analyzed_lang(F.col("t"), lang)
+                         .alias("x")).first()["x"]
+
+    # pt and pt-br share the chain: plural chop + fold, stopwords out
+    assert set(toks("como fatiar as bananas", "pt")) == \
+        set(toks("como fatiar uma banana", "pt-br"))
+    # id: stopword-only (no stemmer), content words intact
+    t_id = toks("cara mengiris pisang dan apel", "id")
+    assert "pisang" in t_id and "dan" not in t_id
+
+    # analyzer="es" through the search operator itself
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search
+    docs = spark.createDataFrame([(1, "como rebanar un plátano")],
+                                 "doc_id long, content string")
+    probes = spark.createDataFrame([(10, "rebanando los platanos")],
+                                   "doc_id long, content string")
+    hits = lexical_similarity_search(probes, docs, "doc_id", "doc_id",
+                                     threshold=0.3, analyzer="es")
+    assert {(r["probe_id"], r["cand_id"])
+            for r in hits.collect()} == {(10, 1)}

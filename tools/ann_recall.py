@@ -81,9 +81,15 @@ def main():
                                 "embedding", "embedding", dim, k=k))
     csingle = topk_sets(lsh_topk(cprobes, cdf, "vec_id", "vec_id",
                                  "embedding", "embedding", planes, k=k))
+    cC = ivf_fit_centroids(cdf, "vec_id", "embedding", n_centroids=16,
+                           sample=2048)
+    civf = topk_sets(ivf_topk(cprobes, cdf, "vec_id", "vec_id",
+                              "embedding", "embedding", cC, nprobe=2,
+                              k=k))
     crecall = {
         "multitable_L4": recall(cmulti, cexact),
         "single_6planes": recall(csingle, cexact),
+        "ivf_nprobe2": recall(civf, cexact),
     }
 
     print(json.dumps({"n_vectors": n, "k": k, "n_probes": len(exact),
