@@ -22,12 +22,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    # under spark-submit the gateway JVM already exists (PySpark
+    # connects through PYSPARK_GATEWAY_PORT) and the master comes from
+    # the launcher (--master yarn/k8s/...); forcing local[N] here would
+    # silently override the cluster. Only default the master for the
+    # plain-`python` path (tests/bench/tools).
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
+        master = f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(os.environ.get(
         "ALEGRE_SHUFFLE_PARTITIONS", str(max(int(cpus) if cpus.isdigit() else 32, 8))))
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # CPU-bound pandas-UDF stages have tiny bytes-per-cpu-second;
@@ -50,4 +56,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    if master:
+        builder = builder.master(master)
     return builder.getOrCreate()

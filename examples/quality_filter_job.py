@@ -1,0 +1,59 @@
+"""The deployment-shape entry point (north rule: packaged for
+`spark-submit --py-files`):
+
+    zip -qr alegre_spark.zip alegre_spark
+    spark-submit --master <cluster> --py-files alegre_spark.zip \
+        examples/quality_filter_job.py \
+        --input  /path/to/files_table_parquet \
+        --output /path/to/out_dir \
+        [--salt-buckets 4096] [--max-perplexity 1e4] [--require-language]
+
+Reads a files table (repo, path, commit, lang, content), runs the
+quality-filter pipeline idempotently (resume from the last committed
+salt bucket via the metrics table), writes `<out>/filtered` +
+`<out>/metrics`, prints one JSON summary line. Rerunning after a crash
+or with identical input is a no-op for committed buckets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="parquet dir with (repo,path,commit,lang,content)")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--salt-buckets", type=int, default=4096,
+                    help="salt buckets (≈ 2-4x total executor cores)")
+    ap.add_argument("--max-perplexity", type=float, default=1e4)
+    ap.add_argument("--require-language", action="store_true",
+                    help="drop rows whose language is outside the "
+                         "allowed set (default: code corpora keep und)")
+    args = ap.parse_args()
+
+    from alegre_spark.lineage import run_with_resume
+    from alegre_spark.pipeline import PipelineConfig
+    from alegre_spark.session import get_spark
+
+    # under spark-submit the master/conf come from the launcher;
+    # get_spark only fills in the AQE/Arrow defaults it always sets
+    spark = get_spark(app_name="alegre-quality-filter")
+    files = spark.read.parquet(args.input)
+
+    cfg = PipelineConfig(salt_buckets=args.salt_buckets,
+                         max_perplexity=args.max_perplexity,
+                         require_language=args.require_language)
+    summary = run_with_resume(spark, files, args.output, cfg)
+
+    kept = (spark.read.parquet(f"{args.output}/filtered")
+            .filter("keep").count())
+    print(json.dumps({**summary, "kept_total": kept,
+                      "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
