@@ -44,7 +44,13 @@ def normalize_text(col):
 def exact_dedup(df: DataFrame, id_col: str, text_col: str,
                 keep: str = "min") -> DataFrame:
     """Exact dedup on sha256(normalized text). Returns one row per
-    distinct content: (content_key, n_dups, keeper_id, dup_ids)."""
+    distinct content: (content_key, n_dups, keeper_id, dup_ids).
+
+    Scale note: `dup_ids` is a collect_list — a 1M-row exact-dup group
+    materializes a 1M-element array in one reducer. This is the
+    REPORTING shape; compositions that only need the row→keeper
+    mapping (e.g. `dedup_corpus_two_phase`) use the groupBy-min +
+    join form instead, which carries O(1) state per group."""
     key = F.sha2(normalize_text(F.col(text_col)), 256)
     agg_keep = F.min(id_col) if keep == "min" else F.max(id_col)
     return (df.withColumn("content_key", key)
@@ -244,6 +250,45 @@ def dedup_corpus(df: DataFrame, id_col: str, text_col: str,
                .join(cc.withColumnRenamed("node", "id"), "id", "left")
                .select("id", F.coalesce("component", "id")
                        .alias("keeper_id")))
+    sizes = labeled.groupBy("keeper_id").agg(
+        F.count("*").alias("group_size"))
+    return (labeled.join(sizes, "keeper_id")
+            .select("id", "keeper_id",
+                    (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
+                    F.col("group_size").cast("int").alias("group_size")))
+
+
+def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 16, bands: int = 4,
+                           shingle_n: int = 3, verify_n: int | None = None,
+                           threshold: float = 0.8,
+                           cc_max_iter: int = 30) -> DataFrame:
+    """Production two-phase dedup: EXACT first (sha256 groups — no
+    shingling cost), then NEAR (`dedup_corpus`) over the exact keepers
+    only. On web corpora exact dups are commonly 30-50% of rows, so
+    the expensive LSH/verify/CC stage runs on the survivors alone.
+
+    The exact phase uses groupBy-min + join (O(1) state per group),
+    NOT exact_dedup's collect_list reporting shape — a 1M-row exact
+    group costs one shuffle row, not a 1M-element array. Same output
+    contract as `dedup_corpus`: (id, keeper_id, is_keeper, group_size)
+    over EVERY input row, where keeper_id is the final near-dup
+    group's min id.
+    """
+    keyed = df.select(F.col(id_col).alias("id"), F.col(text_col),
+                      F.sha2(normalize_text(F.col(text_col)), 256)
+                      .alias("_ck"))
+    exact_min = keyed.groupBy("_ck").agg(F.min("id").alias("_ek"))
+    mapping = keyed.join(exact_min, "_ck").select("id", "_ek")
+    keepers = (df.join(exact_min.select(F.col("_ek").alias(id_col)),
+                       id_col, "left_semi"))
+    near = dedup_corpus(keepers, id_col, text_col, num_hashes, bands,
+                        shingle_n, verify_n, threshold,
+                        cc_max_iter=cc_max_iter)
+    labeled = (mapping
+               .join(near.select(F.col("id").alias("_ek"),
+                                 F.col("keeper_id")), "_ek")
+               .select("id", "keeper_id"))
     sizes = labeled.groupBy("keeper_id").agg(
         F.count("*").alias("group_size"))
     return (labeled.join(sizes, "keeper_id")

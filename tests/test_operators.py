@@ -641,3 +641,35 @@ def test_connected_components_star_empty_and_selfloop_edges(spark):
     loops = spark.createDataFrame([(7, 7)], "src long, dst long")
     got = connected_components_star(loops).collect()
     assert [(r["node"], r["component"]) for r in got] == [(7, 7)]
+
+
+def test_dedup_corpus_two_phase(spark):
+    """Two-phase dedup: exact dups collapse first (whitespace/case
+    variants share the sha256 key), then near-dup runs on keepers only;
+    the final labeling covers every row with the near-group's min id
+    and an exact dup of a near-dup member lands in the same group."""
+    from alegre_spark.operators.dedup import (dedup_corpus,
+                                              dedup_corpus_two_phase)
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark shuffle partitions " * 5
+    df = spark.createDataFrame(
+        [(1, base),
+         (2, base.upper()),            # exact dup of 1 (normalized)
+         (3, near),                    # near dup of 1
+         (4, near + " "),              # exact dup of 3 (normalized)
+         (5, far)],
+        "id long, text string")
+    out = {r["id"]: (r["keeper_id"], r["is_keeper"], r["group_size"])
+           for r in dedup_corpus_two_phase(df, "id", "text",
+                                           threshold=0.6).collect()}
+    assert out[1] == (1, True, 4)
+    assert out[2] == (1, False, 4)     # via exact phase
+    assert out[3] == (1, False, 4)     # via near phase
+    assert out[4] == (1, False, 4)     # exact dup of a near member
+    assert out[5] == (5, True, 1)
+    # one-phase over the same input agrees on the grouping
+    one = {r["id"]: r["keeper_id"]
+           for r in dedup_corpus(df, "id", "text",
+                                 threshold=0.6).collect()}
+    assert {k: v[0] for k, v in out.items()} == one
