@@ -252,17 +252,27 @@ def lexical_similarity_search_routed(
     key is the index-per-language boundary. Tokenization is one CASE
     expression (whole-stage codegen); scoring matches
     `lexical_similarity_search`."""
-    from ..functions.analyzers import tokenize_analyzed_routed
+    from ..functions.analyzers import STOPWORDS, tokenize_analyzed_routed
+    supported = sorted(STOPWORDS) + ["zh", "cjk"]
+
+    def route(lang_col):
+        # unsupported or NULL language → the DEFAULT route (reference:
+        # `text_similarity.py:252-264` falls back to the default index,
+        # where such docs still match each other). A raw NULL key would
+        # silently drop the row from the equi-join instead.
+        return (F.when(lang_col.isin(supported), lang_col)
+                .otherwise(F.lit("__default__")))
+
     p = (probes
          .select(F.col(probe_id).alias("probe_id"),
-                 F.col(probe_lang).alias("route"),
+                 route(F.col(probe_lang)).alias("route"),
                  tokenize_analyzed_routed(
                      F.col(probe_text), F.col(probe_lang))
                  .alias("_ptoks"))
          .withColumn("probe_tokens", F.size("_ptoks"))
          .filter(F.col("probe_tokens") > 0))
     c = candidates.select(F.col(cand_id).alias("cand_id"),
-                          F.col(cand_lang).alias("route"),
+                          route(F.col(cand_lang)).alias("route"),
                           tokenize_analyzed_routed(
                               F.col(cand_text), F.col(cand_lang))
                           .alias("_ctoks"))

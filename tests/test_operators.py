@@ -673,3 +673,20 @@ def test_dedup_corpus_two_phase(spark):
            for r in dedup_corpus(df, "id", "text",
                                  threshold=0.6).collect()}
     assert {k: v[0] for k, v in out.items()} == one
+
+
+def test_ann_topk_default_multitable(spark):
+    """ann_topk (the recommended default: multi-table L=4 hyperplane
+    LSH, deterministic seeded planes): identical vector is always
+    rank 1, plane tables are reproducible across calls."""
+    import numpy as np
+    from alegre_spark.operators.ann import ann_topk, default_plane_tables
+    t1 = default_plane_tables(4, n_tables=4, n_planes=8, seed=0)
+    t2 = default_plane_tables(4, n_tables=4, n_planes=8, seed=0)
+    assert t1 == t2 and len(t1) == 4 and np.array(t1[0]).shape == (8, 4)
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(vecs, "id long, embedding array<double>")
+    probes = df.filter("id = 0")
+    top = ann_topk(probes, df, "id", "id", "embedding", "embedding",
+                   dim=4, k=2).filter("rank = 1").first()
+    assert top["cand_id"] == 0

@@ -397,3 +397,25 @@ def test_language_analyzer_remaining_chains(spark):
                                      threshold=0.3, analyzer="es")
     assert {(r["probe_id"], r["cand_id"])
             for r in hits.collect()} == {(10, 1)}
+
+
+def test_routed_search_default_route_for_unsupported_and_null(spark):
+    """Reference L7 fallback (`text_similarity.py:252-264`): docs whose
+    language is unsupported (e.g. Hausa) or NULL route to the DEFAULT
+    index and still match each other there — a raw NULL join key would
+    silently drop them instead."""
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search_routed
+    docs = spark.createDataFrame(
+        [(1, "yadda ake yanka ayaba", "ha"),   # unsupported language
+         (2, "yadda ake yanka ayaba", None),   # NULL language
+         (3, "how to slice a banana", "en")],
+        "doc_id long, content string, language string")
+    hits = lexical_similarity_search_routed(
+        docs, docs, "doc_id", "doc_id", threshold=0.9)
+    pairs = {(r["probe_id"], r["cand_id"]) for r in hits.collect()}
+    # ha and NULL share the default route and match both ways
+    assert (1, 2) in pairs and (2, 1) in pairs
+    assert (1, 1) in pairs and (2, 2) in pairs
+    # default route is isolated from the en route
+    assert (1, 3) not in pairs and (3, 1) not in pairs
