@@ -119,6 +119,13 @@ STOPWORDS: dict[str, list[str]] = {
     "id": _ID_STOPS, "hi": _HI_STOPS, "bn": _BN_STOPS, "ar": _AR_STOPS,
 }
 
+# THE single list of languages that get their own analyzer route —
+# both the routed CASE expression and the routed-search whitelist key
+# off this (two independent encodings would drift: a language added to
+# one but not the other would tokenize with its chain yet route to
+# __default__, or vice versa).
+ROUTED_LANGS: tuple[str, ...] = tuple(sorted(STOPWORDS)) + ("zh", "cjk")
+
 # accent fold (asciifolding step, Latin-1/Latin Extended-A head)
 _FOLD_SRC = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿœæ"
 _FOLD_DST = "aaaaaaeeeeiiiiooooouuuucnyyoa"
@@ -199,15 +206,13 @@ def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
 
 
 def tokenize_analyzed_routed(col: Column, lang_col: Column,
-                             langs: tuple[str, ...] = (
-                                 "en", "es", "pt", "pt-br", "fr", "de",
-                                 "id", "hi", "bn", "ar", "zh", "cjk",
-                             )) -> Column:
+                             langs: tuple[str, ...] | None = None) -> Column:
     """L7-routed analysis: each row tokenizes with ITS OWN language's
     chain (the Spark form of the reference's per-language indices,
     `language_analyzers.init_indices`). One CASE expression — still
     whole-stage codegen, no Python."""
     from ..operators.similarity_join import tokenize_analyzed
+    langs = ROUTED_LANGS if langs is None else langs
     expr = tokenize_analyzed(col)          # default route
     for lg in langs:
         expr = F.when(lang_col == lg,

@@ -250,6 +250,12 @@ def dedup_corpus(df: DataFrame, id_col: str, text_col: str,
                .join(cc.withColumnRenamed("node", "id"), "id", "left")
                .select("id", F.coalesce("component", "id")
                        .alias("keeper_id")))
+    return _label_with_sizes(labeled)
+
+
+def _label_with_sizes(labeled: DataFrame) -> DataFrame:
+    """Shared output tail of the dedup compositions: (id, keeper_id) →
+    (id, keeper_id, is_keeper, group_size)."""
     sizes = labeled.groupBy("keeper_id").agg(
         F.count("*").alias("group_size"))
     return (labeled.join(sizes, "keeper_id")
@@ -275,9 +281,14 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
     over EVERY input row, where keeper_id is the final near-dup
     group's min id.
     """
-    keyed = df.select(F.col(id_col).alias("id"), F.col(text_col),
-                      F.sha2(normalize_text(F.col(text_col)), 256)
-                      .alias("_ck"))
+    # NULL-safe content key: sha2(NULL) is NULL and NULL keys never
+    # equi-join, which would silently DROP NULL-text rows from the
+    # output (violating the every-row contract). The sentinel groups
+    # NULL-text rows together — matching the one-phase labeling, which
+    # also collapses them (their empty shingle sets verify equal).
+    key = F.coalesce(F.sha2(normalize_text(F.col(text_col)), 256),
+                     F.lit("__null_content__"))
+    keyed = df.select(F.col(id_col).alias("id"), key.alias("_ck"))
     exact_min = keyed.groupBy("_ck").agg(F.min("id").alias("_ek"))
     mapping = keyed.join(exact_min, "_ck").select("id", "_ek")
     keepers = (df.join(exact_min.select(F.col("_ek").alias(id_col)),
@@ -289,12 +300,7 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
                .join(near.select(F.col("id").alias("_ek"),
                                  F.col("keeper_id")), "_ek")
                .select("id", "keeper_id"))
-    sizes = labeled.groupBy("keeper_id").agg(
-        F.count("*").alias("group_size"))
-    return (labeled.join(sizes, "keeper_id")
-            .select("id", "keeper_id",
-                    (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
-                    F.col("group_size").cast("int").alias("group_size")))
+    return _label_with_sizes(labeled)
 
 
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,

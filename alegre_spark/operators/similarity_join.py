@@ -252,8 +252,9 @@ def lexical_similarity_search_routed(
     key is the index-per-language boundary. Tokenization is one CASE
     expression (whole-stage codegen); scoring matches
     `lexical_similarity_search`."""
-    from ..functions.analyzers import STOPWORDS, tokenize_analyzed_routed
-    supported = sorted(STOPWORDS) + ["zh", "cjk"]
+    from ..functions.analyzers import (ROUTED_LANGS,
+                                       tokenize_analyzed_routed)
+    supported = list(ROUTED_LANGS)
 
     def route(lang_col):
         # unsupported or NULL language → the DEFAULT route (reference:

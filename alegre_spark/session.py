@@ -32,30 +32,49 @@ def get_spark(
         master = f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(os.environ.get(
         "ALEGRE_SHUFFLE_PARTITIONS", str(max(int(cpus) if cpus.isdigit() else 32, 8))))
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    # under spark-submit, anything the operator set with --conf must
+    # WIN over these library defaults — builder.config would override
+    # the launcher (a 1000-executor submit with
+    # --conf spark.sql.shuffle.partitions=8000 silently running 32
+    # shuffle partitions). The gateway JVM already holds the submitted
+    # conf; only fill keys the launcher left unset.
+    launcher_conf: dict[str, str] = {}
+    if under_submit:
+        # SparkConf is a pure-python empty dict until the gateway JVM
+        # is attached — attach it first (spark-submit already launched
+        # the JVM; this only connects), then loadDefaults reads the
+        # submitted system properties (--conf/spark-defaults).
+        from pyspark import SparkConf, SparkContext
+        SparkContext._ensure_initialized()
+        launcher_conf = dict(SparkConf(loadDefaults=True).getAll())
+
+    defaults = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
         # CPU-bound pandas-UDF stages have tiny bytes-per-cpu-second;
         # the default 1 MiB minPartitionSize lets AQE merge them below
         # the core count (observed: 128 salted buckets -> ~15 uneven
         # partitions). 64 KiB keeps parallelism-first sizing in charge;
         # at TB scale target size = total/parallelism >> this, so the
         # setting is inert on big shuffles.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-                "64kb")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64kb",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # honored when the JVM is launched from plain `python` (the
         # bench/test path); under spark-submit the driver JVM already
         # exists, so size it with --driver-memory there instead
-        .config("spark.driver.memory", os.environ.get("ALEGRE_DRIVER_MEM", "8g"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-    )
+        "spark.driver.memory": os.environ.get("ALEGRE_DRIVER_MEM", "8g"),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": "false",
+    }
+    builder = SparkSession.builder.appName(app_name)
+    for k, v in defaults.items():
+        if k not in launcher_conf:
+            builder = builder.config(k, v)
     if master:
         builder = builder.master(master)
     return builder.getOrCreate()

@@ -48,8 +48,14 @@ def main() -> None:
                          require_language=args.require_language)
     summary = run_with_resume(spark, files, args.output, cfg)
 
-    kept = (spark.read.parquet(f"{args.output}/filtered")
-            .filter("keep").count())
+    # a vacuous first run (empty input) never writes <out>/filtered —
+    # that is still a successful run with kept_total 0, not a crash
+    from pyspark.errors import AnalysisException
+    try:
+        kept = (spark.read.parquet(f"{args.output}/filtered")
+                .filter("keep").count())
+    except AnalysisException:
+        kept = 0
     print(json.dumps({**summary, "kept_total": kept,
                       "output": args.output}))
     spark.stop()

@@ -690,3 +690,21 @@ def test_ann_topk_default_multitable(spark):
     top = ann_topk(probes, df, "id", "id", "embedding", "embedding",
                    dim=4, k=2).filter("rank = 1").first()
     assert top["cand_id"] == 0
+
+
+def test_dedup_two_phase_null_text_rows_survive(spark):
+    """r2 review: sha2(NULL) is NULL and NULL keys never equi-join —
+    NULL-text rows must NOT vanish from the two-phase output; they
+    group together (matching the one-phase labeling) via the NULL-safe
+    sentinel key."""
+    from alegre_spark.operators.dedup import (dedup_corpus,
+                                              dedup_corpus_two_phase)
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None), (3, None), (4, "")],
+        "id long, text string")
+    two = {r["id"]: r["keeper_id"]
+           for r in dedup_corpus_two_phase(df, "id", "text").collect()}
+    one = {r["id"]: r["keeper_id"]
+           for r in dedup_corpus(df, "id", "text").collect()}
+    assert set(two) == {1, 2, 3, 4}       # every row survives
+    assert two == one                     # and the labelings agree
