@@ -708,3 +708,47 @@ def test_dedup_two_phase_null_text_rows_survive(spark):
            for r in dedup_corpus(df, "id", "text").collect()}
     assert set(two) == {1, 2, 3, 4}       # every row survives
     assert two == one                     # and the labelings agree
+
+
+def test_cc_both_algorithms_match_union_find_oracle(spark):
+    """Both CC implementations vs a pure-Python union-find ground
+    truth on varied graph shapes (random sparse, clique, chain with
+    self-loops, two components + isolates via self-loop). min-label
+    semantics: component = min node id reachable."""
+    import random
+
+    from alegre_spark.operators.components import (
+        connected_components, connected_components_star)
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(13)
+    graphs = [
+        [(i, i + 1) for i in range(10)],                       # chain
+        [(0, j) for j in range(1, 12)],                        # star
+        [(a, b) for a in range(7) for b in range(a + 1, 7)],   # clique
+        [(rng.randrange(24), rng.randrange(24)) for _ in range(20)],
+        [(1, 2), (2, 3), (7, 7), (9, 9), (4, 5)],              # loops
+    ]
+    for edges in graphs:
+        expect = union_find_labels(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for fn, iters in ((connected_components, 30),
+                          (connected_components_star, 12)):
+            got = {r["node"]: r["component"]
+                   for r in fn(df, max_iter=iters).collect()}
+            assert got == expect, (fn.__name__, edges[:5])
