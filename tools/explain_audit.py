@@ -81,9 +81,15 @@ CHECKS = {
         ("BroadcastHashJoin", "prefix tokens broadcast"),
         ("array_intersect", "pair-wise verification JVM-side"),
     ],
+    # the LSH→array_intersect verify chain runs during the eager
+    # localCheckpoint inside connected_components_star, so the FINAL
+    # plan must read from the checkpoint (ExistingRDD) instead of
+    # recomputing that chain — the absence of the verify expressions
+    # here is the point (r2 lineage fix); the verify plan itself is
+    # audited via the candidates path in ngram_jaccard_pairs tests
     "q54_dedup_corpus": [
-        ("array_intersect", "Jaccard verify is per-candidate-pair, "
-                            "JVM-side (no explode-join blowup)"),
+        ("ExistingRDD", "CC + verify lineage truncated at the "
+                        "checkpoint, not recomputed per action"),
     ],
     "q55_analyzed_routed_search": [
         ("BroadcastHashJoin", "probe route+token join broadcast"),
