@@ -147,6 +147,48 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", sim.alias("simhash"))
 
 
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3,
+                       bands: int = 4) -> DataFrame:
+    """SimHash near-dup PAIRS via the banding trick (Manku, Jain &
+    Das Sarma, WWW 2007): two 64-bit simhashes within hamming distance
+    d < bands must agree EXACTLY on at least one of `bands` disjoint
+    bit-bands (pigeonhole), so candidates come from `bands` cheap
+    equi-joins on 16-bit band values — never an all-pairs popcount
+    scan — and the exact hamming check verifies each candidate.
+
+    Requires max_hamming < bands (the pigeonhole guarantee); raises
+    otherwise. Pure Catalyst (shiftright/bitwiseAND band extraction,
+    bit_count verify). Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banding guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands}): a pair can differ in "
+            f"every band and still be within max_hamming")
+    sim = simhash64(df, id_col, text_col)      # (id, simhash)
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND(mask).alias("key"))
+        for b in range(bands)
+    ]
+    buckets = (sim.select("id", "simhash",
+                          F.explode(F.array(*band_cols)).alias("bk"))
+               .select("id", "simhash", "bk.band", "bk.key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .filter(ham <= max_hamming)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    ham.cast("int").alias("hamming"))
+            .distinct())
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
                         candidates: DataFrame | None = None) -> DataFrame:
@@ -319,6 +361,8 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
     """
     txt = F.col(text_col)
     n_win = F.greatest(F.length(txt) - F.lit(window - 1), F.lit(1))
+    # (single-min lite form; `winnow_fingerprints` below is the full
+    # fingerprint-SET winnowing with the containment guarantee)
     # running min via aggregate — constant memory per row. The
     # transform+array_min form materializes one 32-char hash per
     # CHARACTER of the document (a 1 MB row would allocate a ~60 MB
@@ -331,3 +375,55 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         fp.alias("fingerprint"),
         n_win.cast("int").alias("n_windows"))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 8, w: int = 16) -> DataFrame:
+    """FULL winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    the MOSS fingerprinting scheme): hash every k-gram, slide a window
+    of w consecutive hashes, keep each window's minimum. GUARANTEE:
+    any shared substring of length >= w + k - 1 between two documents
+    yields at least one shared fingerprint — the basis for containment
+    / partial-plagiarism detection that whole-document hashing misses.
+
+    Pure Catalyst: the k-gram hash array is bound in its own
+    projection (HOF-CSE rule), window minima via transform over window
+    starts + slice + array_min — O(n·w) work per row, fine for w<=32.
+    Returns (id, fingerprint) exploded and distinct: at 100 TB this is
+    the build side of an inverted fingerprint index, ~n/w rows per doc
+    (winnowing's expected density is 2/(w+1) of the k-gram count).
+    """
+    txt = F.col(text_col)
+    n_k = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(F.sequence(F.lit(1), n_k),
+                         lambda i: F.xxhash64(F.substring(txt, i, k)))
+    bound = df.select(F.col(id_col).alias("id"), hashes.alias("_h"))
+    n_windows = F.greatest(F.size("_h") - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(F.col("_h"), j, w)))
+    return (bound.select("id", F.explode(F.array_distinct(mins))
+                         .alias("fingerprint")))
+
+
+def fingerprint_containment_join(
+        probes: DataFrame, candidates: DataFrame,
+        probe_id: str, cand_id: str,
+        probe_text: str, cand_text: str,
+        k: int = 8, w: int = 16,
+        min_shared: int = 2) -> DataFrame:
+    """Containment detection over winnowing fingerprints: docs sharing
+    >= min_shared fingerprints (an equi-join on the fingerprint
+    inverted index + count — bounded, never all-pairs). Catches a doc
+    EMBEDDED in another (license headers, copied functions, quoted
+    passages) where whole-document similarity scores stay low.
+    Returns (probe_id, cand_id, shared_fingerprints)."""
+    p = winnow_fingerprints(probes, probe_id, probe_text, k, w) \
+        .withColumnRenamed("id", "probe_id")
+    c = winnow_fingerprints(candidates, cand_id, cand_text, k, w) \
+        .withColumnRenamed("id", "cand_id")
+    return (p.join(c, "fingerprint")
+            .filter(F.col("probe_id") != F.col("cand_id"))
+            .groupBy("probe_id", "cand_id")
+            .agg(F.count("*").alias("shared_fingerprints"))
+            .filter(F.col("shared_fingerprints") >= min_shared))

@@ -752,3 +752,55 @@ def test_cc_both_algorithms_match_union_find_oracle(spark):
             got = {r["node"]: r["component"]
                    for r in fn(df, max_iter=iters).collect()}
             assert got == expect, (fn.__name__, edges[:5])
+
+
+def test_simhash_near_pairs_banding(spark):
+    """Manku-style simhash pair generation: near-identical texts land
+    within the hamming budget via a band equi-join (no all-pairs);
+    unrelated text does not pair; the pigeonhole precondition is
+    enforced; exact dup has hamming 0."""
+    import pytest as _pt
+    from alegre_spark.operators.dedup import simhash_near_pairs
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest every single morning")
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("quiet", "silent")),
+         (4, "utterly unrelated words about catalyst optimizer rules "
+             "and adaptive query execution in distributed engines")],
+        "id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_pairs(df, "id", "text",
+                                       max_hamming=3).collect()}
+    assert got.get((1, 2)) == 0          # identical -> hamming 0
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+    with _pt.raises(ValueError):
+        simhash_near_pairs(df, "id", "text", max_hamming=4, bands=4)
+
+
+def test_winnowing_containment_guarantee(spark):
+    """SWA 2003 guarantee: a shared substring of length >= w+k-1
+    (here 23 chars) always yields a shared fingerprint — a copied
+    passage embedded in an otherwise-different doc is detected, while
+    unrelated docs share nothing."""
+    from alegre_spark.operators.dedup import (
+        fingerprint_containment_join, winnow_fingerprints)
+    passage = "this exact copied passage survives winnowing"  # 45 chars
+    docs = spark.createDataFrame(
+        [(1, "totally original opening text. " + passage +
+             " and an original ending here."),
+         (2, "a different document entirely where " + passage +
+             " appears in the middle of other words."),
+         (3, "nothing in common with the others at all, different "
+             "vocabulary and different phrasing throughout.")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, "doc_id", "text", k=8, w=16)
+    by_doc = {i: set() for i in (1, 2, 3)}
+    for r in fp.collect():
+        by_doc[r["id"]].add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]            # guaranteed shared print
+    out = {(r["probe_id"], r["cand_id"]): r["shared_fingerprints"]
+           for r in fingerprint_containment_join(
+               docs, docs, "doc_id", "doc_id", "text", "text",
+               min_shared=1).collect()}
+    assert (1, 2) in out and (2, 1) in out
+    assert (1, 3) not in out and (2, 3) not in out
