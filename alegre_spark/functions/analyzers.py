@@ -18,8 +18,9 @@ whole-stage-codegen, no Python):
 - asciifolding: Latin-1/Latin-A accent fold via translate + ß→ss.
 - ar: stopwords + Arabic letter normalization (alef/teh-marbuta/ya
   forms, the Lucene arabic_normalization step) instead of a stemmer.
-- hi / bn: stopword-only chains (the ES hindi/bengali stemmers are
-  indic-suffix strippers; omitted, documented).
+- hi / bn: stopwords + indic normalization (nukta strip, chandrabindu
+  → anusvara) + a light subset of the Lucene Hindi/Bengali suffix
+  strippers (long verbal endings, case clitics, trailing matras).
 - cjk: the bigram chain lives in `similarity_join.tokenize_analyzed_cjk`.
 
 Chain order follows ES: lowercase → stopwords (matched in native
@@ -146,7 +147,23 @@ _STEM_RULES: dict[str, list[tuple[str, str]]] = {
            (r"^(.{3,}?)e$", r"$1")],
     # GermanLightStemmer shape: plural/case endings; umlaut fold below
     "de": [(r"^(.{3,}?)(?:ern|em|en|er|es|e|s)$", r"$1")],
+    # HindiStemmer shape (Lucene, light subset): long verbal endings,
+    # then nasalized case endings, then a single trailing matra
+    "hi": [(r"^(.{2,}?)(?:ाएंगी|ाएंगे|ाऊंगी|ाऊंगा)$", r"$1"),
+           (r"^(.{2,}?)(?:ें|ों|ीं|ां|ाँ|एं|ओं)$", r"$1"),
+           (r"^(.{2,}?)[ािीुूेो]$", r"$1")],
+    # BengaliStemmer shape (light subset): plural/case clitics, then a
+    # single trailing vowel sign
+    "bn": [(r"^(.{2,}?)(?:গুলো|গুলি|দের|েরা)$", r"$1"),
+           (r"^(.{2,}?)(?:ার|ের|টা|টি|রা|কে)$", r"$1"),
+           (r"^(.{2,}?)[ািীুূেো]$", r"$1")],
 }
+
+# Indic normalization (Lucene HindiNormalizer/BengaliNormalizer
+# subset): strip nukta, fold chandrabindu → anusvara.
+_INDIC_STRIP = "[़়]"          # devanagari + bengali nukta
+_INDIC_FOLD_SRC = "ँঁ"         # chandrabindu (hi, bn)
+_INDIC_FOLD_DST = "ंং"         # anusvara (hi, bn)
 
 # Arabic normalization (Lucene arabic_normalization): alef forms → ا,
 # teh marbuta → ه, alef maksura → ي, and tatweel/diacritic strip.
@@ -200,6 +217,13 @@ def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
             toks, lambda t: F.translate(
                 F.regexp_replace(t, _AR_STRIP, ""),
                 _AR_NORM_SRC, _AR_NORM_DST))
+    elif lang in ("hi", "bn"):
+        # indic normalization BEFORE stemming (suffix rules are written
+        # against the normalized forms); Latin fold is a no-op here
+        toks = F.transform(
+            toks, lambda t: _stem(F.translate(
+                F.regexp_replace(t, _INDIC_STRIP, ""),
+                _INDIC_FOLD_SRC, _INDIC_FOLD_DST), lang))
     else:
         toks = F.transform(toks, lambda t: fold_ascii(_stem(t, lang)))
     return F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
