@@ -23,8 +23,8 @@ whole-stage-codegen, no Python):
   strippers (long verbal endings, case clitics, trailing matras).
 - cjk: the bigram chain lives in `similarity_join.tokenize_analyzed_cjk`.
 
-Chain order follows ES: lowercase → stopwords (matched in native
-accented form) → stem → fold → distinct.
+Chain order follows ES: lowercase → NORMALIZE (ar/hi/bn) →
+stopwords (lists normalized the same way) → stem → fold → distinct.
 """
 
 from __future__ import annotations
@@ -150,7 +150,7 @@ _STEM_RULES: dict[str, list[tuple[str, str]]] = {
     # HindiStemmer shape (Lucene, light subset): long verbal endings,
     # then nasalized case endings, then a single trailing matra
     "hi": [(r"^(.{2,}?)(?:ाएंगी|ाएंगे|ाऊंगी|ाऊंगा)$", r"$1"),
-           (r"^(.{2,}?)(?:ें|ों|ीं|ां|ाँ|एं|ओं)$", r"$1"),
+           (r"^(.{2,}?)(?:ें|ों|ीं|ां|एं|ओं)$", r"$1"),
            (r"^(.{2,}?)[ािीुूेो]$", r"$1")],
     # BengaliStemmer shape (light subset): plural/case clitics, then a
     # single trailing vowel sign
@@ -160,16 +160,39 @@ _STEM_RULES: dict[str, list[tuple[str, str]]] = {
 }
 
 # Indic normalization (Lucene HindiNormalizer/BengaliNormalizer
-# subset): strip nukta, fold chandrabindu → anusvara.
-_INDIC_STRIP = "[़়]"          # devanagari + bengali nukta
-_INDIC_FOLD_SRC = "ँঁ"         # chandrabindu (hi, bn)
-_INDIC_FOLD_DST = "ंং"         # anusvara (hi, bn)
+# subset): strip combining nukta, fold chandrabindu → anusvara, and
+# DECOMPOSE the precomposed nukta consonants (Devanagari U+0958-095F,
+# Bengali U+09DC/DD/DF — what real keyboards emit) to their base
+# letters, matching Lucene's explicit decomposition tables.
+_INDIC_STRIP = "[\u093c\u09bc]"        # devanagari + bengali combining nukta
+_INDIC_FOLD_SRC = ("\u0901\u0981"       # chandrabindu (hi, bn)
+                   "\u0958\u0959\u095a\u095b\u095c\u095d\u095e\u095f"
+                   "\u09dc\u09dd\u09df")
+_INDIC_FOLD_DST = ("\u0902\u0982"       # anusvara
+                   "\u0915\u0916\u0917\u091c\u0921\u0922\u092b\u092f"
+                   "\u09a1\u09a2\u09af")
 
 # Arabic normalization (Lucene arabic_normalization): alef forms → ا,
 # teh marbuta → ه, alef maksura → ي, and tatweel/diacritic strip.
-_AR_NORM_SRC = "أإآٱةى"
-_AR_NORM_DST = "ااااهي"
-_AR_STRIP = r"[ـً-ٰٟ]"  # tatweel + harakat
+_AR_NORM_SRC = "\u0623\u0625\u0622\u0671\u0629\u0649"
+_AR_NORM_DST = "\u0627\u0627\u0627\u0627\u0647\u064a"
+_AR_STRIP = "[\u0640\u064b-\u0670\u065f]"   # tatweel + harakat
+
+
+def _normalize_word_py(w: str, lang: str) -> str:
+    """Driver-side mirror of the Catalyst normalization, used to
+    normalize the STOPWORD lists so they match post-normalization
+    tokens (ES applies normalization BEFORE the stop filter; matching
+    un-normalized stopwords against normalized tokens would let
+    variant spellings leak through as content)."""
+    import re
+    if lang == "ar":
+        return re.sub(_AR_STRIP, "", w).translate(
+            str.maketrans(_AR_NORM_SRC, _AR_NORM_DST))
+    if lang in ("hi", "bn"):
+        return re.sub(_INDIC_STRIP, "", w).translate(
+            str.maketrans(_INDIC_FOLD_SRC, _INDIC_FOLD_DST))
+    return w
 
 
 def _standard_tokens(col: Column) -> Column:
@@ -210,20 +233,27 @@ def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
     if lang not in STOPWORDS:
         return tokenize_analyzed(col)
     toks = _standard_tokens(col)
-    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    toks = F.array_except(toks, stops)
+    # ES chain ORDER: normalization runs BEFORE the stop filter —
+    # variant spellings (chandrabindu stopwords, alef-variant Arabic
+    # function words, precomposed nukta forms) must normalize INTO the
+    # stopword form and then be removed, not survive as content.
     if lang == "ar":
         toks = F.transform(
             toks, lambda t: F.translate(
                 F.regexp_replace(t, _AR_STRIP, ""),
                 _AR_NORM_SRC, _AR_NORM_DST))
     elif lang in ("hi", "bn"):
-        # indic normalization BEFORE stemming (suffix rules are written
-        # against the normalized forms); Latin fold is a no-op here
         toks = F.transform(
-            toks, lambda t: _stem(F.translate(
+            toks, lambda t: F.translate(
                 F.regexp_replace(t, _INDIC_STRIP, ""),
-                _INDIC_FOLD_SRC, _INDIC_FOLD_DST), lang))
+                _INDIC_FOLD_SRC, _INDIC_FOLD_DST))
+    stops = F.array(*[F.lit(s) for s in sorted(
+        {_normalize_word_py(s, lang) for s in STOPWORDS[lang]})])
+    toks = F.array_except(toks, stops)
+    if lang in ("ar",):
+        pass                      # no stemmer; normalization done
+    elif lang in ("hi", "bn"):
+        toks = F.transform(toks, lambda t: _stem(t, lang))
     else:
         toks = F.transform(toks, lambda t: fold_ascii(_stem(t, lang)))
     return F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))

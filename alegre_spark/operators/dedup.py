@@ -397,7 +397,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     n_k = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
     hashes = F.transform(F.sequence(F.lit(1), n_k),
                          lambda i: F.xxhash64(F.substring(txt, i, k)))
-    bound = df.select(F.col(id_col).alias("id"), hashes.alias("_h"))
+    # docs shorter than k (incl. empty/NULL) emit NOTHING: they cannot
+    # satisfy the >= w+k-1 guarantee anyway, and the alternative — a
+    # constant xxhash64('') fingerprint shared by every such doc — is
+    # a massive hot join key (1M empty rows → 10^12 join rows)
+    bound = (df.filter(F.length(F.col(text_col)) >= k)
+             .select(F.col(id_col).alias("id"), hashes.alias("_h")))
     n_windows = F.greatest(F.size("_h") - F.lit(w - 1), F.lit(1))
     mins = F.transform(
         F.sequence(F.lit(1), n_windows),
@@ -411,19 +416,37 @@ def fingerprint_containment_join(
         probe_id: str, cand_id: str,
         probe_text: str, cand_text: str,
         k: int = 8, w: int = 16,
-        min_shared: int = 2) -> DataFrame:
+        min_shared: int = 2,
+        exclude_same_id: bool = True,
+        max_fingerprint_freq: int | None = None) -> DataFrame:
     """Containment detection over winnowing fingerprints: docs sharing
     >= min_shared fingerprints (an equi-join on the fingerprint
-    inverted index + count — bounded, never all-pairs). Catches a doc
-    EMBEDDED in another (license headers, copied functions, quoted
-    passages) where whole-document similarity scores stay low.
-    Returns (probe_id, cand_id, shared_fingerprints)."""
+    inverted index + count). Catches a doc EMBEDDED in another
+    (license headers, copied functions, quoted passages) where
+    whole-document similarity scores stay low.
+
+    `exclude_same_id` (default True) drops id-equal pairs — correct
+    for the common self-join; pass False when probes and candidates
+    are DISTINCT corpora whose id spaces coincide, or legitimate
+    pairs would vanish. `max_fingerprint_freq` drops fingerprints
+    whose candidate-side document frequency exceeds the cap before
+    the join (boilerplate shared by half the corpus generates
+    df_p·df_c pairs per fingerprint — the stop-token analog of the
+    prefix-filter join's df_stop_fraction; None keeps exact
+    semantics). Returns (probe_id, cand_id, shared_fingerprints)."""
     p = winnow_fingerprints(probes, probe_id, probe_text, k, w) \
         .withColumnRenamed("id", "probe_id")
     c = winnow_fingerprints(candidates, cand_id, cand_text, k, w) \
         .withColumnRenamed("id", "cand_id")
-    return (p.join(c, "fingerprint")
-            .filter(F.col("probe_id") != F.col("cand_id"))
-            .groupBy("probe_id", "cand_id")
+    if max_fingerprint_freq is not None:
+        hot = (c.groupBy("fingerprint")
+               .agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_fingerprint_freq)
+               .select("fingerprint"))
+        c = c.join(hot, "fingerprint", "left_anti")
+    out = p.join(c, "fingerprint")
+    if exclude_same_id:
+        out = out.filter(F.col("probe_id") != F.col("cand_id"))
+    return (out.groupBy("probe_id", "cand_id")
             .agg(F.count("*").alias("shared_fingerprints"))
             .filter(F.col("shared_fingerprints") >= min_shared))

@@ -759,7 +759,6 @@ def test_simhash_near_pairs_banding(spark):
     within the hamming budget via a band equi-join (no all-pairs);
     unrelated text does not pair; the pigeonhole precondition is
     enforced; exact dup has hamming 0."""
-    import pytest as _pt
     from alegre_spark.operators.dedup import simhash_near_pairs
     base = ("the quick brown fox jumps over the lazy dog and keeps "
             "running through the quiet forest every single morning")
@@ -773,7 +772,7 @@ def test_simhash_near_pairs_banding(spark):
                                        max_hamming=3).collect()}
     assert got.get((1, 2)) == 0          # identical -> hamming 0
     assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         simhash_near_pairs(df, "id", "text", max_hamming=4, bands=4)
 
 
@@ -790,8 +789,11 @@ def test_winnowing_containment_guarantee(spark):
              " and an original ending here."),
          (2, "a different document entirely where " + passage +
              " appears in the middle of other words."),
-         (3, "nothing in common with the others at all, different "
-             "vocabulary and different phrasing throughout.")],
+         # digits-only: structurally DISJOINT alphabet from docs 1/2,
+         # so no shared 8-gram can exist and absence is guaranteed
+         # (not hash luck — winnowing only guarantees PRESENCE for
+         # shared substrings >= w+k-1, never absence for short ones)
+         (3, "9876543210 2468013579 1357924680 0011223344 5566778899")],
         "doc_id long, text string")
     fp = winnow_fingerprints(docs, "doc_id", "text", k=8, w=16)
     by_doc = {i: set() for i in (1, 2, 3)}
@@ -804,3 +806,41 @@ def test_winnowing_containment_guarantee(spark):
                min_shared=1).collect()}
     assert (1, 2) in out and (2, 1) in out
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_winnowing_skips_short_and_caps_hot_fingerprints(spark):
+    """r3 review: empty/NULL/short docs emit NO fingerprints (a
+    constant xxhash64('') key would be a massive hot join key), and
+    max_fingerprint_freq drops boilerplate fingerprints before the
+    join; exclude_same_id=False keeps id-coincident pairs across
+    distinct corpora."""
+    from pyspark.sql import functions as F
+    from alegre_spark.operators.dedup import (
+        fingerprint_containment_join, winnow_fingerprints)
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "short"), (4, "x" * 40)],
+        "doc_id long, text string")
+    got = winnow_fingerprints(df, "doc_id", "text", k=8, w=16)
+    assert {r["id"] for r in got.collect()} == {4}
+
+    passage = "this exact copied passage survives winnowing"
+    probes = spark.createDataFrame(
+        [(7, "opening words before " + passage + " and after them.")],
+        "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [(7, "a different holder document where " + passage +
+             " sits inside.")],
+        "doc_id long, text string")
+    same_excluded = fingerprint_containment_join(
+        probes, cands, "doc_id", "doc_id", "text", "text",
+        min_shared=1).count()
+    assert same_excluded == 0          # default self-join semantics
+    kept = fingerprint_containment_join(
+        probes, cands, "doc_id", "doc_id", "text", "text",
+        min_shared=1, exclude_same_id=False).count()
+    assert kept == 1                   # distinct corpora, ids coincide
+    capped = fingerprint_containment_join(
+        probes, cands, "doc_id", "doc_id", "text", "text",
+        min_shared=1, exclude_same_id=False,
+        max_fingerprint_freq=0).count()
+    assert capped == 0                 # every fingerprint df>0 dropped

@@ -285,8 +285,18 @@ def test_language_analyzer_chains(spark):
     assert "को" not in toks("केले को कैसे काटें", "hi")
     assert set(toks("केले काटें", "hi")) == set(toks("केला काटे", "hi"))
     assert toks("क़लम", "hi") == toks("कलम", "hi")   # nukta strip
+    # precomposed nukta consonants (U+0958...) decompose like Lucene's
+    # normalizer tables — both renderings of the same word match
+    assert toks("\u0958लम", "hi") == toks("कलम", "hi")
+    # normalization runs BEFORE the stop filter (ES order): a
+    # chandrabindu-spelled stopword normalizes INTO the list and is
+    # removed, not kept as a content token
+    assert toks("मे\u0901 कलम", "hi") == ["कलम"]
     # bn: genitive clitic strips to the same stem (কলা / কলার)
     assert set(toks("কলা টুকরা", "bn")) == set(toks("কলার টুকরা", "bn"))
+    # bn: precomposed \u09df in a stopword spelling still stops
+    assert "কল" in toks("হ\u09df\u09c7 কলা", "bn") and \
+        len(toks("হ\u09df\u09c7 কলা", "bn")) == 1
     # ar: alef/teh-marbuta normalization unifies orthographic variants
     assert toks("أهمية", "ar") == toks("اهمية", "ar")
     # unknown language falls back to the standard chain

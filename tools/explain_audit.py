@@ -125,8 +125,11 @@ FORBIDDEN = {
                                  "MapInPandas", "CartesianProduct"],
     # composed dedup: every stage (LSH, array_intersect verify, star
     # CC, keeper agg) must stay JVM-side
+    # array_intersect forbidden in the FINAL plan: the verify chain
+    # must stay behind the CC checkpoint, not be recomputed per action
     "q54_dedup_corpus": ["ArrowEvalPython", "BatchEvalPython",
-                         "MapInPandas", "CartesianProduct"],
+                         "MapInPandas", "CartesianProduct",
+                         "array_intersect"],
     "q55_analyzed_routed_search": ["ArrowEvalPython", "BatchEvalPython",
                                    "MapInPandas", "CartesianProduct"],
 }
