@@ -386,29 +386,86 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     yields at least one shared fingerprint — the basis for containment
     / partial-plagiarism detection that whole-document hashing misses.
 
-    Pure Catalyst: the k-gram hash array is bound in its own
-    projection (HOF-CSE rule), window minima via transform over window
-    starts + slice + array_min — O(n·w) work per row, fine for w<=32.
+    Catalyst form; two cost traps measured and avoided: (1) the text
+    is ENCODED TO BINARY in its own projection first — substring on a
+    STRING walks UTF-8 offsets (O(i) per call → O(n²) per doc; a
+    200k-char row took 108 s), and an encode() expression referenced
+    inside the HOF lambda re-encodes per element (HOF-CSE rule) —
+    byte-addressed substring on the bound binary is O(k) (same row:
+    11 s); (2) window minima via transform + slice + array_min is
+    O(n·w) but with small constants. For corpora with very long
+    documents prefer `winnow_fingerprints_pandas` (vectorized NumPy
+    rolling hash, ~ms per row — its own hash family, so never mix
+    engines within one containment join).
     Returns (id, fingerprint) exploded and distinct: at 100 TB this is
     the build side of an inverted fingerprint index, ~n/w rows per doc
     (winnowing's expected density is 2/(w+1) of the k-gram count).
     """
-    txt = F.col(text_col)
-    n_k = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
-    hashes = F.transform(F.sequence(F.lit(1), n_k),
-                         lambda i: F.xxhash64(F.substring(txt, i, k)))
     # docs shorter than k (incl. empty/NULL) emit NOTHING: they cannot
     # satisfy the >= w+k-1 guarantee anyway, and the alternative — a
     # constant xxhash64('') fingerprint shared by every such doc — is
     # a massive hot join key (1M empty rows → 10^12 join rows)
-    bound = (df.filter(F.length(F.col(text_col)) >= k)
-             .select(F.col(id_col).alias("id"), hashes.alias("_h")))
+    b = (df.filter(F.length(F.col(text_col)) >= k)
+         .select(F.col(id_col).alias("id"),
+                 F.encode(F.col(text_col), "utf-8").alias("_b")))
+    n_k = F.greatest(F.length(F.col("_b")) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(F.sequence(F.lit(1), n_k),
+                         lambda i: F.xxhash64(F.substring(F.col("_b"),
+                                                          i, k)))
+    bound = b.select("id", hashes.alias("_h"))
     n_windows = F.greatest(F.size("_h") - F.lit(w - 1), F.lit(1))
     mins = F.transform(
         F.sequence(F.lit(1), n_windows),
         lambda j: F.array_min(F.slice(F.col("_h"), j, w)))
     return (bound.select("id", F.explode(F.array_distinct(mins))
                          .alias("fingerprint")))
+
+
+def winnow_fingerprints_pandas(df: DataFrame, id_col: str,
+                               text_col: str, k: int = 8,
+                               w: int = 16) -> DataFrame:
+    """Vectorized winnowing for LONG documents (the scale path): one
+    Arrow batch → NumPy byte view → polynomial rolling k-gram hash
+    (mod-2^64 wrap) → sliding-window minima via stride tricks — ~ms
+    per 200k-char row vs ~11 s for the per-element Catalyst HOF form.
+    Same (id, fingerprint) contract and the same w+k-1 guarantee, but
+    a DIFFERENT hash family than `winnow_fingerprints` — pick one
+    engine per index, never mix within a containment join."""
+    import numpy as np
+    import pandas as pd
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def _one(s: str) -> "np.ndarray":
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            return np.empty(0, np.uint64)
+        sw = np.lib.stride_tricks.sliding_window_view(b, k)
+        powers = np.power(np.uint64(1099511628211),
+                          np.arange(k, dtype=np.uint64))
+        h = (sw.astype(np.uint64) * powers).sum(axis=1,
+                                                dtype=np.uint64)
+        if len(h) <= w:
+            return np.unique(h[h.argmin():h.argmin() + 1])
+        return np.unique(
+            np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1))
+
+    def _map(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
+            if not len(pdf):
+                continue
+            ids, fps = [], []
+            for i, s in zip(pdf[id_col].values, pdf[text_col].values):
+                m = _one(s)
+                ids.extend([i] * len(m))
+                fps.append(m)
+            out = (np.concatenate(fps).astype(np.int64) if fps
+                   else np.empty(0, np.int64))
+            yield pd.DataFrame({"id": ids, "fingerprint": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _map, schema=f"id {id_dt}, fingerprint long")
 
 
 def fingerprint_containment_join(
@@ -418,7 +475,8 @@ def fingerprint_containment_join(
         k: int = 8, w: int = 16,
         min_shared: int = 2,
         exclude_same_id: bool = True,
-        max_fingerprint_freq: int | None = None) -> DataFrame:
+        max_fingerprint_freq: int | None = None,
+        engine: str = "catalyst") -> DataFrame:
     """Containment detection over winnowing fingerprints: docs sharing
     >= min_shared fingerprints (an equi-join on the fingerprint
     inverted index + count). Catches a doc EMBEDDED in another
@@ -433,10 +491,15 @@ def fingerprint_containment_join(
     the join (boilerplate shared by half the corpus generates
     df_p·df_c pairs per fingerprint — the stop-token analog of the
     prefix-filter join's df_stop_fraction; None keeps exact
-    semantics). Returns (probe_id, cand_id, shared_fingerprints)."""
-    p = winnow_fingerprints(probes, probe_id, probe_text, k, w) \
+    semantics). `engine='pandas'` uses the vectorized NumPy winnowing
+    on BOTH sides (long-document corpora — the two engines' hash
+    families differ, so the same engine must fingerprint both sides).
+    Returns (probe_id, cand_id, shared_fingerprints)."""
+    fp = (winnow_fingerprints_pandas if engine == "pandas"
+          else winnow_fingerprints)
+    p = fp(probes, probe_id, probe_text, k, w) \
         .withColumnRenamed("id", "probe_id")
-    c = winnow_fingerprints(candidates, cand_id, cand_text, k, w) \
+    c = fp(candidates, cand_id, cand_text, k, w) \
         .withColumnRenamed("id", "cand_id")
     if max_fingerprint_freq is not None:
         hot = (c.groupBy("fingerprint")

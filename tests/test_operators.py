@@ -844,3 +844,33 @@ def test_winnowing_skips_short_and_caps_hot_fingerprints(spark):
         min_shared=1, exclude_same_id=False,
         max_fingerprint_freq=0).count()
     assert capped == 0                 # every fingerprint df>0 dropped
+
+
+def test_winnowing_pandas_engine_guarantee_and_speed(spark):
+    """The vectorized winnowing engine honors the same w+k-1 guarantee
+    (planted passage shared; digit-only doc disjoint) and handles a
+    200k-char document in seconds, where the per-element HOF form was
+    measured at ~11 s (post-fix) / 108 s (string-substring form)."""
+    import time
+    from alegre_spark.operators.dedup import (
+        fingerprint_containment_join, winnow_fingerprints_pandas)
+    passage = "this exact copied passage survives winnowing"
+    docs = spark.createDataFrame(
+        [(1, "totally original opening text. " + passage +
+             " and an original ending here."),
+         (2, "a second holder document where " + passage +
+             " appears among other words."),
+         (3, "9876543210 2468013579 1357924680 0011223344 5566778899")],
+        "doc_id long, text string")
+    out = {(r["probe_id"], r["cand_id"])
+           for r in fingerprint_containment_join(
+               docs, docs, "doc_id", "doc_id", "text", "text",
+               min_shared=1, engine="pandas").collect()}
+    assert (1, 2) in out and (2, 1) in out
+    assert (1, 3) not in out and (2, 3) not in out
+
+    big = spark.createDataFrame([(9, "x" * 200_000)],
+                                "doc_id long, text string")
+    t0 = time.time()
+    n = winnow_fingerprints_pandas(big, "doc_id", "text").count()
+    assert n >= 1 and time.time() - t0 < 30
