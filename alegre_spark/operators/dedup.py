@@ -346,7 +346,8 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
 
 
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
-                        window: int = 8) -> DataFrame:
+                        window: int = 8,
+                        max_chars: int | None = 4096) -> DataFrame:
     """Document fingerprint via rolling windows (winnowing-lite,
     Schleimer/Wilkerson/Aiken 2003 shape): hash every `window`-char
     substring, keep the minimum hash as the document fingerprint.
@@ -354,11 +355,25 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
     collapse to the same fingerprint; used for cheap containment /
     near-dup blocking before exact verification.
 
-    Pure Catalyst (sequence -> transform -> array_min over md5 of
-    substrings) — whole-stage codegen, no Python, and exactly
-    reproducible in ANSI SQL for the oracle gate. Returns
-    (id, fingerprint, n_windows).
+    Pure Catalyst (sequence -> aggregate over md5 of substrings) —
+    whole-stage codegen, no Python, and exactly reproducible in ANSI
+    SQL for the oracle gate. Returns (id, fingerprint, n_windows).
+
+    `max_chars` (default 4096) caps the fingerprinted prefix:
+    char-addressed substring walks UTF-8 offsets, so the uncapped fold
+    is O(n²) per document (measured ~108 s on a 200k-char row in the
+    winnowing variant before its binary fix) — the cap bounds it to
+    ~8M char steps. Pass None for exact full-document semantics (the
+    oracle replays the char-based form), or use
+    `winnow_fingerprints_pandas` for full long docs.
     """
+    if max_chars is not None:
+        # bind the capped prefix in its own projection: referenced from
+        # inside the fold lambda it would re-slice once per element
+        # (HOF-CSE rule)
+        df = df.select(F.col(id_col),
+                       F.substring(F.col(text_col), 1, max_chars)
+                       .alias(text_col))
     txt = F.col(text_col)
     n_win = F.greatest(F.length(txt) - F.lit(window - 1), F.lit(1))
     # (single-min lite form; `winnow_fingerprints` below is the full

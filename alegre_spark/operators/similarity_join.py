@@ -107,7 +107,12 @@ def tokenize_analyzed_cjk(col: Column) -> Column:
 
     def expand(tok: Column) -> Column:
         is_cjk = tok.rlike("^" + cjk)
-        n = F.length(tok)
+        # run-length cap: char-addressed substring walks UTF-8 offsets,
+        # so bigramming an unbroken n-char CJK run costs O(n²) — a
+        # hostile 100k-char run would take minutes. 512 chars ≈ the
+        # longest real unsegmented CJK passage worth matching; beyond
+        # it the prefix's bigrams already dominate the overlap score.
+        n = F.least(F.length(tok), F.lit(512))
         bigrams = F.transform(
             F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
             lambda i: F.substring(tok, i, 2))
