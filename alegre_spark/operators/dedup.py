@@ -347,7 +347,7 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
 
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
                         window: int = 8,
-                        max_chars: int | None = 4096) -> DataFrame:
+                        max_chars: int | None = None) -> DataFrame:
     """Document fingerprint via rolling windows (winnowing-lite,
     Schleimer/Wilkerson/Aiken 2003 shape): hash every `window`-char
     substring, keep the minimum hash as the document fingerprint.
@@ -359,13 +359,15 @@ def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
     whole-stage codegen, no Python, and exactly reproducible in ANSI
     SQL for the oracle gate. Returns (id, fingerprint, n_windows).
 
-    `max_chars` (default 4096) caps the fingerprinted prefix:
-    char-addressed substring walks UTF-8 offsets, so the uncapped fold
-    is O(n²) per document (measured ~108 s on a 200k-char row in the
-    winnowing variant before its binary fix) — the cap bounds it to
-    ~8M char steps. Pass None for exact full-document semantics (the
-    oracle replays the char-based form), or use
-    `winnow_fingerprints_pandas` for full long docs.
+    `max_chars` caps the fingerprinted prefix: char-addressed
+    substring walks UTF-8 offsets, so the uncapped fold is O(n²) per
+    document (measured ~108 s on a 200k-char row in the winnowing
+    variant before its binary fix). Default None keeps exact
+    full-document semantics — changing fingerprint values under an
+    upgrade would silently break persisted-fingerprint joins — but on
+    corpora with documents past a few thousand chars SET A CAP
+    (4096 bounds the fold to ~8M char steps; q35 caps at 200) or use
+    `winnow_fingerprints_pandas`.
     """
     if max_chars is not None:
         # bind the capped prefix in its own projection: referenced from
@@ -416,13 +418,15 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     the build side of an inverted fingerprint index, ~n/w rows per doc
     (winnowing's expected density is 2/(w+1) of the k-gram count).
     """
-    # docs shorter than k (incl. empty/NULL) emit NOTHING: they cannot
-    # satisfy the >= w+k-1 guarantee anyway, and the alternative — a
-    # constant xxhash64('') fingerprint shared by every such doc — is
-    # a massive hot join key (1M empty rows → 10^12 join rows)
-    b = (df.filter(F.length(F.col(text_col)) >= k)
-         .select(F.col(id_col).alias("id"),
-                 F.encode(F.col(text_col), "utf-8").alias("_b")))
+    # docs with fewer than k BYTES (incl. empty/NULL) emit NOTHING:
+    # they cannot satisfy the >= w+k-1 guarantee anyway, and the
+    # alternative — a constant xxhash64('') fingerprint shared by every
+    # such doc — is a massive hot join key (1M empty rows → 10^12 join
+    # rows). Byte-gated to match the byte-addressed k-grams (a 7-char
+    # CJK doc is 21 bytes — plenty of k-grams) and the pandas engine.
+    b = (df.select(F.col(id_col).alias("id"),
+                   F.encode(F.col(text_col), "utf-8").alias("_b"))
+         .filter(F.length(F.col("_b")) >= k))
     n_k = F.greatest(F.length(F.col("_b")) - F.lit(k - 1), F.lit(1))
     hashes = F.transform(F.sequence(F.lit(1), n_k),
                          lambda i: F.xxhash64(F.substring(F.col("_b"),
@@ -450,18 +454,19 @@ def winnow_fingerprints_pandas(df: DataFrame, id_col: str,
     import pandas as pd
 
     id_dt = df.schema[id_col].dataType.simpleString()
+    # constant per k — hoisted so the per-row path never recomputes it
+    powers = np.power(np.uint64(1099511628211),
+                      np.arange(k, dtype=np.uint64))
 
     def _one(s: str) -> "np.ndarray":
         b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
         if len(b) < k:
             return np.empty(0, np.uint64)
         sw = np.lib.stride_tricks.sliding_window_view(b, k)
-        powers = np.power(np.uint64(1099511628211),
-                          np.arange(k, dtype=np.uint64))
         h = (sw.astype(np.uint64) * powers).sum(axis=1,
                                                 dtype=np.uint64)
         if len(h) <= w:
-            return np.unique(h[h.argmin():h.argmin() + 1])
+            return np.array([h.min()], dtype=np.uint64)
         return np.unique(
             np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1))
 
@@ -510,6 +515,11 @@ def fingerprint_containment_join(
     on BOTH sides (long-document corpora — the two engines' hash
     families differ, so the same engine must fingerprint both sides).
     Returns (probe_id, cand_id, shared_fingerprints)."""
+    if engine not in ("catalyst", "pandas"):
+        raise ValueError(f"unknown engine {engine!r}: expected "
+                         "'catalyst' or 'pandas' (a typo here would "
+                         "silently run the HOF path ~1000x slower on "
+                         "long documents)")
     fp = (winnow_fingerprints_pandas if engine == "pandas"
           else winnow_fingerprints)
     p = fp(probes, probe_id, probe_text, k, w) \

@@ -109,9 +109,13 @@ def tokenize_analyzed_cjk(col: Column) -> Column:
         is_cjk = tok.rlike("^" + cjk)
         # run-length cap: char-addressed substring walks UTF-8 offsets,
         # so bigramming an unbroken n-char CJK run costs O(n²) — a
-        # hostile 100k-char run would take minutes. 512 chars ≈ the
-        # longest real unsegmented CJK passage worth matching; beyond
-        # it the prefix's bigrams already dominate the overlap score.
+        # hostile 100k-char run would take minutes. TRADE-OFF, stated
+        # honestly: content beyond char 512 of one unbroken run is NOT
+        # indexed, so a short probe quoting deep inside such a run
+        # will not match it. Real zh/ja text breaks runs with
+        # punctuation/latin every few dozen chars (each run gets its
+        # own 512 budget); only punctuation-free monolith runs — in
+        # practice hostile or binary-ish input — hit the cliff.
         n = F.least(F.length(tok), F.lit(512))
         bigrams = F.transform(
             F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),

@@ -873,4 +873,14 @@ def test_winnowing_pandas_engine_guarantee_and_speed(spark):
                                 "doc_id long, text string")
     t0 = time.time()
     n = winnow_fingerprints_pandas(big, "doc_id", "text").count()
-    assert n >= 1 and time.time() - t0 < 30
+    # loose wall bound (loaded CI margin): the per-element HOF form
+    # measured ~11 s for this row; the vectorized engine is ~ms
+    assert n >= 1 and time.time() - t0 < 120
+
+    # engine validation: a typo must raise, not silently run the HOF
+    # path 1000x slower
+    import pytest as _p
+    from alegre_spark.operators.dedup import fingerprint_containment_join
+    with _p.raises(ValueError):
+        fingerprint_containment_join(big, big, "doc_id", "doc_id",
+                                     "text", "text", engine="panads")
