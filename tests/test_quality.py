@@ -72,3 +72,24 @@ def test_compression_ratio_signal(spark):
     assert out[2] > 0.5           # short varied text barely compresses
     assert out[3] == 1.0
     assert all(0 < v <= 1.5 for v in out.values())
+
+
+def test_with_deduped_lines(spark):
+    """Within-doc duplicate-line repair: first occurrence kept in
+    order, blank lines survive, NULL passes through, lines past the
+    cap untouched."""
+    from pyspark.sql import functions as F
+    from alegre_spark.functions.quality import with_deduped_lines
+    doc = "header\ncode line\n\nheader\nother\n\nheader\ncode line"
+    df = spark.createDataFrame([(1, doc), (2, None), (3, "a\nb")],
+                               "id long, content string")
+    out = {r["id"]: r["content"]
+           for r in with_deduped_lines(df).collect()}
+    assert out[1] == "header\ncode line\n\nother\n"
+    assert out[2] is None
+    assert out[3] == "a\nb"
+    # cap: duplicates beyond max_lines are preserved verbatim
+    capped = spark.createDataFrame([(4, "x\nx\nx\nx")],
+                                   "id long, content string")
+    got = with_deduped_lines(capped, max_lines=2).first()["content"]
+    assert got == "x\nx\nx"
