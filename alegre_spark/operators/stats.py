@@ -1,0 +1,65 @@
+"""Sketch-based corpus profiling — the approximate-aggregate family a
+100 TB curation pipeline runs before/after every filter stage.
+
+All built-in JVM sketches (one pass, mergeable partials, no Python):
+- HyperLogLog++ distinct counts (`approx_count_distinct`, configurable
+  relative error) for repo/path/content cardinality — exact distinct
+  on 10^12 rows is a full shuffle of every key; HLL is one fixed-size
+  sketch per partition.
+- Greenwald-Khanna approximate quantiles (`percentile_approx`) for
+  document-length distributions.
+- Plain algebraic aggregates (count/sum/avg) ride along free.
+
+The reference has no analog (its stats are per-request ES counts);
+this is the beyond-reference profiling surface the training-data
+brief calls for. Tested against exact values on a small corpus
+(tests/test_operators.py::test_corpus_stats_sketches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_stats(df: DataFrame, text_col: str = "content",
+                 repo_col: str = "repo",
+                 rsd: float = 0.02) -> DataFrame:
+    """One-row global profile: row count, HLL distinct repos and
+    distinct normalized contents (near-exact at rsd=0.02), length
+    quantiles (p50/p90/p99/max), token mean. One pass, one reduce."""
+    length = F.length(F.col(text_col))
+    n_tokens = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                               lambda x: x != F.lit("")))
+    content_key = F.sha2(F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "), 256)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct(repo_col, rsd).alias("approx_repos"),
+        F.approx_count_distinct(content_key, rsd)
+        .alias("approx_distinct_contents"),
+        F.percentile_approx(length, [0.5, 0.9, 0.99], 10_000)
+        .alias("len_p50_p90_p99"),
+        F.max(length).alias("len_max"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+    )
+
+
+def per_group_stats(df: DataFrame, group_cols: list[str] | str,
+                    text_col: str = "content",
+                    rsd: float = 0.05) -> DataFrame:
+    """Grouped profile (e.g. per language or per source): row count,
+    HLL distinct contents, median length. Partial-aggregated — the
+    sketches merge map-side, so skewed groups cost one sketch, not a
+    shuffle of their rows."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    length = F.length(F.col(text_col))
+    content_key = F.sha2(F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "), 256)
+    return (df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct(content_key, rsd)
+        .alias("approx_distinct_contents"),
+        F.percentile_approx(length, 0.5, 10_000).alias("len_p50"),
+    ))

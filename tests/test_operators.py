@@ -884,3 +884,25 @@ def test_winnowing_pandas_engine_guarantee_and_speed(spark):
     with _p.raises(ValueError):
         fingerprint_containment_join(big, big, "doc_id", "doc_id",
                                      "text", "text", engine="panads")
+
+
+def test_corpus_stats_sketches(spark):
+    """Sketch profiling vs exact values on a corpus the sketches
+    resolve exactly at these cardinalities: HLL distinct within rsd,
+    GK median exact on the small set, dup contents collapse."""
+    from alegre_spark.operators.stats import corpus_stats, per_group_stats
+    rows = [(f"r{i % 5}", f"doc text number {i}") for i in range(40)]
+    rows += [("r0", "doc text number 0")] * 10          # exact dups
+    df = spark.createDataFrame(rows, "repo string, content string")
+    s = corpus_stats(df, "content", "repo").first()
+    assert s["n_rows"] == 50
+    assert abs(s["approx_repos"] - 5) <= 1
+    assert abs(s["approx_distinct_contents"] - 40) <= 2
+    assert s["len_p50_p90_p99"][0] >= 15 and s["len_max"] >= 17
+    assert s["avg_tokens"] == 4.0
+
+    g = {r["repo"]: r for r in
+         per_group_stats(df, "repo", "content").collect()}
+    assert g["r0"]["n_rows"] == 18          # 8 uniques + 10 dups
+    assert abs(g["r0"]["approx_distinct_contents"] - 8) <= 1
+    assert g["r1"]["n_rows"] == 8
