@@ -82,13 +82,37 @@ def q03_nation_order_stats(spark, sf):
                  F.round(F.sum("o_totalprice"), 2).alias("total_price")))
 
 
-def q04_customers_without_orders(spark, sf):
-    """J9 anti-join split."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    return (c.join(o.select("o_custkey"),
-                   c.c_custkey == o.o_custkey, "left_anti")
-            .select("c_custkey", "c_name"))
+def q04_winnow_containment(spark, sf):
+    """Winnowing containment join, md5 char-hash family (DuckDB-
+    reproducible — the production operator `winnow_fingerprints` uses
+    byte-addressed xxhash64, rows-only by nature): k=8-char md5
+    k-grams over a 120-char prefix, window-of-4 minima, probes
+    doc_id<20, pairs sharing >=2 fingerprints. Replaced the redundant
+    anti-join demo (J9 is already oracle-evidenced by q40) so the
+    winnowing family has a driver-gated oracle row. Structure mirrors
+    `dedup.winnow_fingerprints`; the prefix bound caps the
+    char-substring offset walk (see that docstring)."""
+    k, w = 8, 4
+    d = _t(spark, sf, "documents")
+    pre = d.select("doc_id",
+                   F.substring("text", 1, 120).alias("t"))
+    n_k = F.greatest(F.length("t") - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(F.sequence(F.lit(1), n_k),
+                         lambda i: F.md5(F.substring(F.col("t"), i, k)))
+    bound = pre.select("doc_id", hashes.alias("_h"))
+    n_win = F.greatest(F.size("_h") - F.lit(w - 1), F.lit(1))
+    mins = F.transform(F.sequence(F.lit(1), n_win),
+                       lambda j: F.array_min(F.slice(F.col("_h"), j, w)))
+    fps = bound.select("doc_id",
+                       F.explode(F.array_distinct(mins)).alias("fp"))
+    probes = fps.filter(F.col("doc_id") < 20) \
+        .select(F.col("doc_id").alias("id_a"), "fp")
+    cands = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (probes.join(cands, "fp")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= 2))
 
 
 def q05_predecessor_counts(spark, sf):
@@ -863,7 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q02_top_orders_per_cust": q02_top_orders_per_cust,
         "q03_nation_order_stats": q03_nation_order_stats,
-        "q04_customers_without_orders": q04_customers_without_orders,
+        "q04_winnow_containment": q04_winnow_containment,
         "q05_predecessor_counts": q05_predecessor_counts,
         "q06_context_merge": q06_context_merge,
         "q07_merge_upsert": q07_merge_upsert,
@@ -987,10 +1011,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "q04_customers_without_orders": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders
-                              WHERE o_custkey = c_custkey)
+        "q04_winnow_containment": """
+            WITH pre AS (SELECT doc_id, substring(text, 1, 120) AS t
+                         FROM documents),
+            h AS (SELECT doc_id,
+                         [md5(substring(t, CAST(i AS INTEGER), 8))
+                          for i in generate_series(
+                              1, greatest(length(t) - 7, 1))] AS hs
+                  FROM pre),
+            m AS (SELECT doc_id,
+                         list_distinct(
+                             [list_min(hs[CAST(j AS INTEGER):
+                                          CAST(j + 3 AS INTEGER)])
+                              for j in generate_series(
+                                  1, greatest(len(hs) - 3, 1))]) AS fps
+                  FROM h),
+            f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS shared
+            FROM f a JOIN f b
+              ON a.fp = b.fp AND a.doc_id < 20
+             AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
         """,
         "q05_predecessor_counts": """
             SELECT p.event_id,
