@@ -23,9 +23,11 @@ CHECKS = {
         ("BroadcastHashJoin", "dims broadcast, no shuffle join"),
         ("partial_count", "partial aggregation"),
     ],
-    "q04_customers_without_orders": [
-        ("BroadcastHashJoin", "anti join broadcasts the key side"),
-        ("LeftAnti", "anti-join, not a filter over a collect"),
+    # anti-join shape (ex-q04) is still asserted via q40's split;
+    # the q04 slot is now the winnowing containment join
+    "q04_winnow_containment": [
+        ("md5", "k-gram hashing JVM-side in codegen"),
+        ("partial_count", "shared-fingerprint count partial-aggregated"),
     ],
     "q09_token_overlap_join": [
         ("BroadcastHashJoin", "probe token list broadcast"),
