@@ -131,13 +131,32 @@ def q05_predecessor_counts(spark, sf):
                  .alias("n_pred")))
 
 
-def q06_context_merge(spark, sf):
-    """A2 dedup-union of context values per group."""
+def q06_simhash_md5(spark, sf):
+    """SimHash fingerprints, 32-bit md5 hash family (DuckDB-
+    reproducible twin of the production xxhash64 `dedup.simhash64` —
+    see q22 for the rows-only 63-bit form): per-token hash = first 8
+    hex chars of md5 as uint32, per-bit majority vote over distinct
+    tokens. Replaced the redundant context-merge demo (A2 is already
+    oracle-evidenced by q32) so the SimHash operator joins minhash
+    (q11), jaccard (q13), exact (q10), winnowing (q04) and the
+    composed chain (q54) in the oracle-gated dedup family."""
     d = _t(spark, sf, "documents")
-    return (d.groupBy("lang")
-            .agg(F.concat_ws(",", F.sort_array(F.collect_set("source")))
-                 .alias("sources"),
-                 F.countDistinct("source").alias("n_sources")))
+    toks = d.select("doc_id",
+                    F.explode(F.array_distinct(_tokens(F.col("text"))))
+                    .alias("token"))
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"b{i}")
+        for i in range(32)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(32):
+        sim = sim + F.when(F.col(f"b{i}") > 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return agg.select("doc_id", sim.alias("simhash32"))
 
 
 def q07_merge_upsert(spark, sf):
@@ -889,7 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_nation_order_stats": q03_nation_order_stats,
         "q04_winnow_containment": q04_winnow_containment,
         "q05_predecessor_counts": q05_predecessor_counts,
-        "q06_context_merge": q06_context_merge,
+        "q06_simhash_md5": q06_simhash_md5,
         "q07_merge_upsert": q07_merge_upsert,
         "q08_global_topk": q08_global_topk,
         "q09_token_overlap_join": q09_token_overlap_join,
@@ -1044,12 +1063,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_id < 200
             GROUP BY p.event_id
         """,
-        "q06_context_merge": """
-            SELECT lang,
-                   array_to_string(list_sort(list(DISTINCT source)), ',')
-                       AS sources,
-                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-            FROM documents GROUP BY lang
+        "q06_simhash_md5": f"""
+            WITH {_TOKS_CTE},
+            tok AS (SELECT doc_id, unnest(list_distinct(t)) AS token
+                    FROM toks),
+            h AS (SELECT doc_id,
+                         ('0x' || substring(md5(token), 1, 8))::UBIGINT
+                             AS h
+                  FROM tok),
+            votes AS (SELECT doc_id, SUM(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0, SUM(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1, SUM(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2, SUM(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3, SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4, SUM(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5, SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6, SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7, SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8, SUM(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9, SUM(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10, SUM(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11, SUM(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12, SUM(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13, SUM(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14, SUM(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15, SUM(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16, SUM(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17, SUM(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18, SUM(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19, SUM(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20, SUM(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21, SUM(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22, SUM(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23, SUM(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24, SUM(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25, SUM(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26, SUM(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27, SUM(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28, SUM(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29, SUM(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30, SUM(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31
+                      FROM h GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN b0 > 0 THEN 1 ELSE 0 END + CASE WHEN b1 > 0 THEN 2 ELSE 0 END + CASE WHEN b2 > 0 THEN 4 ELSE 0 END + CASE WHEN b3 > 0 THEN 8 ELSE 0 END + CASE WHEN b4 > 0 THEN 16 ELSE 0 END + CASE WHEN b5 > 0 THEN 32 ELSE 0 END + CASE WHEN b6 > 0 THEN 64 ELSE 0 END + CASE WHEN b7 > 0 THEN 128 ELSE 0 END + CASE WHEN b8 > 0 THEN 256 ELSE 0 END + CASE WHEN b9 > 0 THEN 512 ELSE 0 END + CASE WHEN b10 > 0 THEN 1024 ELSE 0 END + CASE WHEN b11 > 0 THEN 2048 ELSE 0 END + CASE WHEN b12 > 0 THEN 4096 ELSE 0 END + CASE WHEN b13 > 0 THEN 8192 ELSE 0 END + CASE WHEN b14 > 0 THEN 16384 ELSE 0 END + CASE WHEN b15 > 0 THEN 32768 ELSE 0 END + CASE WHEN b16 > 0 THEN 65536 ELSE 0 END + CASE WHEN b17 > 0 THEN 131072 ELSE 0 END + CASE WHEN b18 > 0 THEN 262144 ELSE 0 END + CASE WHEN b19 > 0 THEN 524288 ELSE 0 END + CASE WHEN b20 > 0 THEN 1048576 ELSE 0 END + CASE WHEN b21 > 0 THEN 2097152 ELSE 0 END + CASE WHEN b22 > 0 THEN 4194304 ELSE 0 END + CASE WHEN b23 > 0 THEN 8388608 ELSE 0 END + CASE WHEN b24 > 0 THEN 16777216 ELSE 0 END + CASE WHEN b25 > 0 THEN 33554432 ELSE 0 END + CASE WHEN b26 > 0 THEN 67108864 ELSE 0 END + CASE WHEN b27 > 0 THEN 134217728 ELSE 0 END + CASE WHEN b28 > 0 THEN 268435456 ELSE 0 END + CASE WHEN b29 > 0 THEN 536870912 ELSE 0 END + CASE WHEN b30 > 0 THEN 1073741824 ELSE 0 END + CASE WHEN b31 > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash32
+            FROM votes
         """,
         "q07_merge_upsert": """
             WITH t AS (SELECT doc_id, n_chars FROM documents
