@@ -21,6 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import normalize_text, tokenize_ws
+
+
+def _content_key(text_col: str):
+    """THE dedup identity (sha256 of dedup.normalize_text): the
+    profile must count the same distinct-contents the dedup operators
+    group on, or before/after-filter profiles lie about dedup yield."""
+    return F.sha2(normalize_text(F.col(text_col)), 256)
+
 
 def corpus_stats(df: DataFrame, text_col: str = "content",
                  repo_col: str = "repo",
@@ -29,10 +38,8 @@ def corpus_stats(df: DataFrame, text_col: str = "content",
     distinct normalized contents (near-exact at rsd=0.02), length
     quantiles (p50/p90/p99/max), token mean. One pass, one reduce."""
     length = F.length(F.col(text_col))
-    n_tokens = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
-                               lambda x: x != F.lit("")))
-    content_key = F.sha2(F.regexp_replace(
-        F.lower(F.trim(F.col(text_col))), r"\s+", " "), 256)
+    n_tokens = F.size(tokenize_ws(F.col(text_col)))
+    content_key = _content_key(text_col)
     return df.agg(
         F.count("*").alias("n_rows"),
         F.approx_count_distinct(repo_col, rsd).alias("approx_repos"),
@@ -55,8 +62,7 @@ def per_group_stats(df: DataFrame, group_cols: list[str] | str,
     if isinstance(group_cols, str):
         group_cols = [group_cols]
     length = F.length(F.col(text_col))
-    content_key = F.sha2(F.regexp_replace(
-        F.lower(F.trim(F.col(text_col))), r"\s+", " "), 256)
+    content_key = _content_key(text_col)
     return (df.groupBy(*group_cols).agg(
         F.count("*").alias("n_rows"),
         F.approx_count_distinct(content_key, rsd)

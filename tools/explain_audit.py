@@ -23,11 +23,16 @@ CHECKS = {
         ("BroadcastHashJoin", "dims broadcast, no shuffle join"),
         ("partial_count", "partial aggregation"),
     ],
-    # anti-join shape (ex-q04) is still asserted via q40's split;
-    # the q04 slot is now the winnowing containment join
+    # the q04 slot is now the winnowing containment join; the
+    # anti/semi-join plan shapes move to q40 below
     "q04_winnow_containment": [
         ("md5", "k-gram hashing JVM-side in codegen"),
         ("partial_count", "shared-fingerprint count partial-aggregated"),
+    ],
+    "q40_split_existing_new": [
+        ("LeftAnti", "new-rows side is an anti-join, not a filter "
+                     "over a collect"),
+        ("LeftSemi", "existing-rows side is a semi-join"),
     ],
     "q09_token_overlap_join": [
         ("BroadcastHashJoin", "probe token list broadcast"),
