@@ -240,6 +240,69 @@ def ann_topk(probes: DataFrame, candidates: DataFrame,
         k=k, round_to=round_to)
 
 
+def embedding_near_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
+                             plane_tables: list[list[list[float]]],
+                             threshold: float = 0.95) -> DataFrame:
+    """Embedding near-dup PAIR generation (the dedup-side counterpart
+    of `lsh_topk_multitable`'s probe-side search): multi-table
+    hyperplane buckets → within-bucket self-join (id_a < id_b, deduped
+    across tables) → exact cosine >= threshold verify. Never all-pairs:
+    the bucket equi-join bounds the candidate count exactly like the
+    MinHash band join. Returns (id_a, id_b, cosine)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    buckets = F.array(*[
+        F.concat(F.lit(f"{t}:"), hyperplane_bucket(F.col("_v"), planes))
+        for t, planes in enumerate(plane_tables)])
+    b = base.select("id", "_v", F.explode(buckets).alias("bucket"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (a.join(c, "bucket")
+             .filter(F.col("a.id") < F.col("c.id"))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("c.id").alias("id_b"),
+                     F.col("a._v").alias("_va"),
+                     F.col("c._v").alias("_vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (pairs.withColumn("cosine",
+                             cosine_col(F.col("_va"), F.col("_vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
+                           threshold: float = 0.95,
+                           n_tables: int = 4, n_planes: int = 8,
+                           seed: int = 0,
+                           cc_max_iter: int = 30) -> DataFrame:
+    """Embedding-modality twin of `dedup.dedup_corpus`: multi-table
+    hyperplane LSH candidates → exact cosine >= threshold verify →
+    large/small-star connected components → keeper = component min.
+    Covers EVERY input row (singletons keep themselves); same output
+    contract: (id, keeper_id, is_keeper, group_size). Recall follows
+    the LSH table count (L=4 default — BENCH.md §ANN); brute-force
+    `embedding_dup_pairs` remains the exact baseline."""
+    from ..operators.components import connected_components_star
+    from ..operators.dedup import _label_with_sizes
+    row = df.select(vec_col).first()
+    if row is None:
+        return _label_with_sizes(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(id_col).alias("keeper_id")))
+    dim = len(row[0])
+    pairs = embedding_near_pairs_lsh(
+        df, id_col, vec_col,
+        default_plane_tables(dim, n_tables, n_planes, seed),
+        threshold=threshold)
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    cc = connected_components_star(edges, max_iter=cc_max_iter)
+    labeled = (df.select(F.col(id_col).alias("id"))
+               .join(cc.withColumnRenamed("node", "id"), "id", "left")
+               .select("id", F.coalesce("component", "id")
+                       .alias("keeper_id")))
+    return _label_with_sizes(labeled)
+
+
 def lsh_topk_multitable(probes: DataFrame, candidates: DataFrame,
                         probe_id: str, cand_id: str,
                         probe_vec: str, cand_vec: str,

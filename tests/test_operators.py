@@ -906,3 +906,38 @@ def test_corpus_stats_sketches(spark):
     assert g["r0"]["n_rows"] == 18          # 8 uniques + 10 dups
     assert abs(g["r0"]["approx_distinct_contents"] - 8) <= 1
     assert g["r1"]["n_rows"] == 8
+
+
+def test_embedding_dedup_corpus(spark):
+    """Embedding-modality composed dedup: three tight clusters (same
+    direction ± tiny noise) collapse to their min ids via LSH-bucketed
+    pairs + cosine verify + star CC; an orthogonal singleton keeps
+    itself; output covers every row and agrees with the brute-force
+    pair set."""
+    import numpy as np
+    from alegre_spark.operators.ann import embedding_dedup_corpus
+    from alegre_spark.operators.dedup import embedding_dup_pairs
+    rng = np.random.RandomState(5)
+    base = {0: rng.randn(16), 1: rng.randn(16), 2: rng.randn(16)}
+    rows = []
+    for i in range(12):
+        v = base[i % 3] + 0.01 * rng.randn(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    solo = np.zeros(16); solo[0] = 1.0
+    # orthogonalize the singleton against all three cluster directions
+    for b in base.values():
+        bb = b / np.linalg.norm(b)
+        solo = solo - solo.dot(bb) * bb
+    rows.append((99, (solo / np.linalg.norm(solo)).tolist()))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = {r["id"]: (r["keeper_id"], r["group_size"])
+           for r in embedding_dedup_corpus(df, "id", "embedding",
+                                           threshold=0.98).collect()}
+    assert len(out) == 13                  # every row covered
+    assert out[99] == (99, 1)              # orthogonal singleton
+    for i in range(12):
+        assert out[i] == (i % 3, 4)        # cluster min keeps
+    # exact brute-force agrees on the pair structure at this threshold
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(
+        df, "id", "embedding", 0.98).collect()}
+    assert all(a % 3 == b % 3 or 99 in (a, b) for a, b in exact)
