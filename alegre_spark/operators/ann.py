@@ -289,16 +289,27 @@ def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
             df.select(F.col(id_col).alias("id"),
                       F.col(id_col).alias("keeper_id")))
     dim = len(row[0])
+    # two-phase like the text side: collapse EXACT-duplicate vectors
+    # first (groupBy the vector value, O(1) state per group) — a 1M-row
+    # identical-vector group would otherwise put 1M rows in one LSH
+    # bucket and the within-bucket self-join would go quadratic; after
+    # the collapse it is one representative.
+    keyed = df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("_v"))
+    exact_min = keyed.groupBy("_v").agg(F.min("id").alias("_ek"))
+    mapping = keyed.join(exact_min, "_v").select("id", "_ek")
+    reps = exact_min.select(F.col("_ek").alias("id"),
+                            F.col("_v").alias(vec_col))
     pairs = embedding_near_pairs_lsh(
-        df, id_col, vec_col,
+        reps, "id", vec_col,
         default_plane_tables(dim, n_tables, n_planes, seed),
         threshold=threshold)
     edges = pairs.select(F.col("id_a").alias("src"),
                          F.col("id_b").alias("dst"))
     cc = connected_components_star(edges, max_iter=cc_max_iter)
-    labeled = (df.select(F.col(id_col).alias("id"))
-               .join(cc.withColumnRenamed("node", "id"), "id", "left")
-               .select("id", F.coalesce("component", "id")
+    labeled = (mapping
+               .join(cc.withColumnRenamed("node", "_ek"), "_ek", "left")
+               .select("id", F.coalesce("component", "_ek")
                        .alias("keeper_id")))
     return _label_with_sizes(labeled)
 

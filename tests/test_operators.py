@@ -930,14 +930,25 @@ def test_embedding_dedup_corpus(spark):
         solo = solo - solo.dot(bb) * bb
     rows.append((99, (solo / np.linalg.norm(solo)).tolist()))
     df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    # exact-duplicate vectors (two-phase collapse path) + NULL-free
+    df = df.union(spark.createDataFrame(
+        [(100, rows[0][1]), (101, rows[0][1])],
+        "id long, embedding array<double>"))
     out = {r["id"]: (r["keeper_id"], r["group_size"])
            for r in embedding_dedup_corpus(df, "id", "embedding",
                                            threshold=0.98).collect()}
-    assert len(out) == 13                  # every row covered
+    assert len(out) == 15                  # every row covered
     assert out[99] == (99, 1)              # orthogonal singleton
+    # exact dups of row 0's vector land in row 0's cluster (keeper 0)
+    assert out[100][0] == 0 and out[101][0] == 0
     for i in range(12):
-        assert out[i] == (i % 3, 4)        # cluster min keeps
+        assert out[i][0] == i % 3          # cluster min keeps
+    assert out[0][1] == 6                  # cluster 0 + 2 exact dups
     # exact brute-force agrees on the pair structure at this threshold
     exact = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(
         df, "id", "embedding", 0.98).collect()}
-    assert all(a % 3 == b % 3 or 99 in (a, b) for a, b in exact)
+
+    def cluster(x):
+        return 0 if x in (100, 101) else x % 3
+    assert all(cluster(a) == cluster(b) or 99 in (a, b)
+               for a, b in exact)
