@@ -296,8 +296,16 @@ def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
     # the collapse it is one representative.
     keyed = df.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("_v"))
-    exact_min = keyed.groupBy("_v").agg(F.min("id").alias("_ek"))
-    mapping = keyed.join(exact_min, "_v").select("id", "_ek")
+    exact_min = (keyed.groupBy(F.col("_v").alias("_gv"))
+                 .agg(F.min("id").alias("_ek")))
+    # null-safe join: a plain equi-join would silently DROP NULL-vector
+    # rows (same trap as the text side's sha2(NULL)); they group under
+    # one representative instead, stay unpaired in the LSH stage
+    # (NULL buckets produce no cosine matches) and label as one group
+    mapping = (keyed.join(exact_min,
+                          keyed["_v"].eqNullSafe(exact_min["_gv"]))
+               .select("id", "_ek"))
+    exact_min = exact_min.withColumnRenamed("_gv", "_v")
     reps = exact_min.select(F.col("_ek").alias("id"),
                             F.col("_v").alias(vec_col))
     pairs = embedding_near_pairs_lsh(

@@ -930,17 +930,22 @@ def test_embedding_dedup_corpus(spark):
         solo = solo - solo.dot(bb) * bb
     rows.append((99, (solo / np.linalg.norm(solo)).tolist()))
     df = spark.createDataFrame(rows, "id long, embedding array<double>")
-    # exact-duplicate vectors (two-phase collapse path) + NULL-free
+    # exact-duplicate vectors (two-phase collapse path) + NULL vectors
+    # (must survive as one group, not silently vanish from the output)
     df = df.union(spark.createDataFrame(
-        [(100, rows[0][1]), (101, rows[0][1])],
+        [(100, rows[0][1]), (101, rows[0][1]),
+         (200, None), (201, None)],
         "id long, embedding array<double>"))
     out = {r["id"]: (r["keeper_id"], r["group_size"])
            for r in embedding_dedup_corpus(df, "id", "embedding",
                                            threshold=0.98).collect()}
-    assert len(out) == 15                  # every row covered
+    assert len(out) == 17                  # every row covered
     assert out[99] == (99, 1)              # orthogonal singleton
     # exact dups of row 0's vector land in row 0's cluster (keeper 0)
     assert out[100][0] == 0 and out[101][0] == 0
+    # NULL-vector rows group together under their min id (null-safe
+    # exact collapse), never dropped
+    assert out[200] == (200, 2) and out[201] == (200, 2)
     for i in range(12):
         assert out[i][0] == i % 3          # cluster min keeps
     assert out[0][1] == 6                  # cluster 0 + 2 exact dups
