@@ -41,6 +41,17 @@ def brute_force_topk(probes: DataFrame, candidates: DataFrame,
         ["probe_id"], [F.desc("cosine"), F.asc("cand_id")], k)
 
 
+def _np_sql_type(arr: np.ndarray) -> str:
+    """SQL type for a numpy id array (probe ids live driver-side, so
+    their type comes from the array, not a DataFrame schema)."""
+    kind = np.asarray(arr).dtype.kind
+    if kind in ("i", "u"):
+        return "long"
+    if kind == "f":
+        return "double"
+    return "string"
+
+
 def topk_pandas(probes_matrix: np.ndarray, probe_ids: np.ndarray,
                 candidates: DataFrame, cand_id: str,
                 cand_vec: str, k: int = 10) -> DataFrame:
@@ -48,6 +59,10 @@ def topk_pandas(probes_matrix: np.ndarray, probe_ids: np.ndarray,
     batch of candidates does ONE matmul against it (10-100x the
     per-pair UDF — the north rule's 'vectorized pandas UDF' path)."""
     spark = candidates.sparkSession
+    # derive id types from the inputs (same rule as ivf_assign below) —
+    # a hardcoded "long" silently breaks string-id corpora
+    cand_id_dt = candidates.schema[cand_id].dataType.simpleString()
+    probe_id_dt = _np_sql_type(probe_ids)
     # L2-normalize probes once on the driver
     pm = probes_matrix.astype(np.float64)
     pm = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
@@ -74,7 +89,8 @@ def topk_pandas(probes_matrix: np.ndarray, probe_ids: np.ndarray,
             yield out
 
     scored = candidates.select(cand_id, cand_vec).mapInPandas(
-        _map, schema=f"cand_id long, probe_id long, cosine double")
+        _map, schema=(f"cand_id {cand_id_dt}, probe_id {probe_id_dt}, "
+                      "cosine double"))
     return topk_per_group(scored, ["probe_id"],
                           [F.desc("cosine"), F.asc("cand_id")], k)
 
@@ -283,31 +299,42 @@ def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
     `embedding_dup_pairs` remains the exact baseline."""
     from ..operators.components import connected_components_star
     from ..operators.dedup import _label_with_sizes
-    row = df.select(vec_col).first()
-    if row is None:
-        return _label_with_sizes(
-            df.select(F.col(id_col).alias("id"),
-                      F.col(id_col).alias("keeper_id")))
-    dim = len(row[0])
+    # dim probe must skip NULL vectors: the first scanned row is
+    # partition-order dependent, and len(None) would crash the
+    # advertised NULL-tolerant path before the collapse ever runs
+    row = (df.select(vec_col)
+           .filter(F.col(vec_col).isNotNull()).first())
     # two-phase like the text side: collapse EXACT-duplicate vectors
-    # first (groupBy the vector value, O(1) state per group) — a 1M-row
-    # identical-vector group would otherwise put 1M rows in one LSH
-    # bucket and the within-bucket self-join would go quadratic; after
-    # the collapse it is one representative.
-    keyed = df.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).alias("_v"))
-    exact_min = (keyed.groupBy(F.col("_v").alias("_gv"))
-                 .agg(F.min("id").alias("_ek")))
-    # null-safe join: a plain equi-join would silently DROP NULL-vector
-    # rows (same trap as the text side's sha2(NULL)); they group under
-    # one representative instead, stay unpaired in the LSH stage
-    # (NULL buckets produce no cosine matches) and label as one group
-    mapping = (keyed.join(exact_min,
-                          keyed["_v"].eqNullSafe(exact_min["_gv"]))
+    # first — a 1M-row identical-vector group would otherwise put 1M
+    # rows in one LSH bucket and the within-bucket self-join would go
+    # quadratic; after the collapse it is one representative.
+    # The group/join key is a 256-bit digest of the vector's canonical
+    # JSON bytes, NOT the raw array: at 768-d the raw key would carry
+    # ~3 KB per shuffle row on both sides of the join (~50x the
+    # digest's 64 chars). NULL vectors serialize to the constant '{}'
+    # (ignoreNullFields) so they keep grouping under one
+    # representative — the old eqNullSafe behavior — and stay unpaired
+    # in the LSH stage. -0.0/0.0 split into two exact groups under the
+    # digest where array-groupBy normalized them, but the cosine-1.0
+    # LSH pair re-merges them in CC, so labels are unchanged.
+    keyed = (df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("_v"))
+             .withColumn("_hk", F.sha2(F.to_json(F.struct("_v")), 256)))
+    exact_min = (keyed.groupBy("_hk")
+                 .agg(F.min("id").alias("_ek"),
+                      F.min_by("_v", "id").alias("_rv")))
+    mapping = (keyed.select("id", "_hk")
+               .join(exact_min.select("_hk", "_ek"), "_hk")
                .select("id", "_ek"))
-    exact_min = exact_min.withColumnRenamed("_gv", "_v")
+    if row is None:
+        # empty input or all-NULL vectors: no LSH phase to run — the
+        # exact collapse alone is the full labeling (all-NULL rows
+        # form one group, same as when non-NULL rows are present)
+        return _label_with_sizes(
+            mapping.select("id", F.col("_ek").alias("keeper_id")))
+    dim = len(row[0])
     reps = exact_min.select(F.col("_ek").alias("id"),
-                            F.col("_v").alias(vec_col))
+                            F.col("_rv").alias(vec_col))
     pairs = embedding_near_pairs_lsh(
         reps, "id", vec_col,
         default_plane_tables(dim, n_tables, n_planes, seed),

@@ -957,3 +957,101 @@ def test_embedding_dedup_corpus(spark):
         return 0 if x in (100, 101) else x % 3
     assert all(cluster(a) == cluster(b) or 99 in (a, b)
                for a, b in exact)
+
+
+def test_topk_pandas_string_ids(spark):
+    """topk_pandas derives id types from its inputs (r2 verdict: the
+    schema was hardcoded `long` and silently broke string-id corpora):
+    string candidate ids + string probe ids round-trip, and the result
+    matches brute force on the same data."""
+    import numpy as np
+
+    from alegre_spark.operators.ann import brute_force_topk, topk_pandas
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8)
+    rows = [(f"doc-{i:03d}", v.tolist()) for i, v in enumerate(vecs)]
+    cands = spark.createDataFrame(
+        rows, "doc_id string, embedding array<double>")
+    probe_ids = np.array(["p-a", "p-b"])
+    pm = vecs[:2]
+
+    got = topk_pandas(pm, probe_ids, cands, "doc_id", "embedding", k=5)
+    assert dict(got.dtypes) == {"cand_id": "string", "probe_id": "string",
+                                "cosine": "double", "rank": "int"}
+    probes = spark.createDataFrame(
+        [("p-a", vecs[0].tolist()), ("p-b", vecs[1].tolist())],
+        "pid string, embedding array<double>")
+    exact = brute_force_topk(probes, cands, "pid", "doc_id",
+                             "embedding", "embedding", k=5)
+    key = lambda df: {(r["probe_id"], r["rank"]): r["cand_id"]
+                      for r in df.collect()}
+    assert key(got) == key(exact)
+
+
+def test_ivf_topk_string_ids(spark):
+    """String ids flow through ivf_assign/ivf_topk end-to-end."""
+    import numpy as np
+
+    from alegre_spark.operators.ann import ivf_fit_centroids, ivf_topk
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(10, 8) * 0.05 + np.array([1.0] + [0.0] * 7)
+    b = rng.randn(10, 8) * 0.05 + np.array([0.0] * 7 + [1.0])
+    rows = [(f"v{i:02d}", v.tolist())
+            for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vid string, embedding array<float>")
+    C = ivf_fit_centroids(df, "vid", "embedding", n_centroids=2,
+                          sample=20, iters=5)
+    got = ivf_topk(df.filter("vid = 'v00'"), df, "vid", "vid",
+                   "embedding", "embedding", C, nprobe=1, k=5).collect()
+    assert len(got) == 5
+    assert got[0]["cand_id"] == "v00" and got[0]["cosine"] > 0.999
+    assert all(r["cand_id"] < "v10" for r in got)  # stays in cluster A
+
+
+def test_embedding_dedup_corpus_null_first_and_all_null(spark):
+    """ADVICE r2: the dim probe must not crash when the first scanned
+    row has a NULL vector, and an all-NULL corpus must label as one
+    group via the exact collapse instead of raising."""
+    from alegre_spark.operators.ann import embedding_dedup_corpus
+
+    # NULL vector in partition 0, real vectors later: repartition(1) +
+    # ordered union pins NULL first in scan order
+    v = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, None), (1, v), (2, v)],
+        "id long, embedding array<double>").coalesce(1)
+    out = {r["id"]: (r["keeper_id"], r["group_size"])
+           for r in embedding_dedup_corpus(
+               df, "id", "embedding", threshold=0.9).collect()}
+    assert out[0] == (0, 1)
+    assert out[1] == (1, 2) and out[2] == (1, 2)
+
+    all_null = spark.createDataFrame(
+        [(10, None), (11, None), (12, None)],
+        "id long, embedding array<double>")
+    out2 = {r["id"]: (r["keeper_id"], r["group_size"])
+            for r in embedding_dedup_corpus(
+                all_null, "id", "embedding").collect()}
+    assert out2 == {10: (10, 3), 11: (10, 3), 12: (10, 3)}
+
+    empty = spark.createDataFrame([], "id long, embedding array<double>")
+    assert embedding_dedup_corpus(empty, "id", "embedding").count() == 0
+
+
+def test_embedding_dedup_exact_collapse_hash_keyed(spark):
+    """r2 verdict #4: the exact-collapse phase must shuffle on the
+    64-char digest, not the raw array value — no hashpartitioning on
+    the vector column in the executed plan."""
+    from alegre_spark.operators.ann import embedding_dedup_corpus
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, v), (1, v)], "id long, embedding array<double>")
+    plan = embedding_dedup_corpus(df, "id", "embedding") \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"hashpartitioning\(([^)]*)", plan):
+        assert "_v" not in m.group(1) and "embedding" not in m.group(1), \
+            f"array shuffle key survives: {m.group(0)}"
