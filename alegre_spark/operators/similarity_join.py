@@ -38,12 +38,28 @@ def tokenize_distinct(col: Column) -> Column:
         F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != F.lit("")))
 
 
+def _probe_side(df: DataFrame, broadcast_probes: bool | None) -> DataFrame:
+    """Probe-side join strategy for the whole lexical-search family
+    (same contract as `lookup_by_id_or_url`'s `broadcast_store`,
+    merge.py): True forces a broadcast (the reference's search shape —
+    a small probe batch against a big index); False forbids it with a
+    shuffle_hash join-strategy hint, which outranks size-based
+    broadcast selection, so a corpus-vs-corpus caller cannot OOM the
+    driver on a mis-estimated exploded-token side; None leaves the
+    choice to Catalyst/AQE."""
+    if broadcast_probes is True:
+        return F.broadcast(df)
+    if broadcast_probes is False:
+        return df.hint("shuffle_hash")
+    return df
+
+
 def token_overlap_join(
     probes: DataFrame, candidates: DataFrame,
     probe_id: str, cand_id: str,
     probe_text: str = "content", cand_text: str = "content",
     threshold: float = 0.6,
-    broadcast_probes: bool = True,
+    broadcast_probes: bool | None = True,
 ) -> DataFrame:
     """J1: returns (probe_id, cand_id, overlap, probe_tokens, score)
     where score = overlap / probe_tokens and score >= threshold.
@@ -61,10 +77,9 @@ def token_overlap_join(
          .select(F.col(cand_id).alias("cand_id"),
                  tokenize_distinct(F.col(cand_text)).alias("_ctoks")))
 
-    p_tok = p.select("probe_id", "probe_tokens",
-                     F.explode("_ptoks").alias("token"))
-    if broadcast_probes:
-        p_tok = F.broadcast(p_tok)
+    p_tok = _probe_side(p.select("probe_id", "probe_tokens",
+                                 F.explode("_ptoks").alias("token")),
+                        broadcast_probes)
     c_tok = c.select("cand_id", F.explode("_ctoks").alias("token"))
 
     joined = p_tok.join(c_tok, "token")
@@ -143,6 +158,7 @@ def lexical_similarity_search(
     fuzzy: bool = False,
     analyzer: str = "standard",
     fuzzy_prefix_length: int = 1,
+    broadcast_probes: bool | None = True,
 ) -> DataFrame:
     """J1 with the reference's full search semantics: analyzed tokens,
     context containment pre-filter (P6), floor-percentage
@@ -167,6 +183,19 @@ def lexical_similarity_search(
     length vs ~1/26 of them) but stays a bounded equi-join, never a
     cross product. Measured recall delta between the two modes is in
     BENCH.md §fuzzy.
+
+    KNOWN DIVERGENCE at `fuzzy_prefix_length >= 4` (ADVICE r2): a probe
+    token SHORTER than the prefix length blocks on its whole token
+    while long candidates block on their pl-char prefix, so e.g. pl=5
+    probe 'abcd' never meets candidate 'abcde' even though Lucene
+    (prefix = min(pl, len(term))) allows it. Under AUTO:3,6 the
+    divergence needs a probe token of length in [3, pl) with
+    max_edits >= 1, so pl in {2, 3} is UNAFFECTED (shorter probes have
+    max_edits 0, where block keys already agree exactly); the reference
+    only ever uses prefix_length 0/1 (`text_similarity.py:144-146`).
+    The exact fix — candidates additionally emitting their l-char
+    prefixes for l in [max(3, len(c)-max_edits), pl) — is bounded (≤3
+    extra keys/token) but not implemented; prefer pl<=3 or pl=0.
 
     Reproduces the `test_similarity.py:37-163` golden counts (see
     tests/test_similarity_fixture.py)."""
@@ -193,8 +222,9 @@ def lexical_similarity_search(
     c = cands.select(F.col(cand_id).alias("cand_id"),
                      tokenize(F.col(cand_text)).alias("_ctoks"))
 
-    p_tok = F.broadcast(p.select("probe_id", "probe_tokens",
-                                 F.explode("_ptoks").alias("ptoken")))
+    p_tok = _probe_side(p.select("probe_id", "probe_tokens",
+                                 F.explode("_ptoks").alias("ptoken")),
+                        broadcast_probes)
     c_tok = c.select("cand_id", F.explode("_ctoks").alias("ctoken"))
     if fuzzy:
         # Lucene AUTO:3,6 — max edits 0 (<3 chars), 1 (3-5), 2 (>=6)
@@ -251,6 +281,7 @@ def lexical_similarity_search_routed(
     probe_text: str = "content", cand_text: str = "content",
     probe_lang: str = "language", cand_lang: str = "language",
     threshold: float = 0.9,
+    broadcast_probes: bool | None = True,
 ) -> DataFrame:
     """Per-language-index search: the Spark form of the reference's
     one-OpenSearch-index-per-language design
@@ -286,8 +317,9 @@ def lexical_similarity_search_routed(
                           tokenize_analyzed_routed(
                               F.col(cand_text), F.col(cand_lang))
                           .alias("_ctoks"))
-    p_tok = F.broadcast(p.select("probe_id", "route", "probe_tokens",
-                                 F.explode("_ptoks").alias("token")))
+    p_tok = _probe_side(p.select("probe_id", "route", "probe_tokens",
+                                 F.explode("_ptoks").alias("token")),
+                        broadcast_probes)
     c_tok = c.select("cand_id", "route", F.explode("_ctoks").alias("token"))
     agg = (p_tok.join(c_tok, ["route", "token"])
            .groupBy("probe_id", "cand_id", "probe_tokens")
@@ -349,6 +381,7 @@ def token_overlap_join_prefix(
     probe_text: str = "content", cand_text: str = "content",
     threshold: float = 0.6,
     df_stop_fraction: float | None = None,
+    broadcast_probes: bool | None = True,
 ) -> DataFrame:
     """J1 with PREFIX FILTERING (Chaudhuri et al. 2006 / PPJoin): a
     candidate with overlap >= m must share at least one of the probe's
@@ -398,13 +431,14 @@ def token_overlap_join_prefix(
                 .filter(F.col("_rn") <= prefix_len)
                 .select("probe_id", "token"))
 
-    pairs = (F.broadcast(p_prefix)
+    pairs = (_probe_side(p_prefix, broadcast_probes)
              .join(c_post, "token")
              .select("probe_id", "cand_id").distinct())
 
     verified = (pairs
-                .join(F.broadcast(p.select("probe_id", "probe_tokens",
-                                           "_ptoks")), "probe_id")
+                .join(_probe_side(p.select("probe_id", "probe_tokens",
+                                           "_ptoks"), broadcast_probes),
+                      "probe_id")
                 .join(c, "cand_id")
                 .withColumn("overlap",
                             F.size(F.array_intersect("_ptoks", "_ctoks"))))

@@ -1055,3 +1055,43 @@ def test_embedding_dedup_exact_collapse_hash_keyed(spark):
     for m in re.finditer(r"hashpartitioning\(([^)]*)", plan):
         assert "_v" not in m.group(1) and "embedding" not in m.group(1), \
             f"array shuffle key survives: {m.group(0)}"
+
+
+def test_lexical_family_broadcast_probes_flag(spark):
+    """r2 verdict #3: every lexical-search entry point exposes
+    broadcast_probes (True = reference search shape, False =
+    shuffle_hash hint for corpus-vs-corpus batches, no driver
+    broadcast). False must produce a plan with NO BroadcastExchange,
+    and results must be identical in both modes."""
+    from alegre_spark.operators.similarity_join import (
+        lexical_similarity_search, lexical_similarity_search_routed,
+        token_overlap_join, token_overlap_join_prefix)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "en"),
+         (2, "the quick brown fox leaps", "en"),
+         (3, "something entirely different here", "en"),
+         (4, "rapide renard brun saute", "fr")],
+        "id long, content string, language string")
+    probes = docs.filter("id = 1")
+
+    cases = [
+        lambda bp: token_overlap_join(
+            probes, docs, "id", "id", threshold=0.6, broadcast_probes=bp),
+        lambda bp: lexical_similarity_search(
+            probes, docs, "id", "id", threshold=0.6, broadcast_probes=bp),
+        lambda bp: lexical_similarity_search_routed(
+            probes, docs, "id", "id", threshold=0.6, broadcast_probes=bp),
+        lambda bp: token_overlap_join_prefix(
+            probes, docs, "id", "id", threshold=0.6, broadcast_probes=bp),
+    ]
+    for make in cases:
+        on = make(True)
+        off = make(False)
+        plan_on = on._jdf.queryExecution().executedPlan().toString()
+        plan_off = off._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan_on
+        assert "BroadcastExchange" not in plan_off
+        key = lambda df: sorted(
+            (r["probe_id"], r["cand_id"], r["overlap"]) for r in df.collect())
+        assert key(on) == key(off) and len(key(on)) >= 2
