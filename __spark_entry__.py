@@ -205,10 +205,10 @@ def q10_exact_dedup(spark, sf):
                       .alias("dup_ids"))
 
 
-def q11_minhash_lsh(spark, sf):
-    """MinHash+LSH candidate pairs, md5 hash family (oracle-checkable;
-    the production operator uses xxhash64 — see q23/q22)."""
-    d = _t(spark, sf, "documents")
+def _md5_band_pairs(d):
+    """md5-family MinHash+LSH candidate pairs over a (doc_id, text)
+    DataFrame — the DuckDB-reproducible hash family shared by q11, q54
+    and q56 (the production operator uses xxhash64 — see q22)."""
     toks = d.select(F.col("doc_id").alias("id"),
                     F.explode(F.array_distinct(_tokens(F.col("text"))))
                     .alias("token"))
@@ -228,12 +228,10 @@ def q11_minhash_lsh(spark, sf):
             .agg(F.count("*").alias("n_bands")))
 
 
-def q13_token_jaccard_pairs(spark, sf):
-    """Exact token-set Jaccard near-dup pairs."""
-    from alegre_spark.operators.dedup import ngram_jaccard_pairs
-    d = _t(spark, sf, "documents")
-    out = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8)
-    return out.withColumn("jaccard", F.round("jaccard", 4))
+def q11_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs, md5 hash family (oracle-checkable;
+    the production operator uses xxhash64 — see q22)."""
+    return _md5_band_pairs(_t(spark, sf, "documents"))
 
 
 def q14_cosine_topk(spark, sf):
@@ -858,6 +856,21 @@ def q55_analyzed_routed_search(spark, sf):
     return out.withColumn("score", F.round("score", 4))
 
 
+def q56_dedup_two_phase(spark, sf):
+    """The PRODUCTION two-phase dedup composition (exact sha256
+    collapse → md5-family LSH on the keepers → unigram Jaccard verify
+    → star CC → keeper), oracle-checked end to end: the oracle replays
+    the exact phase (sha256 of normalized text, NULL sentinel), the
+    near phase on keepers only, and the CC closure with a recursive
+    CTE. Exercises both phases of `dedup_corpus_two_phase` — r2's
+    pytest-only gap."""
+    from alegre_spark.operators.dedup import dedup_corpus_two_phase
+    d = _t(spark, sf, "documents")
+    return dedup_corpus_two_phase(d, "doc_id", "text", verify_n=1,
+                                  threshold=0.8,
+                                  candidate_pairs_fn=_md5_band_pairs)
+
+
 def _analyzer_chain_sql(lang: str) -> str:
     """DuckDB replica of `analyzers.tokenize_analyzed_lang` for the
     oracle: same token regex, stopword list, light-stem rules, fold."""
@@ -942,7 +955,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_token_overlap_join": q09_token_overlap_join,
         "q10_exact_dedup": q10_exact_dedup,
         "q11_minhash_lsh": q11_minhash_lsh,
-        "q13_token_jaccard_pairs": q13_token_jaccard_pairs,
         "q14_cosine_topk": q14_cosine_topk,
         "q15_embedding_dup_pairs": q15_embedding_dup_pairs,
         "q16_quality_stats": q16_quality_stats,
@@ -981,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_compression_ratio": q53_compression_ratio,
         "q54_dedup_corpus": q54_dedup_corpus,
         "q55_analyzed_routed_search": q55_analyzed_routed_search,
+        "q56_dedup_two_phase": q56_dedup_two_phase,
     }
 
 
@@ -1026,9 +1039,68 @@ def _q24_oracle() -> str:
     """
 
 
+def _q48_oracle() -> str:
+    """q48's IVF fit is deterministic (seeded-free: bounded sample =
+    first 512 rows by vec_id, linspace init, fixed 10 iterations), so
+    the oracle replays the EXACT fit — same rows, same NumPy kernel
+    (`kmeans_fit_np`, shared with `ivf_fit_centroids`), same BLAS — at
+    oracle-build time and emits the resulting 8x64 centroids as SQL
+    literals, the way _q24_oracle fixes its planes. Assignment +
+    re-rank then run in pure SQL: nearest-centroid = max cosine
+    (centroids are unit vectors), nprobe=2 on the probe side, exact
+    cosine re-rank rounded to 4 before ranking. The gate runs at
+    sf0.01; SPARK_GRAFT_ORACLE_SF overrides the parquet dir if it ever
+    moves."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from alegre_spark.operators.ann import kmeans_fit_np
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF",
+                            "/root/testdata/sf0.01")
+    tbl = (pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+           .to_pandas().sort_values("vec_id").head(512))
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in tbl["embedding"]])
+    C = kmeans_fit_np(X, n_centroids=8, iters=10)
+    cent_rows = ", ".join(
+        "({}, [{}])".format(cid, ", ".join(repr(float(x)) for x in row))
+        for cid, row in enumerate(C))
+    return f"""
+        WITH cents(cid, c) AS (VALUES {cent_rows}),
+        e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+        scored AS (SELECT e.vec_id, e.v, cents.cid,
+                          list_cosine_similarity(e.v, cents.c) AS d
+                   FROM e CROSS JOIN cents),
+        ranked AS (SELECT vec_id, v, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, cid ASC) AS rn
+                   FROM scored),
+        cand AS (SELECT vec_id AS cand_id, v AS cv, cid
+                 FROM ranked WHERE rn = 1),
+        probe AS (SELECT vec_id AS probe_id, v AS pv, cid
+                  FROM ranked WHERE rn <= 2 AND vec_id < 5),
+        pairs AS (SELECT DISTINCT probe_id, cand_id,
+                         ROUND(list_cosine_similarity(pv, cv), 4)
+                             AS cosine
+                  FROM probe JOIN cand USING (cid)),
+        r AS (SELECT probe_id, cand_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                         ORDER BY cosine DESC, cand_id ASC) AS rank
+              FROM pairs)
+        SELECT probe_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q24_lsh_ann": _q24_oracle(),
+        "q48_ivf_ann": _q48_oracle(),
         "q55_analyzed_routed_search": _q55_oracle(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1153,22 +1225,61 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
             GROUP BY a.id, b.id
         """,
-        "q13_token_jaccard_pairs": f"""
-            WITH {_TOKS_CTE},
-            sh AS (SELECT doc_id, list_distinct(t) AS s FROM toks),
-            sz AS (SELECT doc_id, len(s) AS n FROM sh),
-            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                             COUNT(*) AS inter
-                      FROM ex a JOIN ex b
-                        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                      GROUP BY a.doc_id, b.doc_id)
-            SELECT id_a, id_b, inter,
-                   ROUND(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
-            FROM inter
-            JOIN sz x ON id_a = x.doc_id
-            JOIN sz y ON id_b = y.doc_id
-            WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+        "q56_dedup_two_phase": f"""
+            WITH RECURSIVE
+            exact AS (SELECT doc_id,
+                             COALESCE(sha256(regexp_replace(
+                                 lower(trim(text)), '\\s+', ' ', 'g')),
+                                 '__null_content__') AS ck
+                      FROM documents),
+            emin AS (SELECT ck, MIN(doc_id) AS ek
+                     FROM exact GROUP BY ck),
+            emap AS (SELECT e.doc_id AS id, m.ek
+                     FROM exact e JOIN emin m USING (ck)),
+            keepers AS (SELECT d.* FROM documents d
+                        JOIN emin ON d.doc_id = emin.ek),
+            dt AS (SELECT doc_id AS id,
+                          list_distinct(list_filter(string_split_regex(
+                              lower(text), '\\s+'), x -> x <> '')) AS s
+                   FROM keepers),
+            tok AS (SELECT id, unnest(s) AS token FROM dt),
+            sigs AS (SELECT id,
+                {", ".join(f"MIN(md5(CAST({s} AS VARCHAR) || '|' || token)) AS s{s}" for s in range(8))}
+                FROM tok GROUP BY id),
+            bands AS (
+                {" UNION ALL ".join(f"SELECT id, {b} AS band, md5(s{2*b} || '#' || s{2*b+1}) AS bkey FROM sigs" for b in range(4))}
+            ),
+            cand AS (SELECT a.id AS id_a, b.id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.id < b.id
+                     GROUP BY a.id, b.id),
+            ver AS (SELECT id_a, id_b
+                    FROM cand JOIN dt x ON id_a = x.id
+                              JOIN dt y ON id_b = y.id
+                    WHERE len(list_intersect(x.s, y.s)) * 1.0 /
+                          (len(x.s) + len(y.s)
+                           - len(list_intersect(x.s, y.s))) >= 0.8),
+            sym AS (SELECT id_a AS a, id_b AS b FROM ver
+                    UNION ALL SELECT id_b, id_a FROM ver),
+            reach AS (SELECT a, b FROM sym
+                      UNION
+                      SELECT r.a, s.b FROM reach r
+                      JOIN sym s ON r.b = s.a),
+            minreach AS (SELECT a AS id, MIN(b) AS mn
+                         FROM reach GROUP BY a),
+            nearlab AS (SELECT k.doc_id AS ek,
+                               LEAST(COALESCE(m.mn, k.doc_id), k.doc_id)
+                                   AS keeper_id
+                        FROM keepers k
+                        LEFT JOIN minreach m ON k.doc_id = m.id),
+            lab AS (SELECT emap.id, nearlab.keeper_id
+                    FROM emap JOIN nearlab USING (ek)),
+            sz AS (SELECT keeper_id, COUNT(*) AS group_size
+                   FROM lab GROUP BY keeper_id)
+            SELECT l.id, l.keeper_id, l.id = l.keeper_id AS is_keeper,
+                   CAST(sz.group_size AS INTEGER) AS group_size
+            FROM lab l JOIN sz USING (keeper_id)
         """,
         "q54_dedup_corpus": f"""
             WITH RECURSIVE {_TOKS_CTE},

@@ -146,6 +146,15 @@ def ivf_fit_centroids(df: DataFrame, id_col: str, vec_col: str,
     if not rows:
         raise ValueError("cannot fit IVF centroids on an empty input")
     X = np.array([r[1] for r in rows], dtype=np.float64)
+    return kmeans_fit_np(X, n_centroids, iters)
+
+
+def kmeans_fit_np(X: np.ndarray, n_centroids: int,
+                  iters: int = 10) -> np.ndarray:
+    """The pure-NumPy spherical k-means kernel behind
+    `ivf_fit_centroids`, exposed so an oracle can replay the exact fit
+    (same BLAS, same order) from the same sample rows and emit the
+    resulting centroids as SQL literals (the q48 oracle does)."""
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     # fewer sample rows than requested lists would duplicate centroids
     # forever (identical starts never separate) — clamp instead

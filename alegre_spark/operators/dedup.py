@@ -310,7 +310,8 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 16, bands: int = 4,
                            shingle_n: int = 3, verify_n: int | None = None,
                            threshold: float = 0.8,
-                           cc_max_iter: int = 30) -> DataFrame:
+                           cc_max_iter: int = 30,
+                           candidate_pairs_fn=None) -> DataFrame:
     """Production two-phase dedup: EXACT first (sha256 groups — no
     shingling cost), then NEAR (`dedup_corpus`) over the exact keepers
     only. On web corpora exact dups are commonly 30-50% of rows, so
@@ -322,6 +323,13 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
     contract as `dedup_corpus`: (id, keeper_id, is_keeper, group_size)
     over EVERY input row, where keeper_id is the final near-dup
     group's min id.
+
+    `candidate_pairs_fn`, if given, is called with the exact-phase
+    KEEPERS DataFrame and must return their near-dup candidate pairs
+    (id_a, id_b, ...) — the two-phase analog of `dedup_corpus`'s
+    `candidate_pairs` override (used by the oracle-gated contract
+    query to swap the xxhash64 MinHash family for the
+    DuckDB-reproducible md5 family).
     """
     # NULL-safe content key: sha2(NULL) is NULL and NULL keys never
     # equi-join, which would silently DROP NULL-text rows from the
@@ -337,6 +345,8 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
                        id_col, "left_semi"))
     near = dedup_corpus(keepers, id_col, text_col, num_hashes, bands,
                         shingle_n, verify_n, threshold,
+                        candidate_pairs=(candidate_pairs_fn(keepers)
+                                         if candidate_pairs_fn else None),
                         cc_max_iter=cc_max_iter)
     labeled = (mapping
                .join(near.select(F.col("id").alias("_ek"),

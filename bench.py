@@ -63,13 +63,12 @@ def main():
     # -- operator queries at SF_DIR ---------------------------------------
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
-    # q13 (all-pairs jaccard) and q54 (composed dedup) are excluded: the
-    # synthetic word-soup corpus has a ~25-word vocabulary, so every doc
-    # pairs with every doc (unigram shingles collapse the corpus into a
-    # near-clique) and the result itself is quadratic — corpus
-    # degeneracy, not operator cost. q54 stays in the sf0.01
-    # CORRECTNESS gate where its full LSH→verify→CC→keeper chain is
-    # oracle-checked.
+    # q54/q56 (composed dedups) are excluded: the synthetic word-soup
+    # corpus has a ~25-word vocabulary, so every doc pairs with every
+    # doc (unigram shingles collapse the corpus into a near-clique) and
+    # the result itself is quadratic — corpus degeneracy, not operator
+    # cost. Both stay in the sf0.01 CORRECTNESS gate where the full
+    # (exact →) LSH → verify → CC → keeper chains are oracle-checked.
     headline = ["q01_pricing_summary", "q02_top_orders_per_cust",
                 "q03_nation_order_stats", "q05_predecessor_counts",
                 "q09_token_overlap_join", "q10_exact_dedup",
