@@ -129,20 +129,38 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash bigint): majority vote over token-hash bits.
-    Pure Catalyst: explode tokens -> per-bit sums -> assemble."""
+    Pure Catalyst: explode tokens -> SWAR-packed bit counts -> assemble.
+
+    Packing (r2 verdict #7 — the naive form was 63 independent
+    CASE-WHEN sums, the widest aggregate in the engine): each of 32
+    sums packs TWO 32-bit popcount lanes into one long via
+    `(h >>> j) & 0x1_0000_0001` — bit j accumulates in the low lane,
+    bit j+32 in the high lane — so the aggregate carries 33 longs of
+    state instead of 63 and the per-row work is a branch-free
+    shift+mask instead of a conditional. A lane overflows only at 2^31
+    distinct tokens in ONE document (a >4 GB doc — impossible), and
+    the packed sum peaks below 2^63 (ANSI-safe). Majority vote
+    `sum(±1) > 0` is reconstructed as `2*popcount > n`. Bit 63 stays
+    excluded from the output (1<<63 overflows signed long), matching
+    the previous 63-bit simhash exactly."""
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(tokenize_distinct(F.col(text_col)))
                       .alias("token"))
             .withColumn("h", F.xxhash64("token")))
-    bit_sums = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0,
-                     1).otherwise(-1)).alias(f"b{i}")
-        for i in range(63)  # bit 63 excluded: 1<<63 overflows signed long
-    ]
-    agg = toks.groupBy("id").agg(*bit_sums)
+    lane = F.lit((1 << 32) | 1).cast("long")
+    sums = [F.sum(F.shiftrightunsigned("h", j).bitwiseAND(lane))
+            .alias(f"s{j}") for j in range(32)]
+    agg = toks.groupBy("id").agg(F.count("*").alias("_n"), *sums)
+    lo32 = F.lit((1 << 32) - 1).cast("long")
+
+    def popcnt(i: int):
+        s = F.col(f"s{i % 32}")
+        return (F.shiftrightunsigned(s, 32) if i >= 32
+                else s.bitwiseAND(lo32))
+
     sim = F.lit(0).cast("long")
     for i in range(63):
-        sim = sim + F.when(F.col(f"b{i}") > 0,
+        sim = sim + F.when(popcnt(i) * 2 > F.col("_n"),
                            F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return agg.select("id", sim.alias("simhash"))
 
