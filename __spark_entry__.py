@@ -10,6 +10,7 @@ are rounded identically; ranks have deterministic tiebreakers.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -884,7 +885,9 @@ def _analyzer_chain_sql(lang: str) -> str:
         "'" + w.replace("'", "''") + "'" for w in STOPWORDS[lang]) + "]"
     x = "x"
     for pat, rep in _STEM_RULES.get(lang, []):
-        duck_rep = rep.replace("$1", r"\1")
+        # Java $N group refs -> RE2 \N (rules are RE2-safe by
+        # contract: no lookaround/backrefs — see the en rule comment)
+        duck_rep = re.sub(r"\$(\d)", r"\\\1", rep)
         duck_pat = pat.replace("'", "''")
         x = f"regexp_replace({x}, '{duck_pat}', '{duck_rep}')"
     x = (f"translate(regexp_replace({x}, 'ß', 'ss'), "

@@ -135,15 +135,46 @@ _FOLD_DST = "aaaaaaeeeeiiiiooooouuuucnyyoa"
 # Each keeps a >=3-char stem (the .{3,}? guard) like the Lucene light
 # stemmers' minimum-length checks.
 _STEM_RULES: dict[str, list[tuple[str, str]]] = {
-    # possessive ('s) then plural (sses→ss, ies→i, trailing s)
+    # possessive ('s), plural (sses→ss, ies→i, trailing s), plus the
+    # Porter (1980) step-1b/1c analogs measured as the biggest light-
+    # stem recall gap (tools/analyzer_recall_bench.py: en 0/6 pairs
+    # matched without them): doubled-consonant undo before -ing/-ed
+    # (running→run; l/s/z excluded exactly as Porter's rule does, so
+    # falling→fall not fal), a vowel-guarded -ing/-ed chop (the stem
+    # must contain a vowel and end in a consonant — protects string,
+    # need, speed, going), consonant-y→i (city/cities→citi), and
+    # -[st]ion→-[st] (connection/connected→connect). All RE2-safe (no
+    # lookaround/backrefs — the q55 oracle generator replays these
+    # rules in DuckDB, whose regex engine is RE2); the doubling rule
+    # spells each undoubled letter as its own alternation branch and
+    # rebuilds the stem from whichever group matched.
     "en": [(r"'s$|['’]$", ""), (r"^(.{3,}?)sses$", r"$1ss"),
-           (r"^(.{3,}?)ies$", r"$1i"), (r"^(.{3,}?[^su])s$", r"$1")],
+           (r"^(.{3,}?)ies$", r"$1i"),
+           (r"^(.+[aeiouy]b)b(?:ing|ed)$|^(.+[aeiouy]d)d(?:ing|ed)$"
+            r"|^(.+[aeiouy]f)f(?:ing|ed)$|^(.+[aeiouy]g)g(?:ing|ed)$"
+            r"|^(.+[aeiouy]m)m(?:ing|ed)$|^(.+[aeiouy]n)n(?:ing|ed)$"
+            r"|^(.+[aeiouy]p)p(?:ing|ed)$|^(.+[aeiouy]r)r(?:ing|ed)$"
+            r"|^(.+[aeiouy]t)t(?:ing|ed)$",
+            r"$1$2$3$4$5$6$7$8$9"),
+           (r"^(.*?[aeiouy].*[^aeiou])(?:ing|ed)$", r"$1"),
+           (r"^(.{2,}[^aeiou'’])y$", r"$1i"),
+           # plural chop at total length >= 4 — the Lucene
+           # EnglishMinimalStemFilter bound (runs→run, yes kept)
+           (r"^(.{2,}?[^su])s$", r"$1"),
+           (r"^(.{3,}?[st])ion$", r"$1")],
     # SpanishLightStemmer shape: chop plural/gender vowel suffixes
     "es": [(r"^(.{3,}?)(?:os|as|es|o|a|e)$", r"$1")],
     "pt": [(r"^(.{3,}?)(?:ões|ais|eis|os|as|es|o|a|e)$", r"$1")],
     "pt-br": [(r"^(.{3,}?)(?:ões|ais|eis|os|as|es|o|a|e)$", r"$1")],
-    # FrenchLightStemmer shape: plural x/s then mute e
-    "fr": [(r"^(.{3,}?)(?:aux|eux|x|s)$", r"$1"),
+    # FrenchLightStemmer shape: the -eaux→-eau / -aux→-al special
+    # cases FIRST (châteaux→château, chevaux/animaux→cheval/animal —
+    # the Lucene light stemmer's norm step; the plain chop left
+    # chevaux→chev vs cheval→cheval unconflated,
+    # tools/analyzer_recall_bench.py fr 3/6), then plural x/s, then
+    # mute e
+    "fr": [(r"^(.{2,}?)eaux$", r"$1eau"),
+           (r"^(.{2,}?)aux$", r"$1al"),
+           (r"^(.{3,}?)(?:eux|x|s)$", r"$1"),
            (r"^(.{3,}?)e$", r"$1")],
     # GermanLightStemmer shape: plural/case endings; umlaut fold below
     "de": [(r"^(.{3,}?)(?:ern|em|en|er|es|e|s)$", r"$1")],

@@ -432,3 +432,38 @@ def test_routed_search_default_route_for_unsupported_and_null(spark):
     assert (1, 1) in pairs and (2, 2) in pairs
     # default route is isolated from the en route
     assert (1, 3) not in pairs and (3, 1) not in pairs
+
+
+def test_en_fr_light_stem_upgrades(spark):
+    """r3 analyzer upgrade (tools/analyzer_recall_bench.py measured en
+    0/6 and fr 3/6 inflection pairs pre-fix): Porter step-1b/1c analog
+    rules for en, Lucene FrenchLightStemmer eaux/aux special cases for
+    fr — with the guard words that must NOT be chopped."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.analyzers import tokenize_analyzed_lang
+
+    def tok1(text, lang):
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(tokenize_analyzed_lang(F.col("t"), lang)
+                         .alias("x")).first()["x"]
+
+    # conflations the light chain must now make
+    for a, b in [("running", "runs"), ("city", "cities"),
+                 ("connection", "connected"), ("walking", "walked"),
+                 ("playing", "played"), ("study", "studies"),
+                 ("dropped", "drops")]:
+        assert tok1(a, "en") == tok1(b, "en"), (a, b)
+    # doubling undo excludes l (Porter's l/s/z exclusion): falling
+    # conflates with fall via the PLAIN chop, not the undouble
+    assert tok1("falling", "en") == tok1("fall", "en") == ["fall"]
+    # vowel/consonant guards: no stem without a vowel, no chop of a
+    # vowel-final stem
+    assert tok1("string", "en") == ["string"]
+    assert tok1("need", "en") == ["need"]
+    assert tok1("speed", "en") == ["speed"]
+    assert tok1("going", "en") == ["going"]
+    # fr: aux -> al, eaux -> eau
+    assert tok1("chevaux", "fr") == tok1("cheval", "fr") == ["cheval"]
+    assert tok1("animaux", "fr") == tok1("animal", "fr")
+    assert tok1("châteaux", "fr") == ["chateau"]

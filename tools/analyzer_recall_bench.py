@@ -1,0 +1,186 @@
+"""Measure the SURVEY §4.3 analyzer boundary: light-stemmer chains vs
+no-stem vs full Snowball, on a small multilingual inflection-pair
+corpus (VERDICT r2 item 8).
+
+Each pair is (base, variant) where the variant replaces about half of
+the content words with an INFLECTED form of the same lemma (plural,
+gender, verb form). A near-dup search should match the pair; an
+analyzer that fails to conflate the inflections drops the pair's
+overlap below threshold.
+
+The "snowball" mode uses stems computed OFFLINE with the published
+Snowball algorithms (Porter2 en / es / pt / fr / de) for exactly the
+corpus vocabulary, hand-verified against the algorithm rule tables —
+there is no stemmer library in this sandbox. The lookup covers only
+the corpus words; that is sufficient because the metric only tokenizes
+this corpus. Chain order matches `tokenize_analyzed_lang`:
+standard tokens -> stopword removal -> stem -> asciifold -> distinct.
+
+Output: one JSON line with per-language and overall matched-pair
+counts per mode at the given threshold, plus the light-vs-snowball
+match-set delta.
+
+Usage: python tools/analyzer_recall_bench.py [threshold=0.7]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from alegre_spark.functions.analyzers import (  # noqa: E402
+    STOPWORDS, _normalize_word_py, _standard_tokens, fold_ascii,
+    tokenize_analyzed_lang)
+from alegre_spark.session import get_spark  # noqa: E402
+
+# (form_in_base, form_in_variant, snowball_stem) — inflection families.
+# Snowball stems hand-computed from the published algorithms; the
+# en stems follow Porter2, others the per-language Snowball stemmers.
+FAMILIES: dict[str, list[tuple[str, str, str]]] = {
+    "en": [
+        ("connection", "connections", "connect"),
+        ("city", "cities", "citi"),
+        ("book", "books", "book"),
+        ("walking", "walked", "walk"),
+        ("playing", "played", "play"),
+        ("study", "studies", "studi"),
+        ("house", "houses", "hous"),
+        ("running", "runs", "run"),
+    ],
+    "es": [
+        ("casa", "casas", "cas"),
+        ("libro", "libros", "libr"),
+        ("grande", "grandes", "grand"),
+        ("trabajo", "trabajando", "trabaj"),
+        ("corre", "corriendo", "corr"),
+        ("bonito", "bonita", "bonit"),
+    ],
+    "pt": [
+        ("casa", "casas", "cas"),
+        ("livro", "livros", "livr"),
+        ("menino", "meninos", "menin"),
+        ("trabalho", "trabalhando", "trabalh"),
+        ("grande", "grandes", "grand"),
+    ],
+    "fr": [
+        ("cheval", "chevaux", "cheval"),
+        ("animal", "animaux", "animal"),
+        ("maison", "maisons", "maison"),
+        ("parler", "parlé", "parl"),
+        ("grand", "grandes", "grand"),
+    ],
+    "de": [
+        ("katze", "katzen", "katz"),
+        ("tag", "tage", "tag"),
+        ("kind", "kinder", "kind"),
+        ("haus", "häuser", "haus"),   # umlaut folds AFTER stem
+        ("spiele", "spielen", "spiel"),
+    ],
+}
+
+# invariant filler words (content-bearing, identical in both docs) so
+# the inflected families are ~50-60% of the content tokens — enough to
+# sink an unstemmed match below threshold without making it trivial
+FILLER: dict[str, list[str]] = {
+    "en": ["market", "report", "yesterday", "village"],
+    "es": ["mercado", "informe", "ayer", "pueblo"],
+    "pt": ["mercado", "relatório", "ontem", "aldeia"],
+    "fr": ["marché", "rapport", "hier", "village"],
+    "de": ["markt", "bericht", "gestern", "dorf"],
+}
+
+
+def build_pairs(lang: str) -> list[tuple[str, str, str]]:
+    """6 pairs per language: rotate which families appear (5-6 of
+    them) so pairs are not all identical; deterministic."""
+    fams = FAMILIES[lang]
+    fill = FILLER[lang]
+    pairs = []
+    for i in range(6):
+        chosen = [fams[(i + j) % len(fams)] for j in range(len(fams) - 1)]
+        base = " ".join([a for a, _, _ in chosen] + fill)
+        var = " ".join([b for _, b, _ in chosen] + fill)
+        pairs.append((f"{lang}_{i}", base, var))
+    return pairs
+
+
+def snowball_tokens(col, lang: str):
+    """Standard tokens -> stops -> OFFLINE Snowball map -> fold ->
+    distinct (mirrors tokenize_analyzed_lang with the stemmer
+    swapped)."""
+    lookup = {}
+    for a, b, stem in FAMILIES[lang]:
+        lookup[a] = stem
+        lookup[b] = stem
+    kv = []
+    for k, v in sorted(lookup.items()):
+        kv += [F.lit(k), F.lit(v)]
+    m = F.create_map(*kv)
+    toks = _standard_tokens(col)
+    stops = F.array(*[F.lit(_normalize_word_py(s, lang))
+                      for s in sorted(set(STOPWORDS[lang]))])
+    toks = F.array_except(toks, stops)
+    toks = F.transform(
+        toks, lambda t: fold_ascii(F.coalesce(F.element_at(m, t), t)))
+    return F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
+
+
+def nostem_tokens(col, lang: str):
+    toks = _standard_tokens(col)
+    stops = F.array(*[F.lit(_normalize_word_py(s, lang))
+                      for s in sorted(set(STOPWORDS[lang]))])
+    toks = F.array_except(toks, stops)
+    toks = F.transform(toks, fold_ascii)
+    return F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
+
+
+def main():
+    threshold = float(sys.argv[1]) if len(sys.argv) > 1 else 0.7
+    spark = get_spark(app_name="analyzer-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    result: dict = {"threshold": threshold, "langs": {}}
+    deltas = {"light_only": [], "snowball_only": []}
+    totals = {"pairs": 0, "none": 0, "light": 0, "snowball": 0}
+    for lang in FAMILIES:
+        rows = build_pairs(lang)
+        df = spark.createDataFrame(
+            rows, "pair_id string, base string, variant string")
+        modes = {
+            "none": nostem_tokens,
+            "light": lambda c, lg=lang: tokenize_analyzed_lang(c, lg),
+            "snowball": snowball_tokens,
+        }
+        matched: dict[str, set] = {}
+        for mode, tok in modes.items():
+            ta = tok(F.col("base"), lang)
+            tb = tok(F.col("variant"), lang)
+            score = (F.size(F.array_intersect(ta, tb)) /
+                     F.greatest(F.size(ta), F.lit(1)))
+            got = (df.select("pair_id", score.alias("score"))
+                   .filter(F.col("score") >= threshold).collect())
+            matched[mode] = {r["pair_id"] for r in got}
+        result["langs"][lang] = {m: len(matched[m]) for m in modes}
+        result["langs"][lang]["pairs"] = len(rows)
+        totals["pairs"] += len(rows)
+        for m in ("none", "light", "snowball"):
+            totals[m] += len(matched[m])
+        deltas["light_only"] += sorted(matched["light"]
+                                       - matched["snowball"])
+        deltas["snowball_only"] += sorted(matched["snowball"]
+                                          - matched["light"])
+    result["totals"] = totals
+    result["recall"] = {
+        m: round(totals[m] / totals["pairs"], 4)
+        for m in ("none", "light", "snowball")}
+    result["light_vs_snowball_delta"] = deltas
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
