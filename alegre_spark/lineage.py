@@ -94,20 +94,18 @@ def committed_buckets(spark: SparkSession, metrics_path: str,
     return {r["salt_bucket"] for r in rows}
 
 
-def run_with_resume(spark: SparkSession, files: DataFrame, out_dir: str,
-                    cfg: PipelineConfig | None = None,
-                    fail_after_buckets: int | None = None) -> dict:
-    """Run the pipeline idempotently. Returns summary dict.
-
-    `fail_after_buckets` is a test hook: commit only the first K buckets'
-    metrics (simulating a crash), leaving the rest uncommitted.
-    """
+def _run_with_resume_core(spark: SparkSession, files: DataFrame,
+                          cfg: PipelineConfig | None,
+                          fail_after_buckets: int | None,
+                          read_done, write_sinks) -> dict:
+    """Shared resume protocol (both sinks): compute run_id, skip
+    committed buckets, annotate pending rows, write output THEN the
+    metrics commit marker. `read_done(run_id) -> set[int]`;
+    `write_sinks(out_rows, metrics)` performs step 1 + 2."""
     cfg = cfg or PipelineConfig()
-    output_path = os.path.join(out_dir, "filtered")
-    metrics_path = os.path.join(out_dir, "metrics")
     run_id = compute_run_id(input_fingerprint(files), cfg)
 
-    done = committed_buckets(spark, metrics_path, run_id)
+    done = read_done(run_id)
     annotated = run_pipeline(files, cfg)
     if done:
         annotated = annotated.filter(~F.col("salt_bucket").isin(list(done)))
@@ -138,10 +136,7 @@ def run_with_resume(spark: SparkSession, files: DataFrame, out_dir: str,
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (out_rows.select(*OUTPUT_COLUMNS)
-         .write.partitionBy("salt_bucket").mode("overwrite")
-         .parquet(output_path))
-        metrics.write.mode("append").parquet(metrics_path)
+        write_sinks(out_rows, metrics)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -149,3 +144,86 @@ def run_with_resume(spark: SparkSession, files: DataFrame, out_dir: str,
     pending.unpersist()
     return {"run_id": run_id, "processed_rows": processed,
             "skipped_buckets": len(done)}
+
+
+def run_with_resume(spark: SparkSession, files: DataFrame, out_dir: str,
+                    cfg: PipelineConfig | None = None,
+                    fail_after_buckets: int | None = None) -> dict:
+    """Run the pipeline idempotently against parquet DIRECTORY sinks
+    (`{out_dir}/filtered` partitioned by salt_bucket,
+    `{out_dir}/metrics` append-only). Returns summary dict.
+
+    `fail_after_buckets` is a test hook: commit only the first K buckets'
+    metrics (simulating a crash), leaving the rest uncommitted.
+    """
+    output_path = os.path.join(out_dir, "filtered")
+    metrics_path = os.path.join(out_dir, "metrics")
+
+    def write_sinks(out_rows, metrics):
+        (out_rows.select(*OUTPUT_COLUMNS)
+         .write.partitionBy("salt_bucket").mode("overwrite")
+         .parquet(output_path))
+        metrics.write.mode("append").parquet(metrics_path)
+
+    return _run_with_resume_core(
+        spark, files, cfg, fail_after_buckets,
+        lambda run_id: committed_buckets(spark, metrics_path, run_id),
+        write_sinks)
+
+
+def committed_buckets_table(spark: SparkSession, metrics_table: str,
+                            run_id: str) -> set[int]:
+    """`committed_buckets` against a CATALOG table name. A missing
+    table means "no metrics yet"; any other failure propagates (same
+    reasoning as the path variant above)."""
+    from pyspark.errors import AnalysisException
+    try:
+        rows = (spark.read.table(metrics_table)
+                .filter(F.col("run_id") == run_id)
+                .select("salt_bucket").distinct().collect())
+    except AnalysisException as e:
+        cond = (e.getCondition() if hasattr(e, "getCondition")
+                else getattr(e, "errorClass", None)) or ""
+        if "TABLE_OR_VIEW_NOT_FOUND" in (cond + " " + str(e)):
+            return set()
+        raise
+    return {r["salt_bucket"] for r in rows}
+
+
+def run_with_resume_catalog(spark: SparkSession, files: DataFrame,
+                            table_prefix: str,
+                            cfg: PipelineConfig | None = None,
+                            fail_after_buckets: int | None = None) -> dict:
+    """Catalog-table twin of `run_with_resume` (r2 VERDICT item 9):
+    the same two-step commit protocol against METASTORE-TRACKED tables
+    — `{prefix}_filtered` (partitioned by salt_bucket, dynamic
+    partition overwrite via insertInto) and `{prefix}_metrics`
+    (append-only commit markers). This is the sandbox's closest
+    stand-in for the Iceberg wiring: the session catalog's parquet
+    warehouse gives real CREATE TABLE / INSERT semantics with
+    partition tracking, while Iceberg in production additionally makes
+    step 1+2 a single atomic snapshot commit (see README §deployment
+    for the exact substitution: `writeTo(...).overwritePartitions()`
+    and `input_fingerprint` -> snapshot id)."""
+    out_tbl = f"{table_prefix}_filtered"
+    metrics_tbl = f"{table_prefix}_metrics"
+
+    def write_sinks(out_rows, metrics):
+        # insertInto is positional and expects partition columns LAST;
+        # with partitionOverwriteMode=dynamic (set by the core) only
+        # the buckets present in out_rows are replaced
+        shaped = out_rows.select(
+            *[c for c in OUTPUT_COLUMNS if c != "salt_bucket"],
+            "salt_bucket")
+        if not spark.catalog.tableExists(out_tbl):
+            (shaped.write.partitionBy("salt_bucket")
+             .format("parquet").saveAsTable(out_tbl))
+        else:
+            shaped.write.insertInto(out_tbl, overwrite=True)
+        metrics.write.format("parquet").mode("append") \
+            .saveAsTable(metrics_tbl)
+
+    return _run_with_resume_core(
+        spark, files, cfg, fail_after_buckets,
+        lambda run_id: committed_buckets_table(spark, metrics_tbl, run_id),
+        write_sinks)

@@ -157,3 +157,50 @@ def test_committed_buckets_unreadable_dir_resets_not_raises(spark):
     finally:
         import shutil
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_resume_idempotent_catalog_tables(spark):
+    """r2 VERDICT item 9 — the resume protocol against a REAL catalog
+    (the session catalog's parquet warehouse, the sandbox's Iceberg
+    stand-in): crash mid-job (3 of 8 buckets commit), resume completes
+    the rest via metastore-tracked tables, a third run is a no-op, and
+    the final table state equals a clean directory-sink run."""
+    import tempfile
+
+    from alegre_spark.lineage import run_with_resume_catalog
+
+    files = generate_corpus(spark, 200, partitions=4)
+    cfg = PipelineConfig(salt_buckets=8)
+    d1 = tempfile.mkdtemp()
+    wh = tempfile.mkdtemp()
+    db = "resume_smoke"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}'")
+    prefix = f"{db}.qf"
+    try:
+        run_with_resume(spark, files, d1, cfg)          # clean baseline
+        r1 = run_with_resume_catalog(spark, files, prefix, cfg,
+                                     fail_after_buckets=3)
+        assert r1["processed_rows"] > 0
+        r2 = run_with_resume_catalog(spark, files, prefix, cfg)
+        assert r2["skipped_buckets"] == 3
+        r3 = run_with_resume_catalog(spark, files, prefix, cfg)
+        assert r3["processed_rows"] == 0 and r3["skipped_buckets"] == 8
+
+        a = spark.read.parquet(f"{d1}/filtered")
+        b = spark.read.table(f"{prefix}_filtered")
+        assert b.count() == a.count() == 200
+        assert a.select("doc_id", "keep", "scrubbed_sha256").exceptAll(
+            b.select("doc_id", "keep", "scrubbed_sha256")).count() == 0
+        # partition tracking is real: the catalog knows the buckets
+        parts = spark.sql(
+            f"SHOW PARTITIONS {prefix}_filtered").count()
+        assert parts == 8
+        m = spark.read.table(f"{prefix}_metrics")
+        assert m.groupBy("salt_bucket").count() \
+            .filter("count > 1").count() == 0
+        assert m.agg(F.sum("input_rows")).first()[0] == 200
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        import shutil
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
