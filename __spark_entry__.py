@@ -254,15 +254,23 @@ def q15_embedding_dup_pairs(spark, sf):
 
 
 def q16_quality_stats(spark, sf):
-    """Text quality scoring rollup per (lang, source)."""
-    d = _t(spark, sf, "documents")
+    """Text quality scoring rollup per (lang, source), including the
+    Gopher-style repetition ratios (r3 — the oracle replays the word
+    n-gram construction with DuckDB 1-based inclusive list slices,
+    the q04 winnowing trick)."""
+    from alegre_spark.functions.quality import with_repetition_signals
+    d = with_repetition_signals(_t(spark, sf, "documents"), "text",
+                                ns=(2, 3))
     n_tokens = F.size(_tokens(F.col("text")))
     return (d.select("lang", "source", F.length("text").alias("nc"),
-                     n_tokens.alias("nt"))
+                     n_tokens.alias("nt"), "dup_2gram_frac",
+                     "dup_3gram_frac")
             .groupBy("lang", "source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("nc").alias("sum_chars"),
-                 F.round(F.avg("nt"), 4).alias("avg_tokens")))
+                 F.round(F.avg("nt"), 4).alias("avg_tokens"),
+                 F.round(F.avg("dup_2gram_frac"), 4).alias("avg_dup_2gram"),
+                 F.round(F.avg("dup_3gram_frac"), 4).alias("avg_dup_3gram")))
 
 
 def q18_pipeline_decisions(spark, sf):
@@ -1350,12 +1358,38 @@ def oracle_sql() -> dict[str, str]:
                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         """,
         "q16_quality_stats": """
+            WITH toked AS (
+              SELECT lang, source, text,
+                     list_slice(list_filter(
+                         string_split_regex(text, '\\s+'),
+                         x -> x <> ''), 1, 2000) AS t
+              FROM documents),
+            grams AS (
+              SELECT lang, source, text,
+                     [array_to_string(t[i:i+1], chr(1))
+                      for i in range(1, len(t))] AS g2,
+                     [array_to_string(t[i:i+2], chr(1))
+                      for i in range(1, len(t) - 1)] AS g3
+              FROM toked),
+            per_doc AS (
+              SELECT lang, source, text,
+                     CASE WHEN text IS NULL THEN NULL
+                          WHEN len(g2) > 0 THEN
+                            1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+                          ELSE 0.0 END AS d2,
+                     CASE WHEN text IS NULL THEN NULL
+                          WHEN len(g3) > 0 THEN
+                            1.0 - len(list_distinct(g3)) * 1.0 / len(g3)
+                          ELSE 0.0 END AS d3
+              FROM grams)
             SELECT lang, source, COUNT(*) AS n_docs,
                    CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
                    ROUND(AVG(len(list_filter(
                        string_split_regex(lower(text), '\\s+'),
-                       x -> x <> ''))), 4) AS avg_tokens
-            FROM documents GROUP BY lang, source
+                       x -> x <> ''))), 4) AS avg_tokens,
+                   ROUND(AVG(d2), 4) AS avg_dup_2gram,
+                   ROUND(AVG(d3), 4) AS avg_dup_3gram
+            FROM per_doc GROUP BY lang, source
         """,
         "q19_token_count_hist": """
             SELECT CAST(FLOOR(len(list_filter(

@@ -93,3 +93,49 @@ def test_with_deduped_lines(spark):
                                    "id long, content string")
     got = with_deduped_lines(capped, max_lines=2).first()["content"]
     assert got == "x\nx\nx"
+
+
+def test_repetition_signals(spark):
+    """Gopher-style dup n-gram fractions + top-2-gram share: hand
+    computable on tiny docs; NULL/empty/short-doc edges; the cap keeps
+    a hostile long row bounded."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.quality import with_repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> 2 distinct/5
+        (2, "w x y z"),            # all distinct
+        (3, "spam spam spam spam"),  # 3 identical 2-grams
+        (4, "one"),                # too short for any 2-gram
+        (5, ""),                   # empty
+        (6, None),                 # NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in with_repetition_signals(
+        df, "text", ns=(2, 3)).collect()}
+
+    assert abs(out[1]["dup_2gram_frac"] - (1 - 2 / 5)) < 1e-9
+    assert abs(out[1]["top_2gram_frac"] - 3 / 5) < 1e-9   # 'a b' x3
+    # doc 1 3-grams: aba bab aba bab -> 2 distinct / 4
+    assert abs(out[1]["dup_3gram_frac"] - 0.5) < 1e-9
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert abs(out[2]["top_2gram_frac"] - 1 / 3) < 1e-9
+    assert out[3]["dup_2gram_frac"] == 1 - 1 / 3
+    assert out[3]["top_2gram_frac"] == 1.0
+    assert out[4]["dup_2gram_frac"] == 0.0
+    assert out[5]["dup_2gram_frac"] == 0.0
+    assert out[6]["dup_2gram_frac"] is None
+    assert out[6]["top_2gram_frac"] is None
+
+    # tokens beyond the cap are ignored (bounded cost, documented)
+    capped = with_repetition_signals(
+        spark.createDataFrame([(1, "q r " * 50_000)], "id long, text string"),
+        "text", ns=(2,), max_tokens=100).first()
+    assert capped["dup_2gram_frac"] > 0.9
+
+    # joined-token ambiguity: 'ab c' vs 'a bc' must be DIFFERENT grams
+    amb = with_repetition_signals(
+        spark.createDataFrame([(1, "ab c a bc")], "id long, text string"),
+        "text", ns=(2,)).first()
+    assert amb["dup_2gram_frac"] == 0.0
