@@ -144,8 +144,9 @@ def q06_simhash_md5(spark, sf):
     hex chars of md5 as uint32, per-bit majority vote over distinct
     tokens. Replaced the redundant context-merge demo (A2 is already
     oracle-evidenced by q32) so the SimHash operator joins minhash
-    (q11), jaccard (q13), exact (q10), winnowing (q04) and the
-    composed chain (q54) in the oracle-gated dedup family."""
+    (q11), exact (q10), winnowing (q04) and the composed chains
+    (q54, two-phase q56 — which carry the Jaccard verify since q13's
+    slot retired) in the oracle-gated dedup family."""
     d = _t(spark, sf, "documents")
     toks = d.select("doc_id",
                     F.explode(F.array_distinct(_tokens(F.col("text"))))
@@ -739,18 +740,20 @@ def q47_id_url_lookup(spark, sf):
 
 
 def q48_ivf_ann(spark, sf):
-    """IVF ANN (rows-only; recall<1 by design): bounded-sample k-means
+    """IVF ANN (oracle-gated r3 — the deterministic fit is replayed
+    into centroid literals, see _q48_oracle): bounded-sample k-means
     coarse quantizer, centroid-list partitioning, nprobe-list probe,
-    exact cosine re-rank inside the probed lists."""
+    exact cosine re-rank (rounded before ranking) in the probed
+    lists."""
     from alegre_spark.operators.ann import ivf_fit_centroids, ivf_topk
     e = _t(spark, sf, "embeddings")
     C = ivf_fit_centroids(e, "vec_id", "embedding", n_centroids=8,
                           sample=512)
     probes = e.filter(F.col("vec_id") < 5)
     out = ivf_topk(probes, e, "vec_id", "vec_id",
-                   "embedding", "embedding", C, nprobe=2, k=5)
-    return (out.withColumn("cosine", F.round("cosine", 4))
-            .withColumn("rank", F.col("rank").cast("int")))
+                   "embedding", "embedding", C, nprobe=2, k=5,
+                   round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 def q49_bpe_token_count(spark, sf):
@@ -1059,9 +1062,12 @@ def _q48_oracle() -> str:
     literals, the way _q24_oracle fixes its planes. Assignment +
     re-rank then run in pure SQL: nearest-centroid = max cosine
     (centroids are unit vectors), nprobe=2 on the probe side, exact
-    cosine re-rank rounded to 4 before ranking. The gate runs at
-    sf0.01; SPARK_GRAFT_ORACLE_SF overrides the parquet dir if it ever
-    moves."""
+    cosine re-rank rounded to 4 before ranking (matching the Spark
+    side's round_to=4, which also rounds BEFORE ranking — otherwise a
+    4-dp tie would rank by unrounded cosine on one engine and by
+    cand_id on the other). The driver gate runs at sf0.01 (the
+    default); tools/check_oracle.py exports SPARK_GRAFT_ORACLE_SF so
+    a local run at another SF fits on that SF's embeddings."""
     import os
 
     import numpy as np
@@ -1109,9 +1115,20 @@ def _q48_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_static()
+    try:
+        # data-derived (reads the embeddings parquet at build time):
+        # if the table is absent on this machine, q48 degrades to the
+        # driver's rows-only check instead of crashing the whole gate
+        out["q48_ivf_ann"] = _q48_oracle()
+    except OSError:
+        pass
+    return out
+
+
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "q24_lsh_ann": _q24_oracle(),
-        "q48_ivf_ann": _q48_oracle(),
         "q55_analyzed_routed_search": _q55_oracle(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

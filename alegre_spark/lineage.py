@@ -66,6 +66,14 @@ def input_fingerprint(df: DataFrame) -> str:
     return f"{row['n']}:{row['h']}"
 
 
+def _analysis_condition(e) -> str:
+    """Error condition + message of an AnalysisException, as one
+    probe string (getCondition on Spark 4, errorClass before it)."""
+    cond = (e.getCondition() if hasattr(e, "getCondition")
+            else getattr(e, "errorClass", None)) or ""
+    return cond + " " + str(e)
+
+
 def committed_buckets(spark: SparkSession, metrics_path: str,
                       run_id: str) -> set[int]:
     # no driver-local exists() fast-path: metrics_path may be a
@@ -85,9 +93,7 @@ def committed_buckets(spark: SparkSession, metrics_path: str,
         # readable parquet (a crash during the FIRST metrics write
         # leaves only _temporary/ — UNABLE_TO_INFER_SCHEMA; re-raising
         # that would wedge resume forever).
-        cond = (e.getCondition() if hasattr(e, "getCondition")
-                else getattr(e, "errorClass", None)) or ""
-        probe = cond + " " + str(e)
+        probe = _analysis_condition(e)
         if "PATH_NOT_FOUND" in probe or "UNABLE_TO_INFER_SCHEMA" in probe:
             return set()
         raise
@@ -182,9 +188,7 @@ def committed_buckets_table(spark: SparkSession, metrics_table: str,
                 .filter(F.col("run_id") == run_id)
                 .select("salt_bucket").distinct().collect())
     except AnalysisException as e:
-        cond = (e.getCondition() if hasattr(e, "getCondition")
-                else getattr(e, "errorClass", None)) or ""
-        if "TABLE_OR_VIEW_NOT_FOUND" in (cond + " " + str(e)):
+        if "TABLE_OR_VIEW_NOT_FOUND" in _analysis_condition(e):
             return set()
         raise
     return {r["salt_bucket"] for r in rows}

@@ -215,12 +215,16 @@ def ivf_topk(probes: DataFrame, candidates: DataFrame,
              probe_id: str, cand_id: str,
              probe_vec: str, cand_vec: str,
              centroids: np.ndarray, nprobe: int = 2,
-             k: int = 10) -> DataFrame:
+             k: int = 10, round_to: int | None = None) -> DataFrame:
     """IVF ANN (the scale path next to LSH): candidates partitioned into
     centroid lists once; each probe scans only its `nprobe` nearest
     lists, then exact cosine re-rank. The centroid_id equi-join bounds
     the pair count to ~nprobe/n_centroids of brute force; recall < 1 by
-    construction (raise nprobe to trade cost for recall)."""
+    construction (raise nprobe to trade cost for recall). `round_to`
+    rounds BEFORE ranking, like `lsh_topk` — required for
+    deterministic cross-engine tie-breaks (a 4-dp tie must fall to
+    cand_id on both engines, not to the unrounded value here and
+    cand_id in SQL)."""
     cand_lists = ivf_assign(candidates, cand_id, cand_vec, centroids,
                             nprobe=1) \
         .select(F.col("id").alias("cand_id"),
@@ -234,6 +238,8 @@ def ivf_topk(probes: DataFrame, candidates: DataFrame,
         "cosine",
         cosine_col(F.col("_pv").cast("array<double>"),
                    F.col("_cv").cast("array<double>")))
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_to))
     return topk_per_group(
         scored.select("probe_id", "cand_id", "cosine").dropDuplicates(
             ["probe_id", "cand_id"]),
@@ -323,12 +329,19 @@ def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
     # digest's 64 chars). NULL vectors serialize to the constant '{}'
     # (ignoreNullFields) so they keep grouping under one
     # representative — the old eqNullSafe behavior — and stay unpaired
-    # in the LSH stage. -0.0/0.0 split into two exact groups under the
-    # digest where array-groupBy normalized them, but the cosine-1.0
-    # LSH pair re-merges them in CC, so labels are unchanged.
+    # in the LSH stage. The canonical form folds -0.0 to 0.0 before
+    # serializing (array-groupBy normalized signed zeros; JSON does
+    # not — and for ZERO-NORM vectors the split would not be healed
+    # downstream, since their cosine is 0 and the verify stage would
+    # never re-merge the two groups).
+    canon = F.transform(
+        F.col("_v").cast("array<double>"),
+        lambda x: F.when(x == 0.0, F.lit(0.0)).otherwise(x))
     keyed = (df.select(F.col(id_col).alias("id"),
                        F.col(vec_col).alias("_v"))
-             .withColumn("_hk", F.sha2(F.to_json(F.struct("_v")), 256)))
+             .withColumn("_hk",
+                         F.sha2(F.to_json(F.struct(canon.alias("_c"))),
+                                256)))
     exact_min = (keyed.groupBy("_hk")
                  .agg(F.min("id").alias("_ek"),
                       F.min_by("_v", "id").alias("_rv")))

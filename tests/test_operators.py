@@ -1095,3 +1095,22 @@ def test_lexical_family_broadcast_probes_flag(spark):
         key = lambda df: sorted(
             (r["probe_id"], r["cand_id"], r["overlap"]) for r in df.collect())
         assert key(on) == key(off) and len(key(on)) >= 2
+
+
+def test_embedding_dedup_signed_zero_vectors(spark):
+    """Review r3: -0.0 vs 0.0 zero-NORM vectors must stay ONE exact
+    group under the digest key (the LSH/cosine stage can never re-merge
+    them — cosine of zero-norm vectors is 0), matching the old
+    array-groupBy normalization."""
+    from alegre_spark.operators.ann import embedding_dedup_corpus
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [-0.0, 0.0, -0.0, 0.0]),
+         (3, v), (4, v)],
+        "id long, embedding array<double>")
+    out = {r["id"]: (r["keeper_id"], r["group_size"])
+           for r in embedding_dedup_corpus(
+               df, "id", "embedding", threshold=0.9).collect()}
+    assert out[1] == (1, 2) and out[2] == (1, 2)
+    assert out[3] == (3, 2) and out[4] == (3, 2)

@@ -42,6 +42,11 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # data-derived oracles (q48's centroid fit) must read the SAME
+    # scale factor this gate runs on, not their sf0.01 default
+    import os
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import __spark_entry__ as e
     from alegre_spark.session import get_spark
     spark = get_spark(master="local[8]", shuffle_partitions=8)
