@@ -103,6 +103,25 @@ CHECKS = {
         ("CASE WHEN", "per-language analyzer routing is one codegen "
                       "CASE expression"),
     ],
+    # r3: two-phase dedup — exact collapse is a hash agg + semi-join,
+    # the near phase rides the same checkpoint-truncated CC as q54
+    "q56_dedup_two_phase": [
+        ("LeftSemi", "keeper split is a semi-join, not a collect"),
+        ("ExistingRDD", "CC + verify lineage truncated at the "
+                        "checkpoint, not recomputed per action"),
+        ("sha2", "exact-phase content key hashed JVM-side"),
+    ],
+    # r3: repetition signals — gram arrays + dup fractions in codegen
+    "q16_quality_stats": [
+        ("partial_avg", "repetition ratios partial-aggregated"),
+        ("ReadSchema: struct<text:string,lang:string,source:string>",
+         "column pruning at the scan (doc_id never read)"),
+    ],
+    "q48_ivf_ann": [
+        ("WindowGroupLimit", "per-probe top-k pushdown"),
+        ("MapInPandas", "centroid assignment is the one designated "
+                        "vectorized stage"),
+    ],
 }
 
 FORBIDDEN = {
@@ -139,6 +158,13 @@ FORBIDDEN = {
                          "array_intersect"],
     "q55_analyzed_routed_search": ["ArrowEvalPython", "BatchEvalPython",
                                    "MapInPandas", "CartesianProduct"],
+    "q56_dedup_two_phase": ["ArrowEvalPython", "BatchEvalPython",
+                            "MapInPandas", "CartesianProduct",
+                            "array_intersect"],
+    "q16_quality_stats": ["ArrowEvalPython", "BatchEvalPython",
+                          "MapInPandas", "CartesianProduct"],
+    "q48_ivf_ann": ["ArrowEvalPython", "BatchEvalPython",
+                    "CartesianProduct"],
 }
 
 
