@@ -102,11 +102,15 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       .alias("sig"))
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      num_hashes: int = 16, bands: int = 4,
-                      shingle_n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs sharing at least one LSH band.
-    Returns (id_a, id_b, n_bands) with id_a < id_b."""
+def minhash_band_index(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16, bands: int = 4,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, band, key) — the LSH band-bucket index. This is the
+    PERSISTABLE artifact of the incremental path: compute it once for
+    the deduped corpus, write it partitioned/bucketed by (band, key),
+    and every future batch joins its own (small) index against it
+    instead of re-shingling 100 TB (`dedup_incremental`'s
+    `existing_bands` input)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     band_cols = [
@@ -115,8 +119,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                               for r in range(rows_per_band)]).alias("key"))
         for b in range(bands)
     ]
-    buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
-               .select("id", "bk.band", "bk.key"))
+    return (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+            .select("id", "bk.band", "bk.key"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs sharing at least one LSH band.
+    Returns (id_a, id_b, n_bands) with id_a < id_b."""
+    buckets = minhash_band_index(df, id_col, text_col, num_hashes,
+                                 bands, shingle_n)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (a.join(b, ["band", "key"])
@@ -371,6 +384,99 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
                                  F.col("keeper_id")), "_ek")
                .select("id", "keeper_id"))
     return _label_with_sizes(labeled)
+
+
+def dedup_incremental(new_df: DataFrame, existing: DataFrame,
+                      id_col: str, text_col: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3, verify_n: int | None = None,
+                      threshold: float = 0.8,
+                      existing_bands: DataFrame | None = None,
+                      cc_max_iter: int = 30) -> DataFrame:
+    """Incremental (daily-ingest) dedup: label a NEW batch against an
+    EXISTING deduped corpus without recomputing the corpus — the
+    production shape at 100 TB, where the corpus is re-labeled never
+    and each batch is small relative to it.
+
+    Three bounded stages:
+      1. batch-internal two-phase dedup (exact collapse -> LSH ->
+         verify -> CC) — only batch keepers go on to stage 2/3;
+      2. EXACT match vs existing: sha256(normalized text) equi-join
+         (NULL-text sentinel on both sides, same as the two-phase
+         exact key);
+      3. NEAR match vs existing for the still-unmatched keepers: LSH
+         band equi-join against `existing_bands` (the PERSISTED
+         `minhash_band_index` of the corpus — pass it to skip
+         re-shingling the existing side; recomputed from
+         `existing`'s text otherwise), then the candidate-driven
+         n-gram Jaccard verify, then best-match selection per batch
+         keeper (highest jaccard, ties to the smallest existing id).
+
+    `existing` is the corpus KEEPERS table (id, text). Batch and
+    existing ids must not collide (the pipeline's sha256 doc_ids
+    guarantee this). Returns one row per NEW row:
+    (id, keeper_id, matched_existing) — keeper_id is an existing
+    corpus id when the row's group matched one, else the batch-local
+    keeper (a genuinely new document becomes its own keeper, exactly
+    what the next corpus compaction will record).
+    """
+    from pyspark.sql import Window
+    verify_n = shingle_n if verify_n is None else verify_n
+
+    # 1. batch-internal labels (bounded by the batch size)
+    internal = dedup_corpus_two_phase(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n,
+        verify_n, threshold, cc_max_iter=cc_max_iter)
+    bk_ids = internal.filter("is_keeper").select(
+        F.col("id").alias(id_col))
+    batch_keepers = new_df.join(bk_ids, id_col, "left_semi")
+
+    # 2. exact match: content-key equi-join (sentinel for NULL text)
+    def ckey(col):
+        return F.coalesce(F.sha2(normalize_text(col), 256),
+                          F.lit("__null_content__"))
+    ex_keyed = existing.select(F.col(id_col).alias("_ex_id"),
+                               ckey(F.col(text_col)).alias("_ck"))
+    bk_keyed = batch_keepers.select(F.col(id_col).alias("_bk_id"),
+                                    ckey(F.col(text_col)).alias("_ck"))
+    exact = (bk_keyed.join(ex_keyed, "_ck")
+             .groupBy("_bk_id").agg(F.min("_ex_id").alias("_match")))
+
+    # 3. near match for keepers without an exact hit
+    unmatched = (batch_keepers
+                 .join(exact.select(F.col("_bk_id").alias(id_col)),
+                       id_col, "left_anti"))
+    if existing_bands is None:
+        existing_bands = minhash_band_index(
+            existing, id_col, text_col, num_hashes, bands, shingle_n)
+    new_bands = minhash_band_index(
+        unmatched, id_col, text_col, num_hashes, bands, shingle_n)
+    cands = (new_bands.alias("n")
+             .join(existing_bands.alias("e"), ["band", "key"])
+             .select(F.col("n.id").alias("id_a"),
+                     F.col("e.id").alias("id_b"))
+             .distinct())
+    both = (unmatched.select(F.col(id_col), F.col(text_col))
+            .unionByName(existing.select(F.col(id_col),
+                                         F.col(text_col))))
+    verified = ngram_jaccard_pairs(both, id_col, text_col, n=verify_n,
+                                   threshold=threshold, candidates=cands)
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"),
+                                           F.asc("id_b"))
+    near = (verified.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("id_a").alias("_bk_id"),
+                    F.col("id_b").alias("_match")))
+
+    # relabel: new row -> batch keeper -> existing keeper if matched
+    matches = exact.unionByName(near)
+    out = (internal.select("id", F.col("keeper_id").alias("_bk"))
+           .join(matches.withColumnRenamed("_bk_id", "_bk"),
+                 "_bk", "left"))
+    return out.select(
+        "id",
+        F.coalesce("_match", "_bk").alias("keeper_id"),
+        F.col("_match").isNotNull().alias("matched_existing"))
 
 
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,

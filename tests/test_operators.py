@@ -1114,3 +1114,42 @@ def test_embedding_dedup_signed_zero_vectors(spark):
                df, "id", "embedding", threshold=0.9).collect()}
     assert out[1] == (1, 2) and out[2] == (1, 2)
     assert out[3] == (3, 2) and out[4] == (3, 2)
+
+
+def test_dedup_incremental(spark):
+    """Incremental (daily-ingest) dedup: batch rows collapse
+    internally, then exact- and near-match against the EXISTING corpus
+    keepers; fresh docs become their own keepers; passing the
+    persisted band index gives identical labels to recomputing it."""
+    from alegre_spark.operators.dedup import (dedup_incremental,
+                                              minhash_band_index)
+
+    existing = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (200, "one two three four five six")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "Alpha  beta GAMMA delta epsilon zeta"),  # exact (normalized)
+         (2, "one two three four five six seven"),     # near dup of 200
+         (3, "red orange yellow green blue indigo"),   # internal dup pair
+         (4, "red orange yellow green blue indigo"),
+         (5, "completely novel document body here"),   # fresh
+         (6, None)],                                   # NULL text
+        "doc_id long, text string")
+
+    kwargs = dict(num_hashes=8, bands=8, shingle_n=2, verify_n=1,
+                  threshold=0.6)
+    out = {r["id"]: (r["keeper_id"], r["matched_existing"])
+           for r in dedup_incremental(batch, existing, "doc_id",
+                                      "text", **kwargs).collect()}
+    assert out == {1: (100, True), 2: (200, True),
+                   3: (3, False), 4: (3, False),
+                   5: (5, False), 6: (6, False)}
+
+    idx = minhash_band_index(existing, "doc_id", "text",
+                             num_hashes=8, bands=8, shingle_n=2)
+    out2 = {r["id"]: (r["keeper_id"], r["matched_existing"])
+            for r in dedup_incremental(batch, existing, "doc_id",
+                                       "text", existing_bands=idx,
+                                       **kwargs).collect()}
+    assert out2 == out
