@@ -894,6 +894,7 @@ def _analyzer_chain_sql(lang: str) -> str:
         return f"list_distinct({base})"
     stops = "[" + ", ".join(
         "'" + w.replace("'", "''") + "'" for w in STOPWORDS[lang]) + "]"
+    from alegre_spark.functions.analyzers import _STEM_MAX_LEN
     x = "x"
     for pat, rep in _STEM_RULES.get(lang, []):
         # Java $N group refs -> RE2 \N (rules are RE2-safe by
@@ -901,6 +902,10 @@ def _analyzer_chain_sql(lang: str) -> str:
         duck_rep = re.sub(r"\$(\d)", r"\\\1", rep)
         duck_pat = pat.replace("'", "''")
         x = f"regexp_replace({x}, '{duck_pat}', '{duck_rep}')"
+    if _STEM_RULES.get(lang):
+        # mirror the Spark-side hostile-token guard (_stem)
+        x = (f"CASE WHEN length(x) <= {_STEM_MAX_LEN} "
+             f"THEN {x} ELSE x END")
     x = (f"translate(regexp_replace({x}, 'ß', 'ss'), "
          f"'{_FOLD_SRC}', '{_FOLD_DST}')")
     return (f"list_distinct(list_filter(list_transform("
@@ -1377,9 +1382,10 @@ def _oracle_sql_static() -> dict[str, str]:
         "q16_quality_stats": """
             WITH toked AS (
               SELECT lang, source, text,
-                     list_slice(list_filter(
+                     list_transform(list_slice(list_filter(
                          string_split_regex(text, '\\s+'),
-                         x -> x <> ''), 1, 2000) AS t
+                         x -> x <> ''), 1, 2000),
+                         x -> left(x, 32)) AS t
               FROM documents),
             grams AS (
               SELECT lang, source, text,

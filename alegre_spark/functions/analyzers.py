@@ -246,10 +246,20 @@ def fold_ascii(tok: Column) -> Column:
                        _FOLD_SRC, _FOLD_DST)
 
 
+# stem-rule guard: rules run only on tokens this short. No natural-
+# language word exceeds it, and it bounds regex backtracking — the
+# vowel-guarded en -ing/-ed rule is O(len²) in the worst case, which a
+# hostile 200k-char single-vowel "token" turns into a task that never
+# finishes (measured: hang at 200k chars; 0.04 s guarded). The q55
+# oracle generator replays the same CASE guard in SQL.
+_STEM_MAX_LEN = 64
+
+
 def _stem(tok: Column, lang: str) -> Column:
+    stemmed = tok
     for pat, rep in _STEM_RULES.get(lang, []):
-        tok = F.regexp_replace(tok, pat, rep)
-    return tok
+        stemmed = F.regexp_replace(stemmed, pat, rep)
+    return F.when(F.length(tok) <= _STEM_MAX_LEN, stemmed).otherwise(tok)
 
 
 def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
