@@ -300,6 +300,119 @@ def embedding_near_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
             .select("id_a", "id_b", "cosine"))
 
 
+def _vector_digest(vec) -> "F.Column":
+    """256-bit digest of a vector's canonical JSON bytes — the exact-
+    equality key shared by `embedding_dedup_corpus`'s collapse phase
+    and `embedding_dedup_incremental`'s exact match. Canonical form:
+    cast to double, fold -0.0 to 0.0 (array-groupBy normalized signed
+    zeros; JSON does not, and zero-NORM splits would never re-merge
+    through the cosine verify). NULL vectors serialize to the constant
+    '{}' so they group under one representative."""
+    canon = F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.when(x == 0.0, F.lit(0.0)).otherwise(x))
+    return F.sha2(F.to_json(F.struct(canon.alias("_c"))), 256)
+
+
+def embedding_bucket_index(df: DataFrame, id_col: str, vec_col: str,
+                           plane_tables: list[list[list[float]]]
+                           ) -> DataFrame:
+    """(id, bucket) — the multi-table hyperplane LSH index, the
+    embedding twin of `dedup.minhash_band_index`: persist it once for
+    the deduped corpus (partitioned by bucket) and every future batch
+    joins against it instead of re-bucketing the corpus
+    (`embedding_dedup_incremental`'s `existing_buckets` input). Must
+    be built with the SAME plane_tables the batch side uses."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    buckets = F.array(*[
+        F.concat(F.lit(f"{t}:"), hyperplane_bucket(F.col("_v"), planes))
+        for t, planes in enumerate(plane_tables)])
+    return base.select("id", F.explode(buckets).alias("bucket"))
+
+
+def embedding_dedup_incremental(new_df: DataFrame, existing: DataFrame,
+                                id_col: str, vec_col: str,
+                                threshold: float = 0.95,
+                                n_tables: int = 4, n_planes: int = 8,
+                                seed: int = 0,
+                                existing_buckets: DataFrame | None = None,
+                                cc_max_iter: int = 30) -> DataFrame:
+    """Embedding twin of `dedup.dedup_incremental`: label a NEW batch
+    of vectors against the EXISTING deduped corpus keepers without
+    re-bucketing the corpus. Stages: (1) batch-internal
+    `embedding_dedup_corpus`; (2) exact vector match via the canonical
+    digest equi-join (NULL vectors match the corpus's NULL
+    representative, same as the text twin's sentinel); (3) hyperplane
+    bucket join vs `existing_buckets` (the persisted
+    `embedding_bucket_index`; recomputed from `existing` otherwise)
+    for the still-unmatched keepers, exact cosine >= threshold verify,
+    best match per keeper (highest cosine, ties to smallest existing
+    id). Returns one row per NEW row:
+    (id, keeper_id, matched_existing)."""
+    from pyspark.sql import Window
+
+    internal = embedding_dedup_corpus(
+        new_df, id_col, vec_col, threshold, n_tables, n_planes, seed,
+        cc_max_iter=cc_max_iter)
+    bk_ids = internal.filter("is_keeper").select(
+        F.col("id").alias(id_col))
+    batch_keepers = new_df.join(bk_ids, id_col, "left_semi")
+
+    ex_keyed = existing.select(F.col(id_col).alias("_ex_id"),
+                               _vector_digest(F.col(vec_col))
+                               .alias("_hk"))
+    bk_keyed = batch_keepers.select(F.col(id_col).alias("_bk_id"),
+                                    _vector_digest(F.col(vec_col))
+                                    .alias("_hk"))
+    exact = (bk_keyed.join(ex_keyed, "_hk")
+             .groupBy("_bk_id").agg(F.min("_ex_id").alias("_match")))
+
+    unmatched = (batch_keepers
+                 .join(exact.select(F.col("_bk_id").alias(id_col)),
+                       id_col, "left_anti"))
+    row = (new_df.select(vec_col)
+           .filter(F.col(vec_col).isNotNull()).first())
+    near = None
+    if row is not None:
+        planes = default_plane_tables(len(row[0]), n_tables,
+                                      n_planes, seed)
+        if existing_buckets is None:
+            existing_buckets = embedding_bucket_index(
+                existing, id_col, vec_col, planes)
+        new_buckets = embedding_bucket_index(
+            unmatched, id_col, vec_col, planes)
+        cands = (new_buckets.alias("n")
+                 .join(existing_buckets.alias("e"), "bucket")
+                 .select(F.col("n.id").alias("_bk_id"),
+                         F.col("e.id").alias("_ex_id"))
+                 .distinct())
+        nv = unmatched.select(F.col(id_col).alias("_bk_id"),
+                              F.col(vec_col).cast("array<double>")
+                              .alias("_nv"))
+        ev = existing.select(F.col(id_col).alias("_ex_id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("_ev"))
+        scored = (cands.join(nv, "_bk_id").join(ev, "_ex_id")
+                  .withColumn("cosine",
+                              cosine_col(F.col("_nv"), F.col("_ev")))
+                  .filter(F.col("cosine") >= threshold))
+        w = Window.partitionBy("_bk_id").orderBy(F.desc("cosine"),
+                                                 F.asc("_ex_id"))
+        near = (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("_bk_id", F.col("_ex_id").alias("_match")))
+
+    matches = exact if near is None else exact.unionByName(near)
+    out = (internal.select("id", F.col("keeper_id").alias("_bk"))
+           .join(matches.withColumnRenamed("_bk_id", "_bk"),
+                 "_bk", "left"))
+    return out.select(
+        "id",
+        F.coalesce("_match", "_bk").alias("keeper_id"),
+        F.col("_match").isNotNull().alias("matched_existing"))
+
+
 def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
                            threshold: float = 0.95,
                            n_tables: int = 4, n_planes: int = 8,
@@ -323,25 +436,14 @@ def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
     # first — a 1M-row identical-vector group would otherwise put 1M
     # rows in one LSH bucket and the within-bucket self-join would go
     # quadratic; after the collapse it is one representative.
-    # The group/join key is a 256-bit digest of the vector's canonical
-    # JSON bytes, NOT the raw array: at 768-d the raw key would carry
-    # ~3 KB per shuffle row on both sides of the join (~50x the
-    # digest's 64 chars). NULL vectors serialize to the constant '{}'
-    # (ignoreNullFields) so they keep grouping under one
-    # representative — the old eqNullSafe behavior — and stay unpaired
-    # in the LSH stage. The canonical form folds -0.0 to 0.0 before
-    # serializing (array-groupBy normalized signed zeros; JSON does
-    # not — and for ZERO-NORM vectors the split would not be healed
-    # downstream, since their cosine is 0 and the verify stage would
-    # never re-merge the two groups).
-    canon = F.transform(
-        F.col("_v").cast("array<double>"),
-        lambda x: F.when(x == 0.0, F.lit(0.0)).otherwise(x))
+    # The group/join key is `_vector_digest` — a 256-bit digest of the
+    # vector's canonical JSON bytes, NOT the raw array: at 768-d the
+    # raw key would carry ~3 KB per shuffle row on both sides of the
+    # join (~50x the digest's 64 chars). See _vector_digest for the
+    # NULL and signed-zero canonicalization.
     keyed = (df.select(F.col(id_col).alias("id"),
                        F.col(vec_col).alias("_v"))
-             .withColumn("_hk",
-                         F.sha2(F.to_json(F.struct(canon.alias("_c"))),
-                                256)))
+             .withColumn("_hk", _vector_digest(F.col("_v"))))
     exact_min = (keyed.groupBy("_hk")
                  .agg(F.min("id").alias("_ek"),
                       F.min_by("_v", "id").alias("_rv")))

@@ -1153,3 +1153,74 @@ def test_dedup_incremental(spark):
                                        "text", existing_bands=idx,
                                        **kwargs).collect()}
     assert out2 == out
+
+    # empty corpus -> labels identical to batch-internal two-phase
+    from alegre_spark.operators.dedup import dedup_corpus_two_phase
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    inc = {r["id"]: r["keeper_id"]
+           for r in dedup_incremental(batch, empty, "doc_id", "text",
+                                      **kwargs).collect()}
+    internal = {r["id"]: r["keeper_id"]
+                for r in dedup_corpus_two_phase(
+                    batch, "doc_id", "text", **kwargs).collect()}
+    assert inc == internal and not any(
+        r["matched_existing"] for r in dedup_incremental(
+            batch, empty, "doc_id", "text", **kwargs).collect())
+
+
+def test_embedding_dedup_incremental(spark):
+    """Embedding twin of dedup_incremental: exact-digest match, bucket
+    near-match vs the persisted index, fresh vectors keep themselves;
+    empty existing corpus degrades to exactly the batch-internal
+    labels."""
+    import numpy as np
+
+    from alegre_spark.operators.ann import (default_plane_tables,
+                                            embedding_bucket_index,
+                                            embedding_dedup_corpus,
+                                            embedding_dedup_incremental)
+
+    rng = np.random.RandomState(11)
+    e1 = rng.randn(16); e1 /= np.linalg.norm(e1)
+    e2 = rng.randn(16); e2 /= np.linalg.norm(e2)
+    existing = spark.createDataFrame(
+        [(100, e1.tolist()), (200, e2.tolist())],
+        "id long, embedding array<double>")
+
+    near2 = e2 + 0.01 * rng.randn(16); near2 /= np.linalg.norm(near2)
+    fresh = rng.randn(16); fresh /= np.linalg.norm(fresh)
+    batch = spark.createDataFrame(
+        [(1, e1.tolist()),           # exact dup of 100
+         (2, near2.tolist()),        # near dup of 200
+         (3, fresh.tolist()),        # fresh keeper
+         (4, fresh.tolist()),        # exact dup of 3 (internal)
+         (5, None)],                 # NULL vector
+        "id long, embedding array<double>")
+
+    out = {r["id"]: (r["keeper_id"], r["matched_existing"])
+           for r in embedding_dedup_incremental(
+               batch, existing, "id", "embedding",
+               threshold=0.98).collect()}
+    assert out[1] == (100, True)
+    assert out[2] == (200, True)
+    assert out[3] == (3, False) and out[4] == (3, False)
+    assert out[5] == (5, False)
+
+    # persisted-index path labels identically
+    planes = default_plane_tables(16, 4, 8, 0)
+    idx = embedding_bucket_index(existing, "id", "embedding", planes)
+    out2 = {r["id"]: (r["keeper_id"], r["matched_existing"])
+            for r in embedding_dedup_incremental(
+                batch, existing, "id", "embedding", threshold=0.98,
+                existing_buckets=idx).collect()}
+    assert out2 == out
+
+    # empty corpus -> identical to batch-internal labeling
+    empty = spark.createDataFrame([], "id long, embedding array<double>")
+    inc = {r["id"]: r["keeper_id"]
+           for r in embedding_dedup_incremental(
+               batch, empty, "id", "embedding", threshold=0.98).collect()}
+    internal = {r["id"]: r["keeper_id"]
+                for r in embedding_dedup_corpus(
+                    batch, "id", "embedding", threshold=0.98).collect()}
+    assert inc == internal
