@@ -479,6 +479,63 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
         F.col("_match").isNotNull().alias("matched_existing"))
 
 
+def decontaminate(corpus: DataFrame, eval_df: DataFrame,
+                  id_col: str, text_col: str,
+                  eval_id_col: str | None = None,
+                  eval_text_col: str | None = None,
+                  n: int = 13,
+                  broadcast_eval: bool | None = True) -> DataFrame:
+    """Training-set DECONTAMINATION against an evaluation set (the
+    GPT-3 appendix-C rule, public: a training document is contaminated
+    if it shares any `n`-gram — 13 by convention — with any eval
+    document). Returns every corpus row plus `contaminated` (bool) and
+    `contaminated_grams` (count of distinct shared gram VALUES in the
+    doc, 0 when clean).
+
+    Plan shape at 100 TB: the eval side is tiny next to the corpus —
+    its distinct gram hashes build once and BROADCAST (flag contract
+    as `lookup_by_id_or_url`: True broadcast / False shuffle_hash /
+    None AQE), so the corpus side is one explode + hash + broadcast
+    semi-join-shaped count with NO shuffle of corpus rows; grams are
+    xxhash64 longs, never strings (an exploded 13-gram string would
+    ~13x the corpus bytes in flight). Tokens are lowercased
+    whitespace tokens on both sides (the published rule's
+    normalization); docs shorter than n tokens cannot be contaminated.
+    """
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+
+    def gram_hashes(df_, idc, txc):
+        toks = (df_.select(F.col(idc).alias("id"),
+                           tokenize_ws(F.col(txc)).alias("_toks"))
+                # shingles_from_tokens folds a <n-token doc into one
+                # whole-text pseudo-gram (the MinHash semantics) —
+                # here such docs must emit NOTHING, or two identical
+                # 3-token snippets would count as a 13-gram match
+                .filter(F.size("_toks") >= n))
+        grams = toks.select(
+            "id", F.explode(shingles_from_tokens(F.col("_toks"), n))
+            .alias("_g"))
+        return grams.select("id", F.xxhash64("_g").alias("gh"))
+
+    eval_grams = (gram_hashes(eval_df, eval_id_col, eval_text_col)
+                  .select("gh").distinct())
+    if broadcast_eval is True:
+        eval_grams = F.broadcast(eval_grams)
+    elif broadcast_eval is False:
+        eval_grams = eval_grams.hint("shuffle_hash")
+    corpus_grams = gram_hashes(corpus, id_col, text_col)
+    hits = (corpus_grams.join(eval_grams, "gh")
+            .groupBy("id")
+            .agg(F.countDistinct("gh").alias("contaminated_grams")))
+    out = corpus.join(
+        hits.withColumnRenamed("id", id_col), id_col, "left")
+    return (out.withColumn(
+        "contaminated_grams",
+        F.coalesce("contaminated_grams", F.lit(0)).cast("int"))
+        .withColumn("contaminated", F.col("contaminated_grams") > 0))
+
+
 def rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
                         window: int = 8,
                         max_chars: int | None = None) -> DataFrame:

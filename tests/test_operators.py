@@ -1224,3 +1224,43 @@ def test_embedding_dedup_incremental(spark):
                 for r in embedding_dedup_corpus(
                     batch, "id", "embedding", threshold=0.98).collect()}
     assert inc == internal
+
+
+def test_decontaminate(spark):
+    """Eval-set decontamination (13-gram rule, here n=5 for a small
+    fixture): docs sharing an n-gram with any eval doc flag with the
+    shared-gram count; clean, short and NULL docs stay clean; eval
+    broadcast is visible in the plan and can be disabled."""
+    from alegre_spark.operators.dedup import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "intro text then the quick brown fox jumps over it all"),
+         (2, "a wholly unrelated document about gardening and soil"),
+         (3, "quick brown fox"),          # < n tokens: cannot match
+         (4, None),
+         (5, "THE QUICK BROWN FOX JUMPS extra tail words here")],
+        "doc_id long, text string")
+
+    out = decontaminate(corpus, eval_df, "doc_id", "text", n=5)
+    got = {r["doc_id"]: (r["contaminated"], r["contaminated_grams"])
+           for r in out.collect()}
+    # doc 1 shares 'the quick brown fox jumps' and
+    # 'quick brown fox jumps over' (2 distinct 5-grams)
+    assert got[1] == (True, 2)
+    assert got[2] == (False, 0)
+    assert got[3] == (False, 0)
+    assert got[4] == (False, 0)
+    assert got[5] == (True, 1)            # case-folded match
+    assert out.count() == 5               # every corpus row survives
+
+    plan_on = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_on
+    off = decontaminate(corpus, eval_df, "doc_id", "text", n=5,
+                        broadcast_eval=False)
+    assert "BroadcastExchange" not in \
+        off._jdf.queryExecution().executedPlan().toString()
+    assert {r["doc_id"]: r["contaminated"] for r in off.collect()} == \
+        {k: v[0] for k, v in got.items()}
