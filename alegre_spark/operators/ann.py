@@ -282,10 +282,8 @@ def embedding_near_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     MinHash band join. Returns (id_a, id_b, cosine)."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("_v"))
-    buckets = F.array(*[
-        F.concat(F.lit(f"{t}:"), hyperplane_bucket(F.col("_v"), planes))
-        for t, planes in enumerate(plane_tables)])
-    b = base.select("id", "_v", F.explode(buckets).alias("bucket"))
+    b = base.select("id", "_v", F.explode(
+        multitable_buckets(F.col("_v"), plane_tables)).alias("bucket"))
     a, c = b.alias("a"), b.alias("c")
     pairs = (a.join(c, "bucket")
              .filter(F.col("a.id") < F.col("c.id"))
@@ -314,6 +312,17 @@ def _vector_digest(vec) -> "F.Column":
     return F.sha2(F.to_json(F.struct(canon.alias("_c"))), 256)
 
 
+def multitable_buckets(vec, plane_tables: list[list[list[float]]]):
+    """array<string> of one 't:signs' bucket id per table — THE
+    bucket-format contract shared by every multi-table LSH site
+    (near-pair generation, top-k search, the persisted index): the
+    persisted corpus index and a future batch's buckets only join if
+    this expression never drifts."""
+    return F.array(*[
+        F.concat(F.lit(f"{t}:"), hyperplane_bucket(vec, planes))
+        for t, planes in enumerate(plane_tables)])
+
+
 def embedding_bucket_index(df: DataFrame, id_col: str, vec_col: str,
                            plane_tables: list[list[list[float]]]
                            ) -> DataFrame:
@@ -325,10 +334,17 @@ def embedding_bucket_index(df: DataFrame, id_col: str, vec_col: str,
     be built with the SAME plane_tables the batch side uses."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("_v"))
-    buckets = F.array(*[
-        F.concat(F.lit(f"{t}:"), hyperplane_bucket(F.col("_v"), planes))
-        for t, planes in enumerate(plane_tables)])
-    return base.select("id", F.explode(buckets).alias("bucket"))
+    return base.select("id", F.explode(
+        multitable_buckets(F.col("_v"), plane_tables)).alias("bucket"))
+
+
+def vector_digest_index(df: DataFrame, id_col: str,
+                        vec_col: str) -> DataFrame:
+    """(id, digest) — the persistable exact-match artifact of the
+    embedding incremental path (the twin of `dedup.content_key_index`;
+    `embedding_dedup_incremental`'s `existing_digests` input)."""
+    return df.select(F.col(id_col).alias("id"),
+                     _vector_digest(F.col(vec_col)).alias("digest"))
 
 
 def embedding_dedup_incremental(new_df: DataFrame, existing: DataFrame,
@@ -337,31 +353,41 @@ def embedding_dedup_incremental(new_df: DataFrame, existing: DataFrame,
                                 n_tables: int = 4, n_planes: int = 8,
                                 seed: int = 0,
                                 existing_buckets: DataFrame | None = None,
+                                existing_digests: DataFrame | None = None,
                                 cc_max_iter: int = 30) -> DataFrame:
     """Embedding twin of `dedup.dedup_incremental`: label a NEW batch
     of vectors against the EXISTING deduped corpus keepers without
     re-bucketing the corpus. Stages: (1) batch-internal
     `embedding_dedup_corpus`; (2) exact vector match via the canonical
-    digest equi-join (NULL vectors match the corpus's NULL
-    representative, same as the text twin's sentinel); (3) hyperplane
-    bucket join vs `existing_buckets` (the persisted
-    `embedding_bucket_index`; recomputed from `existing` otherwise)
-    for the still-unmatched keepers, exact cosine >= threshold verify,
-    best match per keeper (highest cosine, ties to smallest existing
-    id). Returns one row per NEW row:
+    digest equi-join against `existing_digests` (the persisted
+    `vector_digest_index`; recomputed — JSON+sha2 over every corpus
+    vector — when not given, so at real scale always pass it; NULL
+    vectors match the corpus's NULL representative, same as the text
+    twin's sentinel); (3) hyperplane bucket join vs `existing_buckets`
+    (the persisted `embedding_bucket_index`; recomputed otherwise)
+    for the still-unmatched keepers, exact cosine >= threshold verify
+    touching ONLY the candidate corpus rows (semi-join before the
+    vector fetch), best match per keeper (highest cosine, ties to
+    smallest existing id). Returns one row per NEW row:
     (id, keeper_id, matched_existing)."""
     from pyspark.sql import Window
 
+    # single driver-side dim probe, shared with the internal pass
+    row = (new_df.select(vec_col)
+           .filter(F.col(vec_col).isNotNull()).first())
+    dim = len(row[0]) if row is not None else None
+
     internal = embedding_dedup_corpus(
         new_df, id_col, vec_col, threshold, n_tables, n_planes, seed,
-        cc_max_iter=cc_max_iter)
+        cc_max_iter=cc_max_iter, dim=dim)
     bk_ids = internal.filter("is_keeper").select(
         F.col("id").alias(id_col))
     batch_keepers = new_df.join(bk_ids, id_col, "left_semi")
 
-    ex_keyed = existing.select(F.col(id_col).alias("_ex_id"),
-                               _vector_digest(F.col(vec_col))
-                               .alias("_hk"))
+    if existing_digests is None:
+        existing_digests = vector_digest_index(existing, id_col, vec_col)
+    ex_keyed = existing_digests.select(F.col("id").alias("_ex_id"),
+                                       F.col("digest").alias("_hk"))
     bk_keyed = batch_keepers.select(F.col(id_col).alias("_bk_id"),
                                     _vector_digest(F.col(vec_col))
                                     .alias("_hk"))
@@ -371,12 +397,9 @@ def embedding_dedup_incremental(new_df: DataFrame, existing: DataFrame,
     unmatched = (batch_keepers
                  .join(exact.select(F.col("_bk_id").alias(id_col)),
                        id_col, "left_anti"))
-    row = (new_df.select(vec_col)
-           .filter(F.col(vec_col).isNotNull()).first())
     near = None
-    if row is not None:
-        planes = default_plane_tables(len(row[0]), n_tables,
-                                      n_planes, seed)
+    if dim is not None:
+        planes = default_plane_tables(dim, n_tables, n_planes, seed)
         if existing_buckets is None:
             existing_buckets = embedding_bucket_index(
                 existing, id_col, vec_col, planes)
@@ -390,9 +413,13 @@ def embedding_dedup_incremental(new_df: DataFrame, existing: DataFrame,
         nv = unmatched.select(F.col(id_col).alias("_bk_id"),
                               F.col(vec_col).cast("array<double>")
                               .alias("_nv"))
-        ev = existing.select(F.col(id_col).alias("_ex_id"),
-                             F.col(vec_col).cast("array<double>")
-                             .alias("_ev"))
+        # vector fetch bounded to the candidate rows — without the
+        # semi-join the whole corpus embedding table shuffles per batch
+        ev = (existing.join(cands.select(F.col("_ex_id").alias(id_col))
+                            .distinct(), id_col, "left_semi")
+              .select(F.col(id_col).alias("_ex_id"),
+                      F.col(vec_col).cast("array<double>")
+                      .alias("_ev")))
         scored = (cands.join(nv, "_bk_id").join(ev, "_ex_id")
                   .withColumn("cosine",
                               cosine_col(F.col("_nv"), F.col("_ev")))
@@ -417,7 +444,8 @@ def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
                            threshold: float = 0.95,
                            n_tables: int = 4, n_planes: int = 8,
                            seed: int = 0,
-                           cc_max_iter: int = 30) -> DataFrame:
+                           cc_max_iter: int = 30,
+                           dim: int | None = None) -> DataFrame:
     """Embedding-modality twin of `dedup.dedup_corpus`: multi-table
     hyperplane LSH candidates → exact cosine >= threshold verify →
     large/small-star connected components → keeper = component min.
@@ -429,8 +457,13 @@ def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
     from ..operators.dedup import _label_with_sizes
     # dim probe must skip NULL vectors: the first scanned row is
     # partition-order dependent, and len(None) would crash the
-    # advertised NULL-tolerant path before the collapse ever runs
-    row = (df.select(vec_col)
+    # advertised NULL-tolerant path before the collapse ever runs.
+    # Callers that already probed (embedding_dedup_incremental) pass
+    # `dim` to skip the duplicate driver-side job; dim given with an
+    # all-NULL input is safe — the LSH stage yields NULL buckets that
+    # never join, and labeling falls through to the exact groups.
+    row = (None if dim is not None else
+           df.select(vec_col)
            .filter(F.col(vec_col).isNotNull()).first())
     # two-phase like the text side: collapse EXACT-duplicate vectors
     # first — a 1M-row identical-vector group would otherwise put 1M
@@ -450,13 +483,13 @@ def embedding_dedup_corpus(df: DataFrame, id_col: str, vec_col: str,
     mapping = (keyed.select("id", "_hk")
                .join(exact_min.select("_hk", "_ek"), "_hk")
                .select("id", "_ek"))
-    if row is None:
+    if row is None and dim is None:
         # empty input or all-NULL vectors: no LSH phase to run — the
         # exact collapse alone is the full labeling (all-NULL rows
         # form one group, same as when non-NULL rows are present)
         return _label_with_sizes(
             mapping.select("id", F.col("_ek").alias("keeper_id")))
-    dim = len(row[0])
+    dim = dim if dim is not None else len(row[0])
     reps = exact_min.select(F.col("_ek").alias("id"),
                             F.col("_rv").alias(vec_col))
     pairs = embedding_near_pairs_lsh(
@@ -488,12 +521,9 @@ def lsh_topk_multitable(probes: DataFrame, candidates: DataFrame,
         base = df.select(F.col(id_col).alias(out_id),
                          F.col(vec_col).cast("array<double>")
                          .alias(f"_{out_id}_v"))
-        buckets = F.array(*[
-            F.concat(F.lit(f"{t}:"),
-                     hyperplane_bucket(F.col(f"_{out_id}_v"), planes))
-            for t, planes in enumerate(plane_tables)])
-        return base.select(out_id, f"_{out_id}_v",
-                           F.explode(buckets).alias("bucket"))
+        return base.select(out_id, f"_{out_id}_v", F.explode(
+            multitable_buckets(F.col(f"_{out_id}_v"), plane_tables))
+            .alias("bucket"))
 
     p = with_buckets(probes, probe_id, probe_vec, "probe_id")
     c = with_buckets(candidates, cand_id, cand_vec, "cand_id")

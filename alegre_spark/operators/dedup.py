@@ -41,6 +41,27 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def content_key(col):
+    """THE exact-dedup content key: sha256 of the normalized text,
+    NULL-safe via a sentinel (sha2(NULL) is NULL, and NULL keys never
+    equi-join — NULL-text rows would silently drop from the output).
+    ONE definition shared by `dedup_corpus_two_phase`,
+    `dedup_incremental` and `content_key_index`: the incremental exact
+    match is only correct while the batch key is byte-identical to the
+    key the corpus was compacted under."""
+    return F.coalesce(F.sha2(normalize_text(col), 256),
+                      F.lit("__null_content__"))
+
+
+def content_key_index(df: DataFrame, id_col: str,
+                      text_col: str) -> DataFrame:
+    """(id, content_key) — the persistable exact-match artifact of the
+    incremental path (write it bucketed by content_key at corpus
+    compaction; `dedup_incremental`'s `existing_keys` input)."""
+    return df.select(F.col(id_col).alias("id"),
+                     content_key(F.col(text_col)).alias("content_key"))
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str,
                 keep: str = "min") -> DataFrame:
     """Exact dedup on sha256(normalized text). Returns one row per
@@ -362,14 +383,8 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
     query to swap the xxhash64 MinHash family for the
     DuckDB-reproducible md5 family).
     """
-    # NULL-safe content key: sha2(NULL) is NULL and NULL keys never
-    # equi-join, which would silently DROP NULL-text rows from the
-    # output (violating the every-row contract). The sentinel groups
-    # NULL-text rows together — matching the one-phase labeling, which
-    # also collapses them (their empty shingle sets verify equal).
-    key = F.coalesce(F.sha2(normalize_text(F.col(text_col)), 256),
-                     F.lit("__null_content__"))
-    keyed = df.select(F.col(id_col).alias("id"), key.alias("_ck"))
+    keyed = df.select(F.col(id_col).alias("id"),
+                      content_key(F.col(text_col)).alias("_ck"))
     exact_min = keyed.groupBy("_ck").agg(F.min("id").alias("_ek"))
     mapping = keyed.join(exact_min, "_ck").select("id", "_ek")
     keepers = (df.join(exact_min.select(F.col("_ek").alias(id_col)),
@@ -392,6 +407,7 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
                       shingle_n: int = 3, verify_n: int | None = None,
                       threshold: float = 0.8,
                       existing_bands: DataFrame | None = None,
+                      existing_keys: DataFrame | None = None,
                       cc_max_iter: int = 30) -> DataFrame:
     """Incremental (daily-ingest) dedup: label a NEW batch against an
     EXISTING deduped corpus without recomputing the corpus — the
@@ -401,16 +417,21 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
     Three bounded stages:
       1. batch-internal two-phase dedup (exact collapse -> LSH ->
          verify -> CC) — only batch keepers go on to stage 2/3;
-      2. EXACT match vs existing: sha256(normalized text) equi-join
-         (NULL-text sentinel on both sides, same as the two-phase
-         exact key);
+      2. EXACT match vs existing: `content_key` equi-join against
+         `existing_keys` (the PERSISTED `content_key_index` of the
+         corpus; recomputed from `existing`'s text when not given —
+         at real scale always pass it, or this stage re-hashes the
+         corpus per batch);
       3. NEAR match vs existing for the still-unmatched keepers: LSH
          band equi-join against `existing_bands` (the PERSISTED
          `minhash_band_index` of the corpus — pass it to skip
-         re-shingling the existing side; recomputed from
-         `existing`'s text otherwise), then the candidate-driven
-         n-gram Jaccard verify, then best-match selection per batch
-         keeper (highest jaccard, ties to the smallest existing id).
+         re-shingling the existing side; recomputed otherwise), then
+         the candidate-driven n-gram Jaccard verify over ONLY the
+         candidate rows (the existing side is semi-joined to the
+         candidate ids before any shingling — the corpus text is
+         touched for at most |candidates| rows), then best-match
+         selection per batch keeper (highest jaccard, ties to the
+         smallest existing id).
 
     `existing` is the corpus KEEPERS table (id, text). Batch and
     existing ids must not collide (the pipeline's sha256 doc_ids
@@ -432,13 +453,13 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
     batch_keepers = new_df.join(bk_ids, id_col, "left_semi")
 
     # 2. exact match: content-key equi-join (sentinel for NULL text)
-    def ckey(col):
-        return F.coalesce(F.sha2(normalize_text(col), 256),
-                          F.lit("__null_content__"))
-    ex_keyed = existing.select(F.col(id_col).alias("_ex_id"),
-                               ckey(F.col(text_col)).alias("_ck"))
+    if existing_keys is None:
+        existing_keys = content_key_index(existing, id_col, text_col)
+    ex_keyed = existing_keys.select(F.col("id").alias("_ex_id"),
+                                    F.col("content_key").alias("_ck"))
     bk_keyed = batch_keepers.select(F.col(id_col).alias("_bk_id"),
-                                    ckey(F.col(text_col)).alias("_ck"))
+                                    content_key(F.col(text_col))
+                                    .alias("_ck"))
     exact = (bk_keyed.join(ex_keyed, "_ck")
              .groupBy("_bk_id").agg(F.min("_ex_id").alias("_match")))
 
@@ -456,8 +477,14 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
              .select(F.col("n.id").alias("id_a"),
                      F.col("e.id").alias("id_b"))
              .distinct())
+    # only the CANDIDATE corpus rows enter the verify — without this
+    # semi-join, ngram_jaccard_pairs' shingle projection would
+    # re-tokenize the whole corpus per batch (the exact cost the
+    # persisted index exists to avoid)
+    ex_cands = existing.join(
+        cands.select(F.col("id_b").alias(id_col)), id_col, "left_semi")
     both = (unmatched.select(F.col(id_col), F.col(text_col))
-            .unionByName(existing.select(F.col(id_col),
+            .unionByName(ex_cands.select(F.col(id_col),
                                          F.col(text_col))))
     verified = ngram_jaccard_pairs(both, id_col, text_col, n=verify_n,
                                    threshold=threshold, candidates=cands)

@@ -1146,11 +1146,14 @@ def test_dedup_incremental(spark):
                    3: (3, False), 4: (3, False),
                    5: (5, False), 6: (6, False)}
 
+    from alegre_spark.operators.dedup import content_key_index
     idx = minhash_band_index(existing, "doc_id", "text",
                              num_hashes=8, bands=8, shingle_n=2)
+    keys = content_key_index(existing, "doc_id", "text")
     out2 = {r["id"]: (r["keeper_id"], r["matched_existing"])
             for r in dedup_incremental(batch, existing, "doc_id",
                                        "text", existing_bands=idx,
+                                       existing_keys=keys,
                                        **kwargs).collect()}
     assert out2 == out
 
@@ -1206,13 +1209,15 @@ def test_embedding_dedup_incremental(spark):
     assert out[3] == (3, False) and out[4] == (3, False)
     assert out[5] == (5, False)
 
-    # persisted-index path labels identically
+    # persisted-index path (buckets + digests) labels identically
+    from alegre_spark.operators.ann import vector_digest_index
     planes = default_plane_tables(16, 4, 8, 0)
     idx = embedding_bucket_index(existing, "id", "embedding", planes)
+    digs = vector_digest_index(existing, "id", "embedding")
     out2 = {r["id"]: (r["keeper_id"], r["matched_existing"])
             for r in embedding_dedup_incremental(
                 batch, existing, "id", "embedding", threshold=0.98,
-                existing_buckets=idx).collect()}
+                existing_buckets=idx, existing_digests=digs).collect()}
     assert out2 == out
 
     # empty corpus -> identical to batch-internal labeling
