@@ -1,0 +1,158 @@
+"""Daily-ingest deployment job: dedup a NEW batch against the EXISTING
+deduped corpus (never reprocessing the corpus), decontaminate against
+an eval set, and roll the corpus + its persisted indexes forward.
+
+    zip -qr alegre_spark.zip alegre_spark
+    spark-submit --master <cluster> --py-files alegre_spark.zip \
+        examples/incremental_ingest_job.py \
+        --batch   /path/to/new_batch_parquet \
+        --corpus  /path/to/corpus_dir \
+        [--eval-set /path/to/eval_parquet] \
+        [--threshold 0.8] [--contam-n 13]
+
+`<corpus>/keepers` (doc_id, text, ...) plus the persisted artifacts
+`<corpus>/band_index` and `<corpus>/content_keys` are read if present
+(first run bootstraps an empty corpus). The job writes:
+
+  <corpus>/keepers      += the batch's genuinely-new keeper rows
+                           (clean per decontamination)
+  <corpus>/band_index   += those rows' LSH bands
+  <corpus>/content_keys += those rows' exact content keys
+  <corpus>/labels/<batch-name>  the full per-row labeling
+                           (id, keeper_id, matched_existing,
+                            contaminated, contaminated_grams)
+
+and prints one JSON summary line. Idempotence: rerunning the same
+batch finds every row exact-matching the keepers appended by the
+first run, so no new keepers append (labels are rewritten in place).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _read_or_none(spark, path):
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = (e.getCondition() if hasattr(e, "getCondition")
+                else getattr(e, "errorClass", None)) or ""
+        if "PATH_NOT_FOUND" in (cond + " " + str(e)) or \
+                "UNABLE_TO_INFER_SCHEMA" in (cond + " " + str(e)):
+            return None
+        raise
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", required=True,
+                    help="parquet dir with at least (doc_id, text)")
+    ap.add_argument("--corpus", required=True,
+                    help="corpus root (keepers/, band_index/, "
+                         "content_keys/ live here)")
+    ap.add_argument("--eval-set", default=None,
+                    help="parquet dir with (doc_id, text) eval docs; "
+                         "contaminated batch rows never become keepers")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--contam-n", type=int, default=13)
+    ap.add_argument("--num-hashes", type=int, default=16)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--shingle-n", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.dedup import (content_key_index,
+                                              decontaminate,
+                                              dedup_incremental,
+                                              minhash_band_index)
+    from alegre_spark.session import get_spark
+
+    spark = get_spark(app_name="alegre-incremental-ingest")
+    batch = spark.read.parquet(args.batch)
+    keepers_path = os.path.join(args.corpus, "keepers")
+    bands_path = os.path.join(args.corpus, "band_index")
+    keys_path = os.path.join(args.corpus, "content_keys")
+
+    existing = _read_or_none(spark, keepers_path)
+    bootstrap = existing is None
+    if bootstrap:
+        existing = spark.createDataFrame(
+            [], "doc_id long, text string") \
+            if dict(batch.dtypes)["doc_id"] == "bigint" else \
+            spark.createDataFrame([], "doc_id string, text string")
+    existing_bands = None if bootstrap else _read_or_none(
+        spark, bands_path)
+    existing_keys = None if bootstrap else _read_or_none(
+        spark, keys_path)
+
+    hash_args = dict(num_hashes=args.num_hashes, bands=args.bands,
+                     shingle_n=args.shingle_n)
+    labels = dedup_incremental(
+        batch, existing.select("doc_id", "text"), "doc_id", "text",
+        threshold=args.threshold, existing_bands=existing_bands,
+        existing_keys=existing_keys, **hash_args)
+
+    if args.eval_set:
+        eval_df = spark.read.parquet(args.eval_set)
+        flagged = decontaminate(batch, eval_df, "doc_id", "text",
+                                n=args.contam_n)
+        labels = labels.join(
+            flagged.select(F.col("doc_id").alias("id"),
+                           "contaminated", "contaminated_grams"), "id")
+    else:
+        labels = (labels.withColumn("contaminated", F.lit(False))
+                  .withColumn("contaminated_grams", F.lit(0)))
+
+    labels = labels.persist()
+    batch_name = os.path.basename(args.batch.rstrip("/")) or "batch"
+    labels.write.mode("overwrite").parquet(
+        os.path.join(args.corpus, "labels", batch_name))
+
+    # summary counts MUST be taken before the keeper append below:
+    # `labels`' plan reads <corpus>/keepers, and appending to that
+    # path invalidates the cache — a post-append count would silently
+    # recompute against the grown corpus (rows exact-matching the
+    # keepers appended seconds ago) and disagree with the labels file
+    # just written
+    stats = (labels.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("matched_existing").cast("long")).alias("matched"),
+        F.sum(F.col("contaminated").cast("long")).alias("contam"))
+        .first())
+
+    # genuinely-new, clean keepers roll the corpus forward
+    new_keeper_ids = (labels
+                      .filter((~F.col("matched_existing")) &
+                              (F.col("id") == F.col("keeper_id")) &
+                              (~F.col("contaminated")))
+                      .select(F.col("id").alias("doc_id")))
+    new_keepers = batch.join(new_keeper_ids, "doc_id", "left_semi") \
+        .persist()
+    n_new = new_keepers.count()
+    if n_new:
+        new_keepers.write.mode("append").parquet(keepers_path)
+        minhash_band_index(new_keepers, "doc_id", "text", **hash_args) \
+            .write.mode("append").parquet(bands_path)
+        content_key_index(new_keepers, "doc_id", "text") \
+            .write.mode("append").parquet(keys_path)
+
+    summary = {
+        "batch_rows": stats["rows"],
+        "matched_existing": int(stats["matched"] or 0),
+        "contaminated": int(stats["contam"] or 0),
+        "new_keepers": n_new,
+        "bootstrap": bootstrap,
+    }
+    labels.unpersist()
+    new_keepers.unpersist()
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
