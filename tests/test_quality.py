@@ -139,3 +139,29 @@ def test_repetition_signals(spark):
         spark.createDataFrame([(1, "ab c a bc")], "id long, text string"),
         "text", ns=(2,)).first()
     assert amb["dup_2gram_frac"] == 0.0
+
+
+def test_repetition_rules_opt_in(spark):
+    """Gopher repetition gates are OFF by default (decision contract
+    stays byte-stable); enabling one drops the repetitive doc with its
+    own reason, after the r1 rule set in first-match-wins order."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.quality import QualityConfig, with_quality
+
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 40),
+         (2, "a perfectly ordinary sentence with varied words inside")],
+        "id long, content string")
+
+    default = {r["id"]: (r["quality_pass"], r["quality_drop_reason"])
+               for r in with_quality(docs).collect()}
+    assert default[1] == (True, None)      # repetition not gated
+    assert default[2] == (True, None)
+    assert "dup_2gram_frac" not in with_quality(docs).columns
+
+    cfg = QualityConfig(max_dup_2gram_frac=0.6)
+    gated = {r["id"]: (r["quality_pass"], r["quality_drop_reason"])
+             for r in with_quality(docs, cfg=cfg).collect()}
+    assert gated[1] == (False, "dup_2grams")
+    assert gated[2] == (True, None)
