@@ -184,18 +184,14 @@ def lexical_similarity_search(
     cross product. Measured recall delta between the two modes is in
     BENCH.md §fuzzy.
 
-    KNOWN DIVERGENCE at `fuzzy_prefix_length >= 4` (ADVICE r2): a probe
-    token SHORTER than the prefix length blocks on its whole token
-    while long candidates block on their pl-char prefix, so e.g. pl=5
-    probe 'abcd' never meets candidate 'abcde' even though Lucene
-    (prefix = min(pl, len(term))) allows it. Under AUTO:3,6 the
-    divergence needs a probe token of length in [3, pl) with
-    max_edits >= 1, so pl in {2, 3} is UNAFFECTED (shorter probes have
-    max_edits 0, where block keys already agree exactly); the reference
-    only ever uses prefix_length 0/1 (`text_similarity.py:144-146`).
-    The exact fix — candidates additionally emitting their l-char
-    prefixes for l in [max(3, len(c)-max_edits), pl) — is bounded (≤3
-    extra keys/token) but not implemented; prefer pl<=3 or pl=0.
+    Short-probe parity at `fuzzy_prefix_length >= 4` (ADVICE r2,
+    fixed r3): Lucene's prefix is min(pl, len(term)), so a probe
+    shorter than pl must still meet candidates extending it (pl=5
+    probe 'abcd' vs candidate 'abcde'). The candidate side emits its
+    <=2 admissible shorter prefixes for that case (see the branch
+    comment); pl <= 3 was already exact under AUTO:3,6 (shorter
+    probes have max_edits 0). The reference itself only uses
+    prefix_length 0/1 (`text_similarity.py:144-146`).
 
     Reproduces the `test_similarity.py:37-163` golden counts (see
     tests/test_similarity_fixture.py)."""
@@ -249,13 +245,35 @@ def lexical_similarity_search(
                       .filter((lev >= 0) & (lev <= max_edits)))
         else:
             # block on the first `fuzzy_prefix_length` chars (ES
-            # semantics: edits inside the prefix are not considered)
+            # semantics: edits inside the prefix are not considered).
+            # Lucene computes the prefix as min(pl, len(term)): a
+            # probe SHORTER than pl blocks on its whole token
+            # (substring caps at the length, so the probe side is
+            # already right), and a matching candidate must START
+            # with that whole probe — so the candidate additionally
+            # emits its l-char prefixes for the (<= 2) admissible
+            # shorter lengths l in [3, pl) with len(c) - l <=
+            # max_edits(l) (AUTO:3,6: l = len-1 needs l >= 3, l =
+            # len-2 needs l >= 6). For pl <= 3 the extra set is empty
+            # and this degenerates to the single-prefix join.
             pl = fuzzy_prefix_length
+            base_len = F.least(F.lit(pl), F.length("ctoken"))
+            l2 = F.length("ctoken") - 1
+            l3 = F.length("ctoken") - 2
+            lens = F.array_distinct(F.filter(
+                F.array(base_len,
+                        F.when((l2 >= 3) & (l2 < pl), l2),
+                        F.when((l3 >= 6) & (l3 < pl), l3)),
+                lambda x: x.isNotNull()))
+            c_blocked = (c_tok
+                         .withColumn("_bl", F.explode(lens))
+                         .withColumn("block",
+                                     F.substring("ctoken", F.lit(1),
+                                                 F.col("_bl")))
+                         .drop("_bl"))
             joined = (p_tok
                       .withColumn("block", F.substring("ptoken", 1, pl))
-                      .join(c_tok.withColumn("block",
-                                             F.substring("ctoken", 1, pl)),
-                            "block")
+                      .join(c_blocked, "block")
                       .filter((F.abs(F.length("ptoken") -
                                      F.length("ctoken")) <= max_edits) &
                               (lev >= 0) & (lev <= max_edits)))

@@ -1269,3 +1269,34 @@ def test_decontaminate(spark):
         off._jdf.queryExecution().executedPlan().toString()
     assert {r["doc_id"]: r["contaminated"] for r in off.collect()} == \
         {k: v[0] for k, v in got.items()}
+
+
+def test_fuzzy_large_prefix_short_probe_parity(spark):
+    """ADVICE r2 (fixed r3): with prefix_length >= 4, a probe token
+    SHORTER than the prefix still fuzzy-matches candidates extending
+    it (Lucene prefix = min(pl, len)); candidates must not over-match
+    (edits allowed only at the end for such probes), and pl=1
+    behavior is unchanged."""
+    from alegre_spark.operators.similarity_join import \
+        lexical_similarity_search
+
+    probes = spark.createDataFrame(
+        [(1, "abcd")], "id long, content string")
+    cands = spark.createDataFrame(
+        [(10, "abcd"),    # exact
+         (11, "abcde"),   # 1 append edit — Lucene allows at pl=5
+         (12, "abcdef"),  # 2 append edits > max_edits(4)=1
+         (13, "abzd"),    # edit inside the probe prefix — not allowed
+         (14, "xbcd")],   # edit at position 0 — not allowed
+        "id long, content string")
+
+    for pl in (1, 5):
+        got = {r["cand_id"] for r in lexical_similarity_search(
+            probes, cands, "id", "id", threshold=1.0, fuzzy=True,
+            fuzzy_prefix_length=pl).collect()}
+        if pl == 1:
+            # first-char block: 11 matches; 13 (lev 1, same first
+            # char) also matches under pl=1 semantics
+            assert got == {10, 11, 13}
+        else:
+            assert got == {10, 11}, got
