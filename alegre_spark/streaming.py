@@ -103,6 +103,108 @@ def windowed_keep_metrics(stream_df: DataFrame, ts_col: str,
                     .alias("avg_conf")))
 
 
+def stream_incremental_dedup(spark: SparkSession, input_dir: str,
+                             corpus_dir: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             threshold: float = 0.8,
+                             num_hashes: int = 16, bands: int = 4,
+                             shingle_n: int = 3,
+                             trigger_available_now: bool = True,
+                             max_files_per_trigger: int = 64):
+    """Streaming face of the daily-ingest path: each micro-batch runs
+    `dedup_incremental` against the ROLLING corpus keepers + persisted
+    indexes (`<corpus>/keepers`, `band_index`, `content_keys` — the
+    same layout as examples/incremental_ingest_job.py, which this is
+    the continuous form of), writes the batch's labels partitioned by
+    batch_id (dynamic overwrite = replay idempotence), and appends the
+    genuinely-new keepers plus their index rows so the NEXT micro-batch
+    dedups against them. Sequential-batch semantics: micro-batches
+    execute one at a time, so batch N+1 always sees batch N's appended
+    keepers — the streaming analog of the job's rerun idempotence.
+    Returns the started StreamingQuery."""
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+
+    from .operators.dedup import (content_key_index, dedup_incremental,
+                                  minhash_band_index)
+
+    keepers_path = _os.path.join(corpus_dir, "keepers")
+    bands_path = _os.path.join(corpus_dir, "band_index")
+    keys_path = _os.path.join(corpus_dir, "content_keys")
+    labels_path = _os.path.join(corpus_dir, "labels_stream")
+    checkpoint = _os.path.join(corpus_dir, "_checkpoint")
+    hash_args = dict(num_hashes=num_hashes, bands=bands,
+                     shingle_n=shingle_n)
+
+    batch_schema = f"{id_col} long, {text_col} string"
+    stream = (spark.readStream.schema(batch_schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_dir))
+
+    def _read_or_none(sess, path):
+        try:
+            return sess.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        existing = _read_or_none(sess, keepers_path)
+        if existing is None:
+            existing = sess.createDataFrame([], batch_schema)
+            ex_bands = ex_keys = None
+        else:
+            ex_bands = _read_or_none(sess, bands_path)
+            ex_keys = _read_or_none(sess, keys_path)
+        labels = dedup_incremental(
+            batch_df, existing, id_col, text_col, threshold=threshold,
+            existing_bands=ex_bands, existing_keys=ex_keys, **hash_args)
+        labels = labels.persist()
+        prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
+                             "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode",
+                      "dynamic")
+        try:
+            (labels.withColumn("batch_id", F.lit(batch_id))
+             .write.partitionBy("batch_id").mode("overwrite")
+             .parquet(labels_path))
+            new_ids = (labels.filter(
+                (~F.col("matched_existing")) &
+                (F.col("id") == F.col("keeper_id")))
+                .select(F.col("id").alias(id_col)))
+            # lineage MUST be truncated before the appends: labels'
+            # plan reads keepers/bands/keys, and appending to ANY of
+            # those paths invalidates every cached plan scanning it —
+            # a dependent write after the first append recomputed
+            # labels against the grown corpus, saw the just-appended
+            # rows as already matched, and appended EMPTY index rows
+            # (hit in testing, twice — ordering alone cannot fix it
+            # because the three appends invalidate each other).
+            # localCheckpoint materializes new_keepers to an
+            # ExistingRDD with no file dependencies.
+            new_keepers = (batch_df.join(new_ids, id_col, "left_semi")
+                           .localCheckpoint(eager=True))
+            if new_keepers.count():
+                minhash_band_index(new_keepers, id_col, text_col,
+                                   **hash_args) \
+                    .write.mode("append").parquet(bands_path)
+                content_key_index(new_keepers, id_col, text_col) \
+                    .write.mode("append").parquet(keys_path)
+                new_keepers.write.mode("append").parquet(keepers_path)
+        finally:
+            labels.unpersist()
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode",
+                          prev)
+
+    writer = (stream.writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def first_seen_filter(stream_df: DataFrame, key_col: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     exact streaming dedup — emit each key's FIRST row across all

@@ -131,15 +131,21 @@ def main() -> None:
                               (F.col("id") == F.col("keeper_id")) &
                               (~F.col("contaminated")))
                       .select(F.col("id").alias("doc_id")))
-    new_keepers = batch.join(new_keeper_ids, "doc_id", "left_semi") \
-        .persist()
+    # lineage truncation before the appends: labels' plan reads the
+    # keepers/bands/keys paths, and appending to ANY of them
+    # invalidates every cached plan scanning it — a dependent write
+    # after the first append would recompute labels against the grown
+    # corpus and append empty/wrong index rows. localCheckpoint pins
+    # new_keepers to an ExistingRDD with no file dependencies.
+    new_keepers = (batch.join(new_keeper_ids, "doc_id", "left_semi")
+                   .localCheckpoint(eager=True))
     n_new = new_keepers.count()
     if n_new:
-        new_keepers.write.mode("append").parquet(keepers_path)
         minhash_band_index(new_keepers, "doc_id", "text", **hash_args) \
             .write.mode("append").parquet(bands_path)
         content_key_index(new_keepers, "doc_id", "text") \
             .write.mode("append").parquet(keys_path)
+        new_keepers.write.mode("append").parquet(keepers_path)
 
     summary = {
         "batch_rows": stats["rows"],
@@ -149,7 +155,6 @@ def main() -> None:
         "bootstrap": bootstrap,
     }
     labels.unpersist()
-    new_keepers.unpersist()
     print(json.dumps(summary))
     spark.stop()
 

@@ -221,3 +221,50 @@ def test_first_seen_filter(spark):
         assert ks == ["a", "b", "c"]          # each key exactly once
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_incremental_dedup(spark):
+    """Streaming daily-ingest (r3): two single-file micro-batches in
+    order — batch B's exact/near dups of batch A's rows must match the
+    keepers batch A appended (sequential-batch corpus rollforward);
+    fresh rows become keepers; labels land partitioned by batch_id."""
+    from alegre_spark.streaming import stream_incremental_dedup
+
+    work = tempfile.mkdtemp()
+    inp = os.path.join(work, "incoming")
+    corpus = os.path.join(work, "corpus")
+    try:
+        a = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "one two three four five six seven eight")],
+            "doc_id long, text string")
+        a.coalesce(1).write.mode("append").parquet(inp)
+        b = spark.createDataFrame(
+            [(10, "ALPHA beta gamma delta epsilon zeta eta theta"),
+             (11, "one two three four five six seven nine"),
+             (12, "totally fresh content about something else now")],
+            "doc_id long, text string")
+        b.coalesce(1).write.mode("append").parquet(inp)
+
+        q = stream_incremental_dedup(
+            spark, inp, corpus, num_hashes=8, bands=8, shingle_n=2,
+            threshold=0.6, max_files_per_trigger=1)
+        q.awaitTermination(180)
+
+        labels = spark.read.parquet(f"{corpus}/labels_stream")
+        assert labels.select("batch_id").distinct().count() == 2
+        got = {r["id"]: (r["keeper_id"], r["matched_existing"])
+               for r in labels.collect()}
+        assert got[1] == (1, False) and got[2] == (2, False)
+        assert got[10] == (1, True)      # exact (normalized) vs A
+        assert got[11] == (2, True)      # near vs A
+        assert got[12] == (12, False)    # fresh keeper
+        keepers = sorted(r["doc_id"] for r in
+                         spark.read.parquet(f"{corpus}/keepers").collect())
+        assert keepers == [1, 2, 12]
+        # index artifacts rolled forward with the keepers
+        assert {r["id"] for r in
+                spark.read.parquet(f"{corpus}/content_keys").collect()} \
+            == {1, 2, 12}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
