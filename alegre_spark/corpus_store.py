@@ -1,0 +1,146 @@
+"""Rolling dedup-corpus storage — THE shared rollforward used by the
+batch ingest job (examples/incremental_ingest_job.py) and the
+streaming twin (`streaming.stream_incremental_dedup`), so the two
+paths cannot drift (they did — exception handling and id typing
+diverged before this module existed).
+
+Layout under `root`:
+    keepers/        (id_col, text_col, ...)  the deduped corpus rows
+    band_index/     (id, band, key)          `minhash_band_index`
+    content_keys/   (id, content_key)        `content_key_index`
+
+Crash/replay semantics on plain parquet (Iceberg in production makes
+each append an atomic snapshot — README §deployment): the three
+appends of one rollforward are not atomic, so a crash can leave a
+PARTIAL rollforward. The store converges under replay anyway:
+
+  * appends run INDEXES FIRST, KEEPERS LAST — a half-state is always
+    "index rows without their keeper", never a keeper invisible to
+    matching;
+  * `read_state` EXCLUDES orphan index rows (ids absent from
+    keepers) from matching, so a replayed batch labels exactly as if
+    the crashed rollforward never happened;
+  * every append anti-joins the persisted ids, so re-appending after
+    a partial failure writes only the missing pieces — no duplicate
+    keeper or index rows.
+
+Read errors: only PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA mean
+"no corpus yet" (bootstrap). Anything else (corrupt footer,
+permissions, throttling) RAISES — treating it as bootstrap would
+silently re-ingest the whole corpus as duplicates (same reasoning as
+`lineage.committed_buckets`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import _analysis_condition
+from .operators.dedup import (content_key_index, dedup_incremental,
+                              minhash_band_index)
+
+
+class CorpusStore:
+    def __init__(self, root: str, id_col: str = "doc_id",
+                 text_col: str = "text", num_hashes: int = 16,
+                 bands: int = 4, shingle_n: int = 3):
+        self.root = root
+        self.id_col = id_col
+        self.text_col = text_col
+        self.hash_args = dict(num_hashes=num_hashes, bands=bands,
+                              shingle_n=shingle_n)
+        self.keepers_path = os.path.join(root, "keepers")
+        self.bands_path = os.path.join(root, "band_index")
+        self.keys_path = os.path.join(root, "content_keys")
+
+    # -- reads ------------------------------------------------------------
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            probe = _analysis_condition(e)
+            if "PATH_NOT_FOUND" in probe or \
+                    "UNABLE_TO_INFER_SCHEMA" in probe:
+                return None
+            raise
+
+    def read_state(self, spark: SparkSession):
+        """(keepers, bands, keys) — keepers is None on bootstrap;
+        bands/keys have orphan rows (crashed partial rollforward)
+        filtered out so matching behaves as if the partial append
+        never happened."""
+        keepers = self._read(spark, self.keepers_path)
+        if keepers is None:
+            return None, None, None
+        ids = keepers.select(F.col(self.id_col).alias("id"))
+        bands = self._read(spark, self.bands_path)
+        keys = self._read(spark, self.keys_path)
+        if bands is not None:
+            bands = bands.join(ids, "id", "left_semi")
+        if keys is not None:
+            keys = keys.join(ids, "id", "left_semi")
+        return keepers, bands, keys
+
+    # -- label + rollforward ----------------------------------------------
+
+    def label(self, batch_df: DataFrame, threshold: float = 0.8,
+              verify_n: int | None = None) -> DataFrame:
+        """`dedup_incremental` of the batch against the stored corpus
+        (empty-corpus bootstrap included). Returns
+        (id, keeper_id, matched_existing) per batch row."""
+        spark = batch_df.sparkSession
+        keepers, bands, keys = self.read_state(spark)
+        if keepers is None:
+            keepers = spark.createDataFrame(
+                [], batch_df.select(self.id_col, self.text_col).schema)
+        return dedup_incremental(
+            batch_df, keepers.select(self.id_col, self.text_col),
+            self.id_col, self.text_col, threshold=threshold,
+            verify_n=verify_n, existing_bands=bands,
+            existing_keys=keys, **self.hash_args)
+
+    def rollforward(self, batch_df: DataFrame,
+                    new_keeper_ids: DataFrame) -> int:
+        """Append the given batch rows (an (id,) DataFrame of ids that
+        must become corpus keepers) plus their index rows. Lineage is
+        truncated (localCheckpoint) BEFORE any append: the labels this
+        derives from read the store paths, and appending to any of
+        them invalidates every cached plan scanning it — a dependent
+        write after the first append would otherwise recompute against
+        the grown corpus and append empty/wrong rows (hit twice before
+        this module). Appends are anti-joined against persisted ids
+        (replay convergence) and ordered indexes-first, keepers-last.
+        Returns the number of keeper rows appended."""
+        spark = batch_df.sparkSession
+        ids = new_keeper_ids.toDF("id")
+        new_keepers = (batch_df.join(
+            ids.withColumnRenamed("id", self.id_col),
+            self.id_col, "left_semi").localCheckpoint(eager=True))
+        if not new_keepers.count():
+            return 0
+        writes = [
+            (minhash_band_index(new_keepers, self.id_col,
+                                self.text_col, **self.hash_args),
+             self.bands_path, "id"),
+            (content_key_index(new_keepers, self.id_col,
+                               self.text_col),
+             self.keys_path, "id"),
+            (new_keepers, self.keepers_path, self.id_col),
+        ]
+        appended = 0
+        for rows, path, idc in writes:
+            persisted = self._read(spark, path)
+            if persisted is not None:
+                rows = rows.join(
+                    persisted.select(F.col(idc)).distinct(), idc,
+                    "left_anti")
+            if path == self.keepers_path:
+                rows = rows.localCheckpoint(eager=True)
+                appended = rows.count()
+            rows.write.mode("append").parquet(path)
+        return appended

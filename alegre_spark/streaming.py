@@ -107,61 +107,44 @@ def stream_incremental_dedup(spark: SparkSession, input_dir: str,
                              corpus_dir: str,
                              id_col: str = "doc_id",
                              text_col: str = "text",
+                             id_type: str = "long",
                              threshold: float = 0.8,
                              num_hashes: int = 16, bands: int = 4,
                              shingle_n: int = 3,
                              trigger_available_now: bool = True,
                              max_files_per_trigger: int = 64):
-    """Streaming face of the daily-ingest path: each micro-batch runs
-    `dedup_incremental` against the ROLLING corpus keepers + persisted
-    indexes (`<corpus>/keepers`, `band_index`, `content_keys` — the
-    same layout as examples/incremental_ingest_job.py, which this is
-    the continuous form of), writes the batch's labels partitioned by
-    batch_id (dynamic overwrite = replay idempotence), and appends the
-    genuinely-new keepers plus their index rows so the NEXT micro-batch
-    dedups against them. Sequential-batch semantics: micro-batches
-    execute one at a time, so batch N+1 always sees batch N's appended
-    keepers — the streaming analog of the job's rerun idempotence.
-    Returns the started StreamingQuery."""
+    """Streaming face of the daily-ingest path: each micro-batch
+    labels against the ROLLING corpus via `CorpusStore` (the same
+    storage + replay-convergent rollforward the batch job
+    examples/incremental_ingest_job.py uses — one shared
+    implementation, so the two paths cannot drift), writes the batch's
+    labels partitioned by batch_id (dynamic overwrite), and rolls the
+    keepers + indexes forward so the NEXT micro-batch dedups against
+    them. Micro-batches execute sequentially, so batch N+1 always
+    sees batch N's keepers. `id_type` matches the batch files' id
+    column ('string' for the pipeline's sha256 doc ids). Replay after
+    a mid-rollforward crash converges (see corpus_store.py — orphan
+    index rows are ignored for matching and the appends are
+    anti-joined), and a replayed batch's labels overwrite their own
+    batch_id partition. Returns the started StreamingQuery."""
     import os as _os
 
-    from pyspark.errors import AnalysisException
+    from .corpus_store import CorpusStore
 
-    from .operators.dedup import (content_key_index, dedup_incremental,
-                                  minhash_band_index)
-
-    keepers_path = _os.path.join(corpus_dir, "keepers")
-    bands_path = _os.path.join(corpus_dir, "band_index")
-    keys_path = _os.path.join(corpus_dir, "content_keys")
+    store = CorpusStore(corpus_dir, id_col, text_col,
+                        num_hashes=num_hashes, bands=bands,
+                        shingle_n=shingle_n)
     labels_path = _os.path.join(corpus_dir, "labels_stream")
     checkpoint = _os.path.join(corpus_dir, "_checkpoint")
-    hash_args = dict(num_hashes=num_hashes, bands=bands,
-                     shingle_n=shingle_n)
 
-    batch_schema = f"{id_col} long, {text_col} string"
-    stream = (spark.readStream.schema(batch_schema)
+    stream = (spark.readStream
+              .schema(f"{id_col} {id_type}, {text_col} string")
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(input_dir))
 
-    def _read_or_none(sess, path):
-        try:
-            return sess.read.parquet(path)
-        except AnalysisException:
-            return None
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        existing = _read_or_none(sess, keepers_path)
-        if existing is None:
-            existing = sess.createDataFrame([], batch_schema)
-            ex_bands = ex_keys = None
-        else:
-            ex_bands = _read_or_none(sess, bands_path)
-            ex_keys = _read_or_none(sess, keys_path)
-        labels = dedup_incremental(
-            batch_df, existing, id_col, text_col, threshold=threshold,
-            existing_bands=ex_bands, existing_keys=ex_keys, **hash_args)
-        labels = labels.persist()
+        labels = store.label(batch_df, threshold=threshold).persist()
         prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
                              "static")
         sess.conf.set("spark.sql.sources.partitionOverwriteMode",
@@ -173,26 +156,8 @@ def stream_incremental_dedup(spark: SparkSession, input_dir: str,
             new_ids = (labels.filter(
                 (~F.col("matched_existing")) &
                 (F.col("id") == F.col("keeper_id")))
-                .select(F.col("id").alias(id_col)))
-            # lineage MUST be truncated before the appends: labels'
-            # plan reads keepers/bands/keys, and appending to ANY of
-            # those paths invalidates every cached plan scanning it —
-            # a dependent write after the first append recomputed
-            # labels against the grown corpus, saw the just-appended
-            # rows as already matched, and appended EMPTY index rows
-            # (hit in testing, twice — ordering alone cannot fix it
-            # because the three appends invalidate each other).
-            # localCheckpoint materializes new_keepers to an
-            # ExistingRDD with no file dependencies.
-            new_keepers = (batch_df.join(new_ids, id_col, "left_semi")
-                           .localCheckpoint(eager=True))
-            if new_keepers.count():
-                minhash_band_index(new_keepers, id_col, text_col,
-                                   **hash_args) \
-                    .write.mode("append").parquet(bands_path)
-                content_key_index(new_keepers, id_col, text_col) \
-                    .write.mode("append").parquet(keys_path)
-                new_keepers.write.mode("append").parquet(keepers_path)
+                .select("id"))
+            store.rollforward(batch_df, new_ids)
         finally:
             labels.unpersist()
             sess.conf.set("spark.sql.sources.partitionOverwriteMode",

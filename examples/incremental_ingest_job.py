@@ -25,6 +25,10 @@ an eval set, and roll the corpus + its persisted indexes forward.
 and prints one JSON summary line. Idempotence: rerunning the same
 batch finds every row exact-matching the keepers appended by the
 first run, so no new keepers append (labels are rewritten in place).
+A crash mid-rollforward also converges under rerun — the store
+ignores orphan index rows for matching and anti-joins its appends
+(see alegre_spark/corpus_store.py for the exact semantics; on
+Iceberg each append becomes an atomic snapshot commit instead).
 """
 
 from __future__ import annotations
@@ -32,19 +36,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-
-
-def _read_or_none(spark, path):
-    from pyspark.errors import AnalysisException
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        cond = (e.getCondition() if hasattr(e, "getCondition")
-                else getattr(e, "errorClass", None)) or ""
-        if "PATH_NOT_FOUND" in (cond + " " + str(e)) or \
-                "UNABLE_TO_INFER_SCHEMA" in (cond + " " + str(e)):
-            return None
-        raise
 
 
 def main() -> None:
@@ -66,36 +57,21 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from alegre_spark.operators.dedup import (content_key_index,
-                                              decontaminate,
-                                              dedup_incremental,
-                                              minhash_band_index)
+    from alegre_spark.corpus_store import CorpusStore
+    from alegre_spark.operators.dedup import decontaminate
     from alegre_spark.session import get_spark
 
     spark = get_spark(app_name="alegre-incremental-ingest")
     batch = spark.read.parquet(args.batch)
-    keepers_path = os.path.join(args.corpus, "keepers")
-    bands_path = os.path.join(args.corpus, "band_index")
-    keys_path = os.path.join(args.corpus, "content_keys")
-
-    existing = _read_or_none(spark, keepers_path)
-    bootstrap = existing is None
-    if bootstrap:
-        existing = spark.createDataFrame(
-            [], "doc_id long, text string") \
-            if dict(batch.dtypes)["doc_id"] == "bigint" else \
-            spark.createDataFrame([], "doc_id string, text string")
-    existing_bands = None if bootstrap else _read_or_none(
-        spark, bands_path)
-    existing_keys = None if bootstrap else _read_or_none(
-        spark, keys_path)
-
-    hash_args = dict(num_hashes=args.num_hashes, bands=args.bands,
-                     shingle_n=args.shingle_n)
-    labels = dedup_incremental(
-        batch, existing.select("doc_id", "text"), "doc_id", "text",
-        threshold=args.threshold, existing_bands=existing_bands,
-        existing_keys=existing_keys, **hash_args)
+    # CorpusStore is the SAME storage + replay-convergent rollforward
+    # the streaming twin uses (stream_incremental_dedup) — one
+    # implementation for both paths; crash/replay semantics are
+    # documented in corpus_store.py
+    store = CorpusStore(args.corpus, "doc_id", "text",
+                        num_hashes=args.num_hashes, bands=args.bands,
+                        shingle_n=args.shingle_n)
+    bootstrap = store.read_state(spark)[0] is None
+    labels = store.label(batch, threshold=args.threshold)
 
     if args.eval_set:
         eval_df = spark.read.parquet(args.eval_set)
@@ -113,9 +89,9 @@ def main() -> None:
     labels.write.mode("overwrite").parquet(
         os.path.join(args.corpus, "labels", batch_name))
 
-    # summary counts MUST be taken before the keeper append below:
-    # `labels`' plan reads <corpus>/keepers, and appending to that
-    # path invalidates the cache — a post-append count would silently
+    # summary counts MUST be taken before the rollforward below:
+    # `labels`' plan reads the store paths, and appending to them
+    # invalidates the cache — a post-append count would silently
     # recompute against the grown corpus (rows exact-matching the
     # keepers appended seconds ago) and disagree with the labels file
     # just written
@@ -130,22 +106,8 @@ def main() -> None:
                       .filter((~F.col("matched_existing")) &
                               (F.col("id") == F.col("keeper_id")) &
                               (~F.col("contaminated")))
-                      .select(F.col("id").alias("doc_id")))
-    # lineage truncation before the appends: labels' plan reads the
-    # keepers/bands/keys paths, and appending to ANY of them
-    # invalidates every cached plan scanning it — a dependent write
-    # after the first append would recompute labels against the grown
-    # corpus and append empty/wrong index rows. localCheckpoint pins
-    # new_keepers to an ExistingRDD with no file dependencies.
-    new_keepers = (batch.join(new_keeper_ids, "doc_id", "left_semi")
-                   .localCheckpoint(eager=True))
-    n_new = new_keepers.count()
-    if n_new:
-        minhash_band_index(new_keepers, "doc_id", "text", **hash_args) \
-            .write.mode("append").parquet(bands_path)
-        content_key_index(new_keepers, "doc_id", "text") \
-            .write.mode("append").parquet(keys_path)
-        new_keepers.write.mode("append").parquet(keepers_path)
+                      .select("id"))
+    n_new = store.rollforward(batch, new_keeper_ids)
 
     summary = {
         "batch_rows": stats["rows"],

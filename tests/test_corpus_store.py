@@ -1,0 +1,104 @@
+"""CorpusStore: the shared rolling-corpus storage behind the batch
+ingest job and the streaming twin — bootstrap, rollforward, and the
+crash/replay convergence contract (corpus_store.py docstring)."""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _label_map(labels):
+    return {r["id"]: (r["keeper_id"], r["matched_existing"])
+            for r in labels.collect()}
+
+
+def _fresh_keeper_ids(labels):
+    return (labels.filter((~F.col("matched_existing")) &
+                          (F.col("id") == F.col("keeper_id")))
+            .select("id"))
+
+
+def test_corpus_store_roundtrip_and_replay_convergence(spark):
+    from alegre_spark.corpus_store import CorpusStore
+    from alegre_spark.operators.dedup import (content_key_index,
+                                              minhash_band_index)
+
+    work = tempfile.mkdtemp()
+    store = CorpusStore(work, "doc_id", "text",
+                        num_hashes=8, bands=8, shingle_n=2)
+    try:
+        a = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "one two three four five six seven eight")],
+            "doc_id long, text string")
+        la = store.label(a, threshold=0.6)
+        assert _label_map(la) == {1: (1, False), 2: (2, False)}
+        assert store.rollforward(a, _fresh_keeper_ids(la)) == 2
+
+        b = spark.createDataFrame(
+            [(10, "ALPHA beta gamma delta epsilon zeta eta theta"),
+             (11, "totally fresh content about something else now")],
+            "doc_id long, text string")
+
+        # --- simulate a CRASHED partial rollforward of batch b:
+        # index rows for the would-be keeper 11 land, the keeper row
+        # does not (the worst half-state — corpus_store appends
+        # indexes first, so this is exactly what a crash leaves)
+        k11 = b.filter("doc_id = 11")
+        minhash_band_index(k11, "doc_id", "text", num_hashes=8,
+                           bands=8, shingle_n=2) \
+            .write.mode("append").parquet(store.bands_path)
+        content_key_index(k11, "doc_id", "text") \
+            .write.mode("append").parquet(store.keys_path)
+
+        # replay: labels must be EXACTLY as if the crash never
+        # happened — the orphan index rows (id 11 not in keepers)
+        # are excluded from matching, so 11 is still "fresh"
+        lb = store.label(b, threshold=0.6)
+        assert _label_map(lb) == {10: (1, True), 11: (11, False)}
+
+        # rollforward heals: keeper 11 appends, and the anti-join
+        # suppresses duplicate index rows for it
+        assert store.rollforward(b, _fresh_keeper_ids(lb)) == 1
+        keepers = sorted(r["doc_id"] for r in
+                         spark.read.parquet(store.keepers_path).collect())
+        assert keepers == [1, 2, 11]
+        keys = spark.read.parquet(store.keys_path)
+        assert keys.groupBy("id").count().filter("count > 1").count() == 0
+        bands = spark.read.parquet(store.bands_path)
+        per_id = {r["id"]: r["count"] for r in
+                  bands.groupBy("id").count().collect()}
+        assert set(per_id) == {1, 2, 11}
+        assert len(set(per_id.values())) == 1   # no duplicated bands
+
+        # a third labeling run now exact-matches everything
+        lc = store.label(b, threshold=0.6)
+        assert _label_map(lc) == {10: (1, True), 11: (11, True)}
+        assert store.rollforward(b, _fresh_keeper_ids(lc)) == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_corpus_store_strict_read_errors(spark):
+    """A keepers path that exists but is unreadable garbage must RAISE
+    (treating it as bootstrap would re-ingest the corpus as
+    duplicates); a missing path is a clean bootstrap."""
+    import pytest
+
+    from alegre_spark.corpus_store import CorpusStore
+
+    work = tempfile.mkdtemp()
+    try:
+        store = CorpusStore(work)
+        assert store.read_state(spark) == (None, None, None)
+
+        os.makedirs(store.keepers_path, exist_ok=True)
+        with open(os.path.join(store.keepers_path, "junk.parquet"),
+                  "w") as f:
+            f.write("this is not parquet")
+        with pytest.raises(Exception):
+            store.read_state(spark)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

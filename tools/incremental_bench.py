@@ -60,20 +60,42 @@ def one_size(spark, n_corpus: int, batch, d: str) -> dict:
     full = dedup_corpus_two_phase(
         corpus.unionByName(batch), "doc_id", "text",
         threshold=0.8, **HASH_ARGS)
-    full.write.format("noop").mode("overwrite").save()
+    batch_ids = {r[0] for r in batch.select("doc_id").collect()}
+    full_rows = {r["id"]: r["keeper_id"] for r in full.collect()
+                 if r["id"] in batch_ids}
     t_full = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     inc = dedup_incremental(
         batch, corpus, "doc_id", "text", threshold=0.8,
         existing_bands=bands, existing_keys=keys, **HASH_ARGS)
-    matched = inc.filter("matched_existing").count()
+    inc_rows = {r["id"]: (r["keeper_id"], r["matched_existing"])
+                for r in inc.collect()}
     t_inc = time.perf_counter() - t0
+
+    # agreement on batch rows the FULL path assigns a corpus-side
+    # keeper: the incremental keeper must be the same corpus id;
+    # rows the full path keeps batch-side are counted separately
+    # (transitive corpus-group merges differ by design — the
+    # incremental path assigns, it never re-clusters the corpus)
+    agree = disagree = batch_side = 0
+    for bid, (keeper, _) in inc_rows.items():
+        full_keeper = full_rows[bid]
+        if full_keeper in batch_ids:
+            batch_side += 1
+        elif keeper == full_keeper:
+            agree += 1
+        else:
+            disagree += 1
     corpus.unpersist()
     return {"corpus_rows": n, "index_build_sec": round(t_index, 2),
             "full_recompute_sec": round(t_full, 2),
             "incremental_sec": round(t_inc, 2),
-            "batch_matched_existing": matched}
+            "batch_matched_existing":
+                sum(1 for _, m in inc_rows.values() if m),
+            "corpus_keeper_agree": agree,
+            "corpus_keeper_disagree": disagree,
+            "batch_side_keeper_rows": batch_side}
 
 
 def main():
