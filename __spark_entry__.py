@@ -883,6 +883,69 @@ def q56_dedup_two_phase(spark, sf):
                                   candidate_pairs_fn=_md5_band_pairs)
 
 
+def q57_code_quality(spark, sf):
+    """Code-specific quality filters (The Stack / SantaCoder family,
+    beyond-reference — SURVEY §2.12): per-language comment-line
+    fraction, alphabetic fraction, base64-blob fraction, autogenerated
+    header detection, SPDX id extraction, composed keep/drop verdict.
+    The shared `documents` parquet holds prose, so a code file is
+    synthesized deterministically per row (comment header + optional
+    autogen / SPDX / base64 sections keyed on doc_id, so every rule
+    fires); the oracle replays the identical synthesis in DuckDB.
+    Counts are emitted as exact integers (the fractions feeding the
+    rules are count/count IEEE divisions, bit-identical across
+    engines; ROUND ties are not)."""
+    from alegre_spark.functions.code_quality import (
+        BASE64_RUN_PATTERN, line_comment_marker, with_code_quality)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 600)
+    langs = F.array(F.lit("python"), F.lit("javascript"),
+                    F.lit("sql"), F.lit("java"))
+    code_lang = F.element_at(
+        langs, (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"))
+    marker = line_comment_marker(code_lang)
+    content = F.concat(
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+               F.lit("// Auto-generated by codegen. DO NOT EDIT.\n"))
+        .otherwise(F.lit("")),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+               F.concat(marker, F.lit(" SPDX-License-Identifier: MIT\n")))
+        .otherwise(F.lit("")),
+        marker, F.lit(" "), F.substring(F.col("text"), 1, 40), F.lit("\n"),
+        F.col("text"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+               F.concat(F.lit("\n"), F.repeat(F.lit("QWJjZDEyMzQ="), 16)))
+        .otherwise(F.lit("")),
+        # digit blob (spaces break base64 runs) -> low_alpha fires
+        F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+               F.concat(F.lit("\n"), F.repeat(F.lit("0123 5678 9 "), 140)))
+        .otherwise(F.lit("")),
+        # comment-block tail -> comment_only fires
+        F.when(F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+               F.repeat(F.concat(F.lit("\n"), marker, F.lit(" note")), 25))
+        .otherwise(F.lit("")))
+    src = d.select("doc_id", code_lang.alias("code_lang"),
+                   content.alias("content"))
+    out = with_code_quality(src, "content", "code_lang")
+    nb = F.filter(F.split("content", "\n"),
+                  lambda x: F.trim(x) != F.lit(""))
+    mk = line_comment_marker(F.col("code_lang"))
+    return out.select(
+        "doc_id", "code_lang",
+        F.size(nb).alias("n_nonblank"),
+        F.size(F.filter(nb, lambda x: F.startswith(F.ltrim(x), mk)))
+        .alias("n_comment"),
+        F.length("content").cast("int").alias("n_chars"),
+        F.length(F.regexp_replace("content", "[^A-Za-z]", ""))
+        .cast("int").alias("n_alpha"),
+        (F.length("content") -
+         F.length(F.regexp_replace("content", BASE64_RUN_PATTERN, "")))
+        .cast("int").alias("n_b64"),
+        F.col("autogen").cast("int").alias("autogen"),
+        "spdx_id",
+        F.array_join("code_drop_reasons", ",").alias("drop_reasons"),
+        F.col("code_keep").cast("int").alias("code_keep"))
+
+
 def _analyzer_chain_sql(lang: str) -> str:
     """DuckDB replica of `analyzers.tokenize_analyzed_lang` for the
     oracle: same token regex, stopword list, light-stem rules, fold."""
@@ -983,7 +1046,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_dedup_keep_first": q21_dedup_keep_first,
         "q22_hash_signatures": q22_hash_signatures,
         "q24_lsh_ann": q24_lsh_ann,
-        "q25_connected_components": q25_connected_components,
+        # q25 (star-CC, rows-only) retired from the 50-slot contract in
+        # r3: the same operator is oracle-gated via q46 (label-prop CC
+        # on identical edges) and union-find pytest; its slot now
+        # carries the oracle-gated code-quality family (q57).
+        "q57_code_quality": q57_code_quality,
         "q26_scrub_documents": q26_scrub_documents,
         "q27_json_props": q27_json_props,
         "q28_query_truncation": q28_query_truncation,
@@ -1413,6 +1480,85 @@ def _oracle_sql_static() -> dict[str, str]:
                    ROUND(AVG(d2), 4) AS avg_dup_2gram,
                    ROUND(AVG(d3), 4) AS avg_dup_3gram
             FROM per_doc GROUP BY lang, source
+        """,
+        "q57_code_quality": """
+            WITH src AS (
+              SELECT doc_id,
+                     (['python','javascript','sql','java'])
+                       [CAST(doc_id % 4 AS INT) + 1] AS code_lang,
+                     text
+              FROM documents WHERE doc_id < 600),
+            marked AS (
+              SELECT doc_id, code_lang, text,
+                     CASE code_lang WHEN 'python' THEN '#'
+                          WHEN 'sql' THEN '--' ELSE '//' END AS marker
+              FROM src),
+            built AS (
+              SELECT doc_id, code_lang, marker,
+                     (CASE WHEN doc_id % 7 = 0 THEN
+                        '// Auto-generated by codegen. DO NOT EDIT.'
+                        || chr(10) ELSE '' END)
+                     || (CASE WHEN doc_id % 3 = 0 THEN
+                        marker || ' SPDX-License-Identifier: MIT'
+                        || chr(10) ELSE '' END)
+                     || marker || ' ' || substr(text, 1, 40) || chr(10)
+                     || text
+                     || (CASE WHEN doc_id % 5 = 0 THEN
+                        chr(10) || repeat('QWJjZDEyMzQ=', 16)
+                        ELSE '' END)
+                     || (CASE WHEN doc_id % 11 = 0 THEN
+                        chr(10) || repeat('0123 5678 9 ', 140)
+                        ELSE '' END)
+                     || (CASE WHEN doc_id % 13 = 0 THEN
+                        repeat(chr(10) || marker || ' note', 25)
+                        ELSE '' END) AS content
+              FROM marked),
+            feat AS (
+              SELECT doc_id, code_lang, marker, content,
+                     string_split(content, chr(10)) AS lines,
+                     list_filter(string_split(content, chr(10)),
+                                 x -> trim(x) <> '') AS nb
+              FROM built),
+            feat2 AS (
+              SELECT doc_id, code_lang, content,
+                     len(nb) AS n_nonblank,
+                     len(list_filter(nb,
+                         x -> starts_with(ltrim(x), marker))) AS n_comment,
+                     CAST(length(content) AS INT) AS n_chars,
+                     CAST(length(regexp_replace(content,
+                         '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+                     CAST(length(content) - length(regexp_replace(content,
+                         '[A-Za-z0-9+/=]{64,}', '', 'g')) AS INT) AS n_b64,
+                     CASE WHEN content IS NULL THEN NULL ELSE
+                       regexp_matches(lower(array_to_string(
+                           lines[1:5], chr(10))),
+                           '(auto-?generated|generated by|do not edit)')
+                     END AS autogen_b,
+                     CASE WHEN content IS NULL THEN NULL ELSE
+                       regexp_extract(content,
+                           'SPDX-License-Identifier: ([A-Za-z0-9.+-]{1,64})',
+                           1) END AS spdx_id
+              FROM feat),
+            ruled AS (
+              SELECT *,
+                     list_filter([
+                       CASE WHEN autogen_b THEN 'autogen' END,
+                       CASE WHEN n_alpha * 1.0 / n_chars < 0.25
+                            THEN 'low_alpha' END,
+                       CASE WHEN n_b64 * 1.0 / n_chars > 0.20
+                            THEN 'base64_blob' END,
+                       CASE WHEN n_nonblank > 0 AND
+                                 n_comment * 1.0 / n_nonblank > 0.80
+                            THEN 'comment_only' END],
+                       x -> x IS NOT NULL) AS reasons
+              FROM feat2)
+            SELECT doc_id, code_lang, n_nonblank, n_comment, n_chars,
+                   n_alpha, n_b64,
+                   CAST(autogen_b AS INT) AS autogen, spdx_id,
+                   COALESCE(array_to_string(reasons, ','), '')
+                     AS drop_reasons,
+                   CAST(len(reasons) = 0 AS INT) AS code_keep
+            FROM ruled
         """,
         "q19_token_count_hist": """
             SELECT CAST(FLOOR(len(list_filter(

@@ -122,6 +122,12 @@ CHECKS = {
         ("MapInPandas", "centroid assignment is the one designated "
                         "vectorized stage"),
     ],
+    "q57_code_quality": [
+        ("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,600)]",
+         "id slice pushed to the parquet scan"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>",
+         "column pruning at the scan (lang/source/n_chars never read)"),
+    ],
 }
 
 FORBIDDEN = {
@@ -161,6 +167,8 @@ FORBIDDEN = {
     "q56_dedup_two_phase": ["ArrowEvalPython", "BatchEvalPython",
                             "MapInPandas", "CartesianProduct",
                             "array_intersect"],
+    "q57_code_quality": ["ArrowEvalPython", "BatchEvalPython",
+                         "MapInPandas", "Exchange"],
     "q16_quality_stats": ["ArrowEvalPython", "BatchEvalPython",
                           "MapInPandas", "CartesianProduct"],
     "q48_ivf_ann": ["ArrowEvalPython", "BatchEvalPython",
