@@ -1,0 +1,201 @@
+"""Distributed Bloom-filter membership sketch (seen-before pre-gate).
+
+The public-pipeline pattern (AI2 Dolma's "BFF" bloom-filter dedup;
+Bloom 1970): a corpus-keys bloom lets a daily ingest batch answer
+"possibly seen / definitely new" WITHOUT joining against the corpus —
+definitely-new rows skip the exact/near match stages entirely, and the
+filter has NO false negatives, so using it as a pre-gate in front of
+`dedup_incremental`'s exact equi-join is lossless.
+
+Spark-first split of work:
+- the k bit positions are computed JVM-side (`xxhash64(key, seed)` per
+  hash, whole-stage codegen) — Python never hashes;
+- per-partition bitmaps are built in ONE Arrow pass (`mapInPandas`,
+  numpy `bitwise_or.at`), emitting one `m/8`-byte row per partition;
+- partials tree-merge (coalesce to `fanin` partitions, OR inside each,
+  then one driver OR over <= fanin rows) — the driver never holds more
+  than `fanin` bitmaps, the same shape as Spark's own treeAggregate;
+- membership tests broadcast the bitmap once and bit-test the
+  JVM-computed positions in a vectorized pandas UDF.
+
+Sizing honesty (the 100 TB question): bloom memory is O(n) — ~1.2 GB
+per 10^9 keys at 1% fpp. A 10^12-key corpus does NOT fit one bitmap;
+shard by key-range (`pmod(xxhash64(key), n_shards)`) and build one
+bloom per shard, or size the bloom for the hot slice (e.g. the last
+N days' keys) and let the residual fall through to the exact join —
+false positives only cost a redundant join probe, never correctness.
+
+NULL keys: `xxhash64(NULL, seed)` hashes the seed alone, so all NULL
+keys share one position set (they collide by design, same contract as
+`dedup.content_key`'s sentinel). Pass a NULL-safe key (e.g.
+`content_key`) when NULLs are possible.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BloomSpec:
+    m_bits: int
+    k: int
+
+    @classmethod
+    def for_items(cls, n_items: int, fpp: float = 0.01) -> "BloomSpec":
+        """Standard sizing: m = -n ln p / (ln 2)^2, k = (m/n) ln 2."""
+        if n_items <= 0:
+            raise ValueError("n_items must be positive")
+        if not 0.0 < fpp < 1.0:
+            raise ValueError("fpp must be in (0, 1)")
+        m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+        m = max(64, (m + 7) // 8 * 8)  # whole bytes
+        k = max(1, round(m / n_items * math.log(2)))
+        return cls(m_bits=m, k=k)
+
+    @property
+    def n_bytes(self) -> int:
+        return self.m_bits // 8
+
+
+@dataclass
+class Bloom:
+    spec: BloomSpec
+    bits: bytes  # immutable bitmap, len == spec.n_bytes
+
+    def might_contain_many(self, positions: np.ndarray) -> np.ndarray:
+        """positions: (n_rows, k) int array -> (n_rows,) bool. No
+        false negatives; false-positive rate per the spec sizing."""
+        arr = np.frombuffer(self.bits, dtype=np.uint8)
+        byte_idx = positions // 8
+        bit = (arr[byte_idx] >> (positions % 8).astype(np.uint8)) & 1
+        return bit.all(axis=1)
+
+    def union(self, other: "Bloom") -> "Bloom":
+        if other.spec != self.spec:
+            raise ValueError("bloom union requires identical specs")
+        a = np.frombuffer(self.bits, dtype=np.uint8)
+        b = np.frombuffer(other.bits, dtype=np.uint8)
+        return Bloom(self.spec, np.bitwise_or(a, b).tobytes())
+
+    @property
+    def fill_ratio(self) -> float:
+        arr = np.frombuffer(self.bits, dtype=np.uint8)
+        return float(np.unpackbits(arr).mean())
+
+
+KeyLike = "str | Column | list[str | Column]"
+
+
+def _key_cols(key) -> list[Column]:
+    if isinstance(key, (list, tuple)):
+        return [F.col(c) if isinstance(c, str) else c for c in key]
+    return [F.col(key) if isinstance(key, str) else key]
+
+
+def bloom_positions(key, spec: BloomSpec) -> Column:
+    """array<long> of the k bit positions for a key — pure Catalyst.
+    `key` is a column (name or expression) or a list of them (a
+    composite key, e.g. the LSH (band, key) pair). Seeds are literal
+    columns mixed into xxhash64 (its multi-arg form), the same
+    per-seed family `minhash_signature` uses."""
+    cols = _key_cols(key)
+    return F.array(*[
+        F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(spec.m_bits))
+        for i in range(spec.k)
+    ])
+
+
+def _or_merge(batches: "Iterator[pd.DataFrame]",
+              n_bytes: int) -> "Iterator[pd.DataFrame]":
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    seen = False
+    for pdf in batches:
+        for buf in pdf["bits"]:
+            np.bitwise_or(acc, np.frombuffer(buf, dtype=np.uint8),
+                          out=acc)
+            seen = True
+    if seen:
+        yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+
+def bloom_build(df: DataFrame, key, spec: BloomSpec,
+                fanin: int = 64) -> Bloom:
+    """Build a bloom over every value of `key` (column or composite
+    list). One scan; shuffle is only the partial bitmaps
+    (n_partitions rows of m/8 bytes)."""
+    n_bytes = spec.n_bytes
+    pos_df = df.select(bloom_positions(key, spec).alias("_pos"))
+
+    def _partial(batches: "Iterator[pd.DataFrame]"):
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = np.concatenate([np.asarray(p, dtype=np.int64)
+                                  for p in pdf["_pos"]])
+            np.bitwise_or.at(acc, pos // 8,
+                             np.uint8(1) << (pos % 8).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    partials = pos_df.mapInPandas(_partial, "bits binary")
+    # tree level: OR within <=fanin partitions so the driver never
+    # collects more than fanin bitmaps regardless of input width.
+    # repartition, NOT coalesce: coalesce would fuse into the build
+    # stage and run the scan itself at fanin-way parallelism; the
+    # repartition shuffle moves only n_partitions bitmap rows.
+    merged = partials.repartition(fanin).mapInPandas(
+        lambda it: _or_merge(it, n_bytes), "bits binary")
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for row in merged.collect():
+        np.bitwise_or(acc, np.frombuffer(row["bits"], dtype=np.uint8),
+                      out=acc)
+    return Bloom(spec, acc.tobytes())
+
+
+def bloom_save(spark, bloom: Bloom, path: str) -> None:
+    """Persist as a one-row parquet (spec + bitmap) — same durability
+    story as `minhash_band_index`: the daily job reloads it instead of
+    rebuilding over the corpus."""
+    spark.createDataFrame(
+        [(bloom.spec.m_bits, bloom.spec.k, bytearray(bloom.bits))],
+        "m_bits long, k int, bits binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bloom_load(spark, path: str) -> Bloom:
+    row = spark.read.parquet(path).collect()[0]
+    return Bloom(BloomSpec(m_bits=row["m_bits"], k=row["k"]),
+                 bytes(row["bits"]))
+
+
+def with_bloom_membership(df: DataFrame, key, bloom: Bloom,
+                          out_col: str = "maybe_seen") -> DataFrame:
+    """Adds `out_col` boolean: False = DEFINITELY not in the built set
+    (safe to treat as new), True = possibly seen (route to the exact
+    join). Positions stay JVM-side; the pandas UDF only bit-tests
+    against the broadcast bitmap."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bloom.bits)
+    spec = bloom.spec
+
+    @F.pandas_udf("boolean")
+    def _test(pos: pd.Series) -> pd.Series:
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        mat = np.vstack([np.asarray(p, dtype=np.int64) for p in pos])
+        hits = Bloom(spec, bc.value).might_contain_many(mat)
+        return pd.Series(hits)
+
+    return df.withColumn(out_col,
+                         _test(bloom_positions(key, spec)))

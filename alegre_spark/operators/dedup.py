@@ -408,6 +408,8 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
                       threshold: float = 0.8,
                       existing_bands: DataFrame | None = None,
                       existing_keys: DataFrame | None = None,
+                      existing_key_bloom=None,
+                      existing_band_bloom=None,
                       cc_max_iter: int = 30) -> DataFrame:
     """Incremental (daily-ingest) dedup: label a NEW batch against an
     EXISTING deduped corpus without recomputing the corpus — the
@@ -432,6 +434,17 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
          touched for at most |candidates| rows), then best-match
          selection per batch keeper (highest jaccard, ties to the
          smallest existing id).
+
+    Optional bloom pre-gates (LOSSLESS — a bloom has no false
+    negatives, so filtering definitely-absent rows out of a join
+    changes cost, never results): `existing_key_bloom` (a
+    `bloom.Bloom` over the corpus `content_key` values) lets
+    batch keepers whose key is definitely absent skip the stage-2
+    equi-join probe; `existing_band_bloom` (over the corpus band
+    index's composite `[band, key]`) drops batch band rows that
+    cannot bucket-collide before the stage-3 join — for a
+    mostly-novel daily batch this empties both joins almost
+    entirely, the BFF/Dolma shape.
 
     `existing` is the corpus KEEPERS table (id, text). Batch and
     existing ids must not collide (the pipeline's sha256 doc_ids
@@ -460,6 +473,11 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
     bk_keyed = batch_keepers.select(F.col(id_col).alias("_bk_id"),
                                     content_key(F.col(text_col))
                                     .alias("_ck"))
+    if existing_key_bloom is not None:
+        from .bloom import with_bloom_membership
+        bk_keyed = (with_bloom_membership(bk_keyed, "_ck",
+                                          existing_key_bloom, "_maybe")
+                    .filter("_maybe").drop("_maybe"))
     exact = (bk_keyed.join(ex_keyed, "_ck")
              .groupBy("_bk_id").agg(F.min("_ex_id").alias("_match")))
 
@@ -472,6 +490,11 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
             existing, id_col, text_col, num_hashes, bands, shingle_n)
     new_bands = minhash_band_index(
         unmatched, id_col, text_col, num_hashes, bands, shingle_n)
+    if existing_band_bloom is not None:
+        from .bloom import with_bloom_membership
+        new_bands = (with_bloom_membership(new_bands, ["band", "key"],
+                                           existing_band_bloom, "_maybe")
+                     .filter("_maybe").drop("_maybe"))
     cands = (new_bands.alias("n")
              .join(existing_bands.alias("e"), ["band", "key"])
              .select(F.col("n.id").alias("id_a"),
