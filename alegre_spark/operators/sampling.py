@@ -1,0 +1,109 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Spark's own `sample()` / `sampleBy()` draw from a per-partition RNG:
+the same seed gives DIFFERENT rows whenever partitioning changes
+(repartition, AQE coalesce, cluster resize) — unusable for a
+reproducible 100 TB curation run that must re-execute identically
+after a resume or on a different executor count. These operators make
+the draw a pure function of row CONTENT (xxhash64 of caller-named key
+columns + seed), so membership is stable under any physical layout —
+the same property the pipeline's deterministic sha256 doc_ids give the
+resume protocol (`pipeline.with_doc_id`).
+
+Reference tie-in: the reference samples/limits result sets but has no
+corpus sampler (closest is the ES `size` cap, `text_similarity.py`);
+this family is part of the beyond-reference training-data surface
+(SURVEY §2.12), like dedup and decontamination.
+
+Three shapes, two scale profiles:
+- `hash_sample` / `hash_split`: shuffle-FREE — a per-row hash
+  predicate/bucket, whole-stage codegen, trivially correct at any
+  scale. The default for rate-style sampling.
+- `stratified_sample_exact`: exact k per stratum — needs a per-stratum
+  total order, so one shuffle on the strata columns; the `row_number
+  <= k` filter compiles to WindowGroupLimit (per-map-side top-k heap,
+  no full stratum sort materialized). A mega-stratum still routes its
+  top-k through one reducer — that is inherent to exact-k semantics;
+  use `hash_sample` when a rate is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Denominator for the hash -> [0,1) mapping. 2^30 keeps pmod cheap and
+# gives ~1e-9 rate granularity.
+_BUCKETS = 1 << 30
+
+
+def _row_hash(key_cols: list, seed: int) -> Column:
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return F.xxhash64(*cols, F.lit(seed))
+
+
+def _unit_interval(key_cols: list, seed: int) -> Column:
+    """Deterministic u in [0,1) per row (content-addressed)."""
+    return (F.pmod(_row_hash(key_cols, seed), F.lit(_BUCKETS))
+            / F.lit(float(_BUCKETS)))
+
+
+def hash_sample(df: DataFrame, fraction, key_cols: list,
+                seed: int = 0, strata_col: str | None = None) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    u(key, seed) < fraction. `fraction` is a float, or (with
+    `strata_col`) a dict {stratum_value: fraction} — the deterministic
+    analog of `sampleBy`, with unlisted strata dropped (fraction 0.0),
+    matching sampleBy's contract. No shuffle; membership independent
+    of partitioning."""
+    u = _unit_interval(key_cols, seed)
+    if isinstance(fraction, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions need strata_col")
+        frac = F.lit(0.0)
+        for value, f in fraction.items():
+            frac = F.when(F.col(strata_col) == F.lit(value),
+                          F.lit(float(f))).otherwise(frac)
+    else:
+        frac = F.lit(float(fraction))
+    return df.filter(u < frac)
+
+
+def hash_split(df: DataFrame, weights: dict[str, float], key_cols: list,
+               seed: int = 0, split_col: str = "split") -> DataFrame:
+    """Deterministic train/valid/test split: adds `split_col` with the
+    label whose cumulative-weight interval contains u(key, seed).
+    Weights must sum to ~1; every row gets exactly one label, and the
+    SAME row keeps the same label across runs, resumes, and cluster
+    sizes (the leakage guarantee a random split cannot give once data
+    is reprocessed)."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = _unit_interval(key_cols, seed)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for label, w in items[:-1]:
+        acc += float(w)
+        branch = F.when(u < F.lit(acc), F.lit(label))
+        expr = branch if expr is None else expr.when(u < F.lit(acc),
+                                                     F.lit(label))
+    last_label = items[-1][0]
+    expr = (F.lit(last_label) if expr is None
+            else expr.otherwise(F.lit(last_label)))
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample_exact(df: DataFrame, strata_cols: list[str],
+                            k: int, key_cols: list,
+                            seed: int = 0) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by the
+    smallest row hashes — a deterministic reservoir. One shuffle on
+    the strata; the rank filter compiles to WindowGroupLimit so each
+    map task forwards at most k rows per stratum it sees."""
+    h = _row_hash(key_cols, seed)
+    keys = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), *keys)
+    return (df.withColumn("_sr", F.row_number().over(w))
+            .filter(F.col("_sr") <= k).drop("_sr"))

@@ -1,0 +1,74 @@
+"""Deterministic sampling/splitting: membership must be a pure
+function of row content — identical across partitioning layouts —
+and rates/counts must hit their targets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.sampling import (hash_sample, hash_split,
+                                             stratified_sample_exact)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(4))).alias("stratum"))
+
+
+def test_hash_sample_rate_and_layout_stability(spark):
+    df = _docs(spark)
+    a = {r["id"] for r in hash_sample(df, 0.25, ["id"]).collect()}
+    b = {r["id"] for r in
+         hash_sample(df.repartition(17), 0.25, ["id"]).collect()}
+    assert a == b  # partitioning cannot change membership
+    assert 0.20 < len(a) / 2000 < 0.30
+    c = {r["id"] for r in hash_sample(df, 0.25, ["id"], seed=1).collect()}
+    assert c != a  # seed moves the draw
+
+
+def test_hash_sample_per_stratum(spark):
+    df = _docs(spark)
+    out = hash_sample(df, {"s0": 1.0, "s1": 0.5}, ["id"],
+                      strata_col="stratum")
+    got = out.groupBy("stratum").count().collect()
+    by = {r["stratum"]: r["count"] for r in got}
+    assert by["s0"] == 500          # fraction 1.0 keeps all
+    assert 200 < by.get("s1", 0) < 300
+    assert "s2" not in by and "s3" not in by  # unlisted -> dropped
+    with pytest.raises(ValueError):
+        hash_sample(df, {"s0": 1.0}, ["id"])  # dict needs strata_col
+
+
+def test_hash_split_partition_and_stability(spark):
+    df = _docs(spark)
+    out = hash_split(df, {"train": 0.8, "valid": 0.1, "test": 0.1},
+                     ["id"])
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000  # exactly one label per row
+    assert 1500 < counts["train"] < 1750
+    assert counts["valid"] > 100 and counts["test"] > 100
+    again = hash_split(df.repartition(13),
+                       {"train": 0.8, "valid": 0.1, "test": 0.1}, ["id"])
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {(r["id"], r["split"]) for r in again.collect()}
+    assert a == b  # a resumed/resized run cannot leak valid into train
+    with pytest.raises(ValueError):
+        hash_split(df, {"train": 0.8, "test": 0.1}, ["id"])
+
+
+def test_stratified_exact_counts_and_plan(spark):
+    df = _docs(spark)  # 4 strata x 500
+    out = stratified_sample_exact(df, ["stratum"], 20, ["id"])
+    counts = {r["stratum"]: r["count"]
+              for r in out.groupBy("stratum").count().collect()}
+    assert counts == {"s0": 20, "s1": 20, "s2": 20, "s3": 20}
+    small = stratified_sample_exact(df.filter("id < 10"),
+                                    ["stratum"], 20, ["id"])
+    assert small.count() == 10  # min(k, |stratum|)
+    again = stratified_sample_exact(df.repartition(11), ["stratum"],
+                                    20, ["id"])
+    assert ({r["id"] for r in out.collect()} ==
+            {r["id"] for r in again.collect()})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side per-stratum top-k

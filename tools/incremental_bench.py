@@ -73,6 +73,26 @@ def one_size(spark, n_corpus: int, batch, d: str) -> dict:
                 for r in inc.collect()}
     t_inc = time.perf_counter() - t0
 
+    # bloom pre-gated variant: blooms build from the PERSISTED indexes
+    # (amortized compaction cost, like the indexes themselves) and the
+    # labels must be identical — no false negatives
+    from alegre_spark.operators.bloom import BloomSpec, bloom_build
+    t0 = time.perf_counter()
+    spec = BloomSpec.for_items(max(n * 5, 1000), fpp=0.01)
+    key_bloom = bloom_build(keys, "content_key", spec)
+    band_bloom = bloom_build(bands, ["band", "key"], spec)
+    t_bloom_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    gated = dedup_incremental(
+        batch, corpus, "doc_id", "text", threshold=0.8,
+        existing_bands=bands, existing_keys=keys,
+        existing_key_bloom=key_bloom, existing_band_bloom=band_bloom,
+        **HASH_ARGS)
+    gated_rows = {r["id"]: (r["keeper_id"], r["matched_existing"])
+                  for r in gated.collect()}
+    t_gated = time.perf_counter() - t0
+    assert gated_rows == inc_rows, "bloom gate changed labels"
+
     # agreement on batch rows the FULL path assigns a corpus-side
     # keeper: the incremental keeper must be the same corpus id;
     # rows the full path keeps batch-side are counted separately
@@ -91,6 +111,8 @@ def one_size(spark, n_corpus: int, batch, d: str) -> dict:
     return {"corpus_rows": n, "index_build_sec": round(t_index, 2),
             "full_recompute_sec": round(t_full, 2),
             "incremental_sec": round(t_inc, 2),
+            "bloom_build_sec": round(t_bloom_build, 2),
+            "incremental_bloom_sec": round(t_gated, 2),
             "batch_matched_existing":
                 sum(1 for _, m in inc_rows.values() if m),
             "corpus_keeper_agree": agree,
