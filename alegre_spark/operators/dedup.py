@@ -779,3 +779,69 @@ def fingerprint_containment_join(
     return (out.groupBy("probe_id", "cand_id")
             .agg(F.count("*").alias("shared_fingerprints"))
             .filter(F.col("shared_fingerprints") >= min_shared))
+
+
+def strip_frequent_lines(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "content",
+                         min_doc_freq: int = 10,
+                         out_col: str | None = None,
+                         removed_col: str = "n_lines_removed",
+                         broadcast_frequent: bool | None = None
+                         ) -> DataFrame:
+    """Corpus-level boilerplate strip: delete every line whose TRIMMED
+    form appears in >= `min_doc_freq` DISTINCT documents (license
+    headers, codegen banners, copy-pasted notices). The line-level
+    analog of C4's cross-document span dedup (Raffel 2020 §2.2) and
+    the license-header stripping of public code pipelines
+    (CodeParrot / The Stack preprocessing); complements
+    `quality.with_deduped_lines`, which is WITHIN-doc only. The
+    reference has no corpus-level text repair (its dedup stops at
+    whole-document sha256 identity, `app/main/model/image.py:78-79`).
+
+    Adds `out_col` (default `<text_col>_clean`; NULL text stays NULL,
+    all-boilerplate docs become '') and `removed_col`. Blank lines are
+    never counted or stripped; kept lines keep their original
+    indentation (matching is on the trimmed form, so a re-indented
+    header still matches).
+
+    Scale shape: one posexplode + one hash-agg on the trimmed line
+    (count-distinct doc ids), one anti-join, one groupBy(id) rebuild —
+    no cross join, no window over the corpus. The frequent-line set
+    has at most total_lines/min_doc_freq rows (usually tiny);
+    `broadcast_frequent` is the `_probe_side` tri-state contract
+    (True force-broadcast, False shuffle_hash hint, None = AQE).
+    `id_col` must be unique per row."""
+    out_col = out_col or text_col + "_clean"
+    lines = df.select(
+        F.col(id_col).alias("_sl_id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_pos", "_line"))
+    norm = F.trim(F.col("_line"))
+    freq = (lines.filter(norm != "")
+            .select(norm.alias("_nl"), "_sl_id")
+            .groupBy("_nl")
+            .agg(F.countDistinct("_sl_id").alias("_df"))
+            .filter(F.col("_df") >= int(min_doc_freq))
+            .select("_nl"))
+    if broadcast_frequent is True:
+        freq = F.broadcast(freq)
+    elif broadcast_frequent is False:
+        freq = freq.hint("shuffle_hash")
+    kept = lines.join(freq, norm == F.col("_nl"), "left_anti")
+    rebuilt = (kept.groupBy("_sl_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("_pos", "_line"))),
+                            lambda s: s["_line"]), "\n").alias("_clean"),
+                    F.count("*").alias("_n_kept")))
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return (df.join(rebuilt, F.col(id_col) == F.col("_sl_id"), "left")
+            .withColumn(out_col,
+                        F.when(F.col(text_col).isNotNull(),
+                               F.coalesce(F.col("_clean"), F.lit(""))))
+            .withColumn(removed_col,
+                        F.when(F.col(text_col).isNotNull(),
+                               n_lines -
+                               F.coalesce(F.col("_n_kept"), F.lit(0))))
+            .drop("_sl_id", "_clean", "_n_kept"))

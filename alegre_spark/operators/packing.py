@@ -1,0 +1,124 @@
+"""Sequence packing for LLM training pipelines (beyond-reference).
+
+The GPT-style "concat and chunk" layout (Brown et al. 2020 §2.2; T5's
+pack-to-512, Raffel et al. 2020): the documents of a shard are
+concatenated in a deterministic order and the token stream is cut into
+fixed-length training sequences. A document whose stream starts at
+token offset `start` and holds `n` tokens occupies the half-open
+interval [start, start+n) and therefore appears in chunks
+floor(start/L) .. floor((start+n-1)/L).
+
+Spark-first shape: the running offset is ONE window cumulative sum
+partitioned by the shard column. Per-shard sequential semantics are
+inherent to packing (a training chunk is a contiguous slice of one
+shard's stream), so the shard — repo in the north-rule table, any
+salted bucket in general — is the parallelism unit, exactly like the
+pipeline's salted repo shards. No global sort, no driver state, one
+shuffle on the shard key; a 100 TB corpus packs as wide as it has
+shards. The reference has no packing analog (its batch surface stops
+at bulk indexing, `bulk_similarity_controller.py:48-57`); this is part
+of the beyond-reference training-data family (SURVEY §2.12).
+
+Determinism contract: `order_cols` must be a total order within every
+shard (pass the table's unique id last). Under that contract the
+chunk assignment is a pure function of the data — stable across
+resumes, partitioning, and cluster sizes, like `sampling.hash_split`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(df: DataFrame, shard_col: str, order_cols: list,
+                   n_tokens_col: str, seq_len: int,
+                   prefix: str = "pack_") -> DataFrame:
+    """Assign every document its token interval and chunk span in the
+    concat-and-chunk layout.
+
+    Adds (with `prefix`):
+      - `<p>start`: first token offset of the doc in its shard stream;
+      - `<p>first_chunk` / `<p>last_chunk`: chunk ids (length
+        `seq_len`) the doc touches — NULL for zero-token docs, which
+        occupy no chunk;
+      - `<p>n_chunks`: number of chunks the doc spans (0 when empty).
+
+    NULL token counts are treated as 0 (the doc contributes nothing to
+    the stream but keeps a deterministic offset).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(shard_col).orderBy(*order)
+    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    start = F.coalesce(
+        F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    df = df.withColumn(prefix + "start", start)
+    start_c = F.col(prefix + "start")
+    first = F.floor(start_c / seq_len)
+    last = F.floor((start_c + n - 1) / seq_len)
+    nonempty = n > 0
+    return (df
+            .withColumn(prefix + "first_chunk",
+                        F.when(nonempty, first))
+            .withColumn(prefix + "last_chunk",
+                        F.when(nonempty, last))
+            .withColumn(prefix + "n_chunks",
+                        F.when(nonempty, last - first + 1)
+                        .otherwise(F.lit(0))))
+
+
+def pack_chunk_stats(df: DataFrame, shard_col: str, n_tokens_col: str,
+                     seq_len: int) -> DataFrame:
+    """Per-shard packing summary: total tokens, number of `seq_len`
+    chunks the shard emits (ceil), and `pad_tokens` — the padding waste
+    in the final partial chunk (the quantity packing exists to
+    minimize; compare against one-doc-per-sequence padding to report
+    the packing win). Plain partial-aggregated groupBy — no window."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    total = F.sum(n).alias("total_tokens")
+    out = df.groupBy(shard_col).agg(total,
+                                    F.count("*").alias("n_docs"))
+    n_chunks = F.ceil(F.col("total_tokens") / seq_len)
+    return (out.withColumn("n_chunks", n_chunks)
+            .withColumn("pad_tokens",
+                        n_chunks * seq_len - F.col("total_tokens")))
+
+
+def chunk_boundaries(df: DataFrame, shard_col: str,
+                     doc_cols: list, n_tokens_col: str, seq_len: int,
+                     prefix: str = "pack_") -> DataFrame:
+    """Explode the packed layout into one row per (doc, chunk) with the
+    doc's token sub-range inside that chunk — the writer-side view a
+    chunk materializer consumes (`groupBy(shard, chunk_id)` then
+    order by `off_in_chunk` reconstructs every training sequence).
+
+    Emits: shard, doc_cols..., chunk_id, off_in_chunk (where the doc's
+    slice starts inside the chunk), tok_from/tok_to (the half-open
+    range of the DOC's own tokens landing in this chunk). Zero-token
+    docs emit nothing. Cost: the pack window plus one bounded explode
+    (a doc yields `n_chunks` rows — O(n_tokens/seq_len), never more
+    than its own length)."""
+    packed = pack_sequences(df, shard_col, doc_cols, n_tokens_col,
+                            seq_len, prefix)
+    start = F.col(prefix + "start")
+    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    chunk = F.explode(F.sequence(F.col(prefix + "first_chunk"),
+                                 F.col(prefix + "last_chunk")))
+    rows = (packed.filter(F.col(prefix + "n_chunks") > 0)
+            .select(shard_col, *doc_cols, n_tokens_col, start.alias("_ps"),
+                    chunk.alias("chunk_id")))
+    chunk_lo = F.col("chunk_id") * seq_len
+    ps = F.col("_ps")
+    n2 = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    tok_from = F.greatest(chunk_lo - ps, F.lit(0))
+    tok_to = F.least(chunk_lo + seq_len - ps, n2)
+    off = F.greatest(ps - chunk_lo, F.lit(0))
+    return (rows.withColumn("off_in_chunk", off)
+            .withColumn("tok_from", tok_from)
+            .withColumn("tok_to", tok_to)
+            .drop("_ps"))

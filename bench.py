@@ -69,8 +69,9 @@ def main():
     # the result itself is quadratic — corpus degeneracy, not operator
     # cost. Both stay in the sf0.01 CORRECTNESS gate where the full
     # (exact →) LSH → verify → CC → keeper chains are oracle-checked.
-    headline = ["q01_pricing_summary", "q02_top_orders_per_cust",
-                "q03_nation_order_stats", "q05_predecessor_counts",
+    headline = ["q01_pricing_summary", "q58_pack_sequences",
+                "q59_line_strip", "q60_repo_gate",
+                "q05_predecessor_counts",
                 "q09_token_overlap_join", "q10_exact_dedup",
                 "q21_dedup_keep_first", "q14_cosine_topk",
                 "q20_hamming_join",

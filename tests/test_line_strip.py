@@ -1,0 +1,70 @@
+"""Corpus-level frequent-line strip (boilerplate removal)."""
+
+import pytest
+
+from alegre_spark.operators.dedup import strip_frequent_lines
+
+HDR = "# Copyright Example Corp."
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, HDR + "\n\ndef one():\n    return 1"),
+        (2, "  " + HDR + "\n\ndef two():\n    return 2"),  # indented hdr
+        (3, HDR + "\ndef three():\n    return 3"),
+        (4, HDR),                      # all-boilerplate doc
+        (5, "no header here"),
+        (6, None),                     # NULL text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_strip_frequent_lines(corpus):
+    out = {r["doc_id"]: r for r in
+           strip_frequent_lines(corpus, "doc_id", "content",
+                                min_doc_freq=3).collect()}
+    # header removed everywhere (trimmed matching catches doc 2's
+    # indented copy); blank lines and code kept with original spacing
+    assert out[1]["content_clean"] == "\ndef one():\n    return 1"
+    assert out[2]["content_clean"] == "\ndef two():\n    return 2"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[4]["content_clean"] == ""        # fully boilerplate
+    assert out[4]["n_lines_removed"] == 1
+    assert out[5]["content_clean"] == "no header here"
+    assert out[5]["n_lines_removed"] == 0
+    assert out[6]["content_clean"] is None      # NULL propagates
+    assert out[6]["n_lines_removed"] is None
+
+
+def test_strip_identity_below_threshold(corpus):
+    out = {r["doc_id"]: r for r in
+           strip_frequent_lines(corpus, "doc_id", "content",
+                                min_doc_freq=100).collect()}
+    for r in corpus.collect():
+        assert out[r["doc_id"]]["content_clean"] == r["content"]
+        expect = 0 if r["content"] is not None else None
+        assert out[r["doc_id"]]["n_lines_removed"] == expect
+
+
+def test_strip_counts_distinct_docs_not_occurrences(spark):
+    # one doc repeating a line 10x must NOT make it "frequent"
+    rows = [(1, "dup\n" * 10 + "tail"), (2, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r for r in
+           strip_frequent_lines(df, "doc_id", "content",
+                                min_doc_freq=2).collect()}
+    assert out[1]["n_lines_removed"] == 0
+    assert out[1]["content_clean"] == rows[0][1]
+
+
+def test_strip_broadcast_flag_plan(corpus):
+    forced = strip_frequent_lines(corpus, "doc_id", "content", 3,
+                                  broadcast_frequent=True)
+    assert "BroadcastExchange" in forced._jdf.queryExecution() \
+        .executedPlan().toString()
+    forbidden = strip_frequent_lines(corpus, "doc_id", "content", 3,
+                                     broadcast_frequent=False)
+    plan = forbidden._jdf.queryExecution().executedPlan().toString()
+    # the anti-join side must not be broadcast when forbidden
+    assert "BroadcastHashJoin LeftAnti" not in plan

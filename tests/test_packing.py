@@ -1,0 +1,111 @@
+"""Sequence packing (concat-and-chunk) — exact layout semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.packing import (chunk_boundaries,
+                                            pack_chunk_stats,
+                                            pack_sequences)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # shard A stream: 3 + 5 + 4 + 0 + 10 tokens; shard B: 7 + 1
+    rows = [("a", 1, 3), ("a", 2, 5), ("a", 3, 4), ("a", 4, 0),
+            ("a", 5, 10), ("b", 1, 7), ("b", 2, 1)]
+    return spark.createDataFrame(rows, "repo string, fid long, nt long")
+
+
+def test_pack_sequences_layout(docs):
+    out = {(r["repo"], r["fid"]): r for r in
+           pack_sequences(docs, "repo", ["fid"], "nt", seq_len=8)
+           .collect()}
+    # shard a offsets: 0,3,8,12,12 ; seq_len 8 chunk spans
+    assert (out[("a", 1)]["pack_start"],
+            out[("a", 1)]["pack_first_chunk"],
+            out[("a", 1)]["pack_last_chunk"]) == (0, 0, 0)
+    # doc 2 spans tokens [3,8) -> chunk 0 only
+    assert (out[("a", 2)]["pack_first_chunk"],
+            out[("a", 2)]["pack_last_chunk"]) == (0, 0)
+    # doc 3 spans [8,12) -> chunk 1
+    assert (out[("a", 3)]["pack_first_chunk"],
+            out[("a", 3)]["pack_last_chunk"]) == (1, 1)
+    # zero-token doc: no chunk, n_chunks 0, deterministic offset
+    assert out[("a", 4)]["pack_first_chunk"] is None
+    assert out[("a", 4)]["pack_n_chunks"] == 0
+    assert out[("a", 4)]["pack_start"] == 12
+    # doc 5 spans [12,22) -> chunks 1..2, i.e. 2 chunks
+    assert (out[("a", 5)]["pack_first_chunk"],
+            out[("a", 5)]["pack_last_chunk"],
+            out[("a", 5)]["pack_n_chunks"]) == (1, 2, 2)
+    # shard b is independent: restarts at offset 0
+    assert out[("b", 1)]["pack_start"] == 0
+    assert out[("b", 2)]["pack_start"] == 7
+
+
+def test_pack_null_tokens_treated_as_zero(spark):
+    df = spark.createDataFrame([("a", 1, None), ("a", 2, 5)],
+                               "repo string, fid long, nt long")
+    out = {r["fid"]: r for r in
+           pack_sequences(df, "repo", ["fid"], "nt", 4).collect()}
+    assert out[1]["pack_n_chunks"] == 0
+    assert out[2]["pack_start"] == 0
+
+
+def test_pack_chunk_stats(docs):
+    out = {r["repo"]: r for r in
+           pack_chunk_stats(docs, "repo", "nt", seq_len=8).collect()}
+    assert out["a"]["total_tokens"] == 22
+    assert out["a"]["n_chunks"] == 3
+    assert out["a"]["pad_tokens"] == 2
+    assert out["b"]["total_tokens"] == 8
+    assert out["b"]["pad_tokens"] == 0
+
+
+def test_chunk_boundaries_cover_exactly(docs):
+    rows = chunk_boundaries(docs, "repo", ["fid"], "nt", 8).collect()
+    # every doc's emitted sub-ranges tile [0, nt) with no overlap
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r["repo"], r["fid"]), []).append(r)
+    nts = {("a", 1): 3, ("a", 2): 5, ("a", 3): 4, ("a", 5): 10,
+           ("b", 1): 7, ("b", 2): 1}
+    assert set(by_doc) == set(nts)  # zero-token doc emits nothing
+    for key, parts in by_doc.items():
+        parts.sort(key=lambda r: r["chunk_id"])
+        covered = 0
+        for p in parts:
+            assert p["tok_from"] == covered
+            assert p["tok_to"] > p["tok_from"]
+            covered = p["tok_to"]
+        assert covered == nts[key]
+    # chunk-side view: every chunk position filled exactly once
+    fill = {}
+    for r in rows:
+        span = r["tok_to"] - r["tok_from"]
+        for i in range(span):
+            pos = (r["repo"], r["chunk_id"], r["off_in_chunk"] + i)
+            assert pos not in fill
+            fill[pos] = True
+    # shard a holds 22 tokens, shard b 8 — all placed
+    assert len(fill) == 30
+
+
+def test_pack_deterministic_across_partitioning(docs):
+    a = pack_sequences(docs, "repo", ["fid"], "nt", 8).collect()
+    b = pack_sequences(docs.repartition(7), "repo", ["fid"], "nt", 8) \
+        .collect()
+    key = lambda r: (r["repo"], r["fid"])  # noqa: E731
+    assert sorted(map(tuple, a), key=str) == sorted(map(tuple, b), key=str)
+
+
+def test_pack_rejects_bad_seq_len(docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "repo", ["fid"], "nt", 0)
+
+
+def test_pack_single_shuffle_plan(docs):
+    """The pack window must reuse ONE exchange on the shard key."""
+    plan = pack_sequences(docs, "repo", ["fid"], "nt", 8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -19,9 +19,26 @@ CHECKS = {
         ("partial_sum", "map-side partial aggregation"),
         ("FileScan parquet [l_quantity", "column pruning at the scan"),
     ],
-    "q03_nation_order_stats": [
-        ("BroadcastHashJoin", "dims broadcast, no shuffle join"),
-        ("partial_count", "partial aggregation"),
+    # r3b: the q02/q03 demo slots now carry the training-layout
+    # operators; their plan evidence (WindowGroupLimit, broadcast dim
+    # joins) stays asserted via q14 and q47/q38
+    "q58_pack_sequences": [
+        ("Window [sum", "running offset is ONE window cumsum"),
+        ("Exchange hashpartitioning(source", "one shuffle, on the "
+                                             "shard key only"),
+        ("ReadSchema: struct<doc_id:bigint,text:string,source:string>",
+         "column pruning at the scan"),
+    ],
+    "q59_line_strip": [
+        ("LeftAnti", "frequent-line strip is an anti-join, not a "
+                     "filter over a collect"),
+        ("Generate posexplode", "line explode JVM-side"),
+        ("partial_count", "doc-frequency partial-aggregated"),
+    ],
+    "q60_repo_gate": [
+        ("partial_avg", "repo keep-fraction partial-aggregated"),
+        ("ReadSchema: struct<text:string,source:string>",
+         "agg side prunes doc_id from the scan"),
     ],
     # the q04 slot is now the winnowing containment join; the
     # anti/semi-join plan shapes move to q40 below
@@ -38,9 +55,6 @@ CHECKS = {
         ("BroadcastHashJoin", "probe token list broadcast"),
         ("PushedFilters: [IsNotNull(doc_id)", "probe filter pushed to the scan"),
         ("partial_count", "overlap count partial agg"),
-    ],
-    "q02_top_orders_per_cust": [
-        ("WindowGroupLimit", "top-k pushed below the exchange"),
     ],
     "q14_cosine_topk": [
         ("WindowGroupLimit", "per-probe top-k pushdown"),
@@ -134,8 +148,12 @@ FORBIDDEN = {
     # queries that must contain NO Python evaluation nodes
     "q01_pricing_summary": ["ArrowEvalPython", "BatchEvalPython",
                             "MapInPandas"],
-    "q02_top_orders_per_cust": ["ArrowEvalPython", "BatchEvalPython",
-                                "MapInPandas"],
+    "q58_pack_sequences": ["ArrowEvalPython", "BatchEvalPython",
+                           "MapInPandas"],
+    "q59_line_strip": ["ArrowEvalPython", "BatchEvalPython",
+                       "MapInPandas", "CartesianProduct"],
+    "q60_repo_gate": ["ArrowEvalPython", "BatchEvalPython",
+                      "MapInPandas", "CartesianProduct"],
     "q09_token_overlap_join": ["ArrowEvalPython", "BatchEvalPython",
                                "MapInPandas"],
     "q14_cosine_topk": ["ArrowEvalPython", "BatchEvalPython",
