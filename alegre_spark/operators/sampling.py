@@ -95,6 +95,38 @@ def hash_split(df: DataFrame, weights: dict[str, float], key_cols: list,
     return df.withColumn(split_col, expr)
 
 
+def hash_shuffle(df: DataFrame, key_cols: list, num_shards: int,
+                 seed: int = 0, shard_col: str = "shard",
+                 order_col: str = "shuffle_order") -> DataFrame:
+    """Deterministic global corpus shuffle for training-example order:
+    every row gets a pseudo-random shard (pmod of the content hash) and
+    a within-shard sort key, then the DataFrame is physically
+    repartitioned on the shard and sorted within partitions — the
+    standard shuffle-before-training layout, as a pure function of row
+    content. `df.orderBy(rand())` re-deals on every retry, resume, and
+    cluster size; this does not (same guarantee as `hash_sample` /
+    `hash_split`, and the property a resumable 100 TB curation run
+    needs so that re-emitted shards are byte-identical).
+
+    Feeds `packing.pack_sequences(shard_col=..., order_cols=
+    [order_col, *key_cols])`: shuffle first, then pack each shard's
+    stream — together they are the writer side of a training-data
+    layout. One shuffle (the repartition); the within-partition sort
+    never spills more than a shard. Ties in the hash are broken by the
+    key columns themselves, so the order is total iff `key_cols` is
+    unique per row (same contract as `pack_sequences.order_cols`)."""
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    h = _row_hash(key_cols, seed)
+    keys = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    out = (df.withColumn(shard_col,
+                         F.pmod(h, F.lit(num_shards)).cast("int"))
+           .withColumn(order_col, h))
+    return (out.repartition(num_shards, F.col(shard_col))
+            .sortWithinPartitions(F.col(shard_col), F.col(order_col),
+                                  *keys))
+
+
 def stratified_sample_exact(df: DataFrame, strata_cols: list[str],
                             k: int, key_cols: list,
                             seed: int = 0) -> DataFrame:

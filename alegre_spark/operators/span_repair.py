@@ -1,0 +1,220 @@
+"""Substring-level duplicate-span REPAIR for training corpora.
+
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better") show that removing the duplicated SUBSTRINGS themselves —
+not just whole near-duplicate documents — measurably improves LLMs;
+their ExactSubstr tool builds a suffix array over the entire corpus,
+which is a single-machine construction. The distributed re-expression
+here rides the winnowing fingerprint chain (Schleimer/Wilkerson/Aiken
+SIGMOD 2003, same scheme as `dedup.winnow_fingerprints`): any
+duplicated substring of >= w+k-1 bytes shares at least one selected
+fingerprint, and a LONG duplicated region yields a chain of selected
+fingerprints at gaps <= w — so merging a document's hot-fingerprint
+hit intervals with gap tolerance w+k reconstructs each duplicated
+span to within w+k-1 bytes of its true edges. Precision is tunable:
+`min_span` discards merged spans too short to be meaningful (the
+analog of ExactSubstr's 50-token threshold), and `min_doc_freq` sets
+how many DISTINCT documents must share a fingerprint before it is
+"duplicate text" rather than coincidence.
+
+The reference stops at whole-document identity (sha256,
+`app/main/model/image.py:78-79`) and similarity-JOIN detection; it
+has no repair surface at all — this operator and
+`dedup.strip_frequent_lines` (line-granular) are the beyond-reference
+training-data REPAIR family (SURVEY §2.12).
+
+Scale shape (the part ExactSubstr cannot do): NO suffix array, NO
+pair join. One Arrow pass emits positional fingerprints (~2/(w+1) of
+the k-gram count per doc), one partial-aggregated groupBy(fingerprint)
+finds the hot values and their canonical owner (min id) — never
+materializing doc pairs, so a fingerprint shared by a million docs
+costs one aggregate row, not 10^12 join rows — one equi-join of the
+fingerprint stream against that (tri-state broadcastable) hot set,
+one groupBy(id) to gather cut positions (bounded by the doc's own
+fingerprint density), and one final Arrow pass that merges intervals
+and stitches the surviving bytes. Every stage is linear in corpus
+bytes; parallelism is by document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_FNV = 1099511628211  # same public FNV prime as winnow_fingerprints_pandas
+
+
+def positional_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 16, w: int = 32) -> DataFrame:
+    """Winnowing fingerprints WITH byte positions: (id, fingerprint,
+    pos) where `pos` is the 0-based byte offset of the k-gram whose
+    hash is the window minimum (first-occurrence tie rule). Same
+    rolling-hash family and w+k-1 guarantee as
+    `dedup.winnow_fingerprints_pandas`, plus the positions that
+    `strip_duplicate_spans` cuts at; the per-doc density is winnowing's
+    usual ~2/(w+1) of the k-gram count. Docs shorter than k bytes
+    (incl. NULL) emit nothing."""
+    import numpy as np
+    import pandas as pd
+
+    if k <= 0 or w <= 0:
+        raise ValueError("k and w must be positive")
+    id_dt = df.schema[id_col].dataType.simpleString()
+    powers = np.power(np.uint64(_FNV), np.arange(k, dtype=np.uint64))
+
+    def _one(s: str):
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        sw = np.lib.stride_tricks.sliding_window_view(b, k)
+        h = (sw.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
+        if len(h) <= w:
+            j = int(h.argmin())
+            return (h[j:j + 1].astype(np.int64),
+                    np.array([j], dtype=np.int64))
+        wins = np.lib.stride_tricks.sliding_window_view(h, w)
+        pos = wins.argmin(axis=1) + np.arange(len(wins))
+        pos = np.unique(pos)
+        return h[pos].astype(np.int64), pos.astype(np.int64)
+
+    def _map(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
+            if not len(pdf):
+                continue
+            ids, fps, poss = [], [], []
+            for i, s in zip(pdf[id_col].values, pdf[text_col].values):
+                f, p = _one(s)
+                ids.extend([i] * len(f))
+                fps.append(f)
+                poss.append(p)
+            yield pd.DataFrame({
+                "id": ids,
+                "fingerprint": (np.concatenate(fps) if fps
+                                else np.empty(0, np.int64)),
+                "pos": (np.concatenate(poss) if poss
+                        else np.empty(0, np.int64))})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _map, schema=f"id {id_dt}, fingerprint long, pos long")
+
+
+def strip_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "content",
+                          k: int = 16, w: int = 32,
+                          min_doc_freq: int = 2,
+                          gap: int | None = None,
+                          min_span: int | None = None,
+                          keep_canonical: bool = True,
+                          out_col: str | None = None,
+                          broadcast_hot: bool | None = None,
+                          materialize_fingerprints: bool = False
+                          ) -> DataFrame:
+    """Excise cross-document duplicated text spans, keeping one
+    canonical copy. A byte position is CUT when it lies in a merged
+    run of hot-fingerprint k-grams — fingerprints shared by >=
+    `min_doc_freq` distinct docs — the run tolerating gaps <= `gap`
+    (default w+k, the winnowing chain spacing bound) and spanning >=
+    `min_span` bytes (default w+k-1, the guarantee threshold; raise it
+    toward ExactSubstr's ~50-token bar to only cut long plagiarism).
+    With `keep_canonical` (default) the smallest id sharing a
+    fingerprint keeps its copy — every span survives somewhere in the
+    corpus; False scrubs all copies (the eval-decontamination shape).
+
+    Cut edges are snapped OUTWARD to UTF-8 character boundaries, so
+    the output always decodes and never holds split multibyte chars.
+
+    Adds `out_col` (default `<text_col>_despanned`; NULL stays NULL,
+    sub-k-byte docs pass through), `n_spans_removed`,
+    `n_bytes_removed`. All other columns pass through unchanged.
+    `broadcast_hot` is the tri-state: True force-broadcasts the hot
+    fingerprint set (it has one row per hot VALUE — usually tiny),
+    False hints shuffle_hash, None lets AQE decide.
+
+    The fingerprint stream feeds two plan branches (the hot aggregate
+    and the hit join), so by default the corpus is hashed twice —
+    both passes linear and shuffle-free on the scan side.
+    `materialize_fingerprints=True` pins the stream with a
+    localCheckpoint so the text is read and hashed ONCE at the cost
+    of caching ~2/(w+1)·n_kgram rows — worth it when the corpus scan
+    is the bottleneck (same eager-pin pattern as the dedup CC
+    chains)."""
+    import numpy as np
+    import pandas as pd
+
+    gap = (w + k) if gap is None else int(gap)
+    min_span = (w + k - 1) if min_span is None else int(min_span)
+    out_col = out_col or text_col + "_despanned"
+
+    fps = positional_fingerprints(df, id_col, text_col, k, w)
+    if materialize_fingerprints:
+        fps = fps.localCheckpoint(eager=True)
+    hot = (fps.groupBy("fingerprint")
+           .agg(F.countDistinct("id").alias("_df"),
+                F.min("id").alias("_owner"))
+           .filter(F.col("_df") >= int(min_doc_freq))
+           .select("fingerprint", "_owner"))
+    if broadcast_hot is True:
+        hot = F.broadcast(hot)
+    elif broadcast_hot is False:
+        hot = hot.hint("shuffle_hash")
+    hits = fps.join(hot, "fingerprint")
+    if keep_canonical:
+        hits = hits.filter(F.col("id") != F.col("_owner"))
+    cuts = (hits.groupBy(F.col("id").alias("_sr_id"))
+            .agg(F.collect_list("pos").alias("_cut_pos")))
+
+    joined = df.join(cuts, F.col(id_col) == F.col("_sr_id"), "left") \
+               .drop("_sr_id")
+    out_schema = T.StructType(
+        df.schema.fields +
+        [T.StructField(out_col, T.StringType()),
+         T.StructField("n_spans_removed", T.IntegerType()),
+         T.StructField("n_bytes_removed", T.IntegerType())])
+    in_cols = [f.name for f in df.schema.fields]
+
+    def _cut_one(s: str, pos) -> tuple[str, int, int]:
+        if s is None:
+            return None, None, None
+        # a row with no hot hits arrives as None (left-join null);
+        # guard the pandas NaN spelling of the same thing too
+        if pos is None or np.ndim(pos) == 0 or len(pos) == 0:
+            return s, 0, 0
+        b = s.encode("utf-8")
+        p = np.sort(np.asarray(pos, dtype=np.int64))
+        groups = np.split(p, np.where(np.diff(p) > gap + k)[0] + 1)
+        spans = []
+        for g in groups:
+            lo, hi = int(g[0]), int(g[-1]) + k
+            if hi - lo < min_span:
+                continue
+            while lo > 0 and (b[lo] & 0xC0) == 0x80:
+                lo -= 1
+            while hi < len(b) and (b[hi] & 0xC0) == 0x80:
+                hi += 1
+            spans.append((lo, hi))
+        if not spans:
+            return s, 0, 0
+        kept, prev = [], 0
+        for lo, hi in spans:
+            kept.append(b[prev:lo])
+            prev = hi
+        kept.append(b[prev:])
+        cleaned = b"".join(kept)
+        return (cleaned.decode("utf-8"), len(spans),
+                len(b) - len(cleaned))
+
+    def _map(batches):
+        for pdf in batches:
+            res = [_cut_one(s, p) for s, p in
+                   zip(pdf[text_col].values, pdf["_cut_pos"].values)]
+            out = pdf[in_cols].copy()
+            out[out_col] = [r[0] for r in res]
+            out["n_spans_removed"] = pd.array(
+                [r[1] for r in res], dtype="Int32")
+            out["n_bytes_removed"] = pd.array(
+                [r[2] for r in res], dtype="Int32")
+            yield out
+
+    return joined.mapInPandas(_map, schema=out_schema)

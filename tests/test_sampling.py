@@ -72,3 +72,44 @@ def test_stratified_exact_counts_and_plan(spark):
             {r["id"] for r in again.collect()})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # map-side per-stratum top-k
+
+
+def test_hash_shuffle_deterministic_layout(spark):
+    from alegre_spark.operators.sampling import hash_shuffle
+    df = _docs(spark)
+    a = hash_shuffle(df, ["id"], num_shards=8)
+    b = hash_shuffle(df.repartition(13), ["id"], num_shards=8)
+    # shard assignment and within-shard ORDER are pure functions of
+    # content: collect per partition and compare exactly
+    rows_a = a.rdd.glom().map(lambda p: [r["id"] for r in p]).collect()
+    rows_b = b.rdd.glom().map(lambda p: [r["id"] for r in p]).collect()
+    assert sorted(map(tuple, rows_a)) == sorted(map(tuple, rows_b))
+    assert sum(len(p) for p in rows_a) == 2000
+    # a shard holds one shard id only, and the spread is roughly even
+    shards = {r["id"]: r["shard"] for r in a.collect()}
+    per = {}
+    for s in shards.values():
+        per[s] = per.get(s, 0) + 1
+    assert set(per) == set(range(8))
+    assert max(per.values()) < 2 * min(per.values())
+    # the order is NOT the input order (it is a shuffle)
+    flat = [i for p in rows_a for i in p]
+    assert flat != sorted(flat)
+
+
+def test_hash_shuffle_seed_and_validation(spark):
+    from alegre_spark.operators.sampling import hash_shuffle
+    df = _docs(spark, 200)
+    a = hash_shuffle(df, ["id"], 4, seed=0).collect()
+    b = hash_shuffle(df, ["id"], 4, seed=1).collect()
+    assert [r["id"] for r in a] != [r["id"] for r in b]
+    with pytest.raises(ValueError):
+        hash_shuffle(df, ["id"], 0)
+
+
+def test_hash_shuffle_single_exchange_plan(spark):
+    from alegre_spark.operators.sampling import hash_shuffle
+    df = _docs(spark)
+    plan = hash_shuffle(df, ["id"], 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1

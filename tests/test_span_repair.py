@@ -1,0 +1,164 @@
+"""Substring-level duplicate-span repair: planted-duplicate semantics,
+canonical-copy retention, UTF-8 safety, determinism, and plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.span_repair import (positional_fingerprints,
+                                                strip_duplicate_spans)
+
+K, W = 8, 16
+EDGE = W + K  # max per-edge slack of the reconstructed span
+
+
+def _unique_text(tag, n):
+    # deterministic filler with no shared >=k-byte substring across
+    # different tags: the tag recurs every <= 5 bytes inside every
+    # token, so every k-gram contains tag bytes and differs by tag
+    return " ".join(f"{tag}{i}z{tag}" for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    block = ("LICENSE BLOCK: permission is hereby granted free of "
+             "charge to any person obtaining a copy of this software "
+             "and associated documentation files to deal without "
+             "restriction including the rights to use copy modify "
+             "merge publish distribute sublicense and sell copies.")
+    assert len(block) > 4 * EDGE
+    rows = [(i, _unique_text(f"pre{i}", 30) + "\n" + block + "\n" +
+             _unique_text(f"post{i}", 30)) for i in range(1, 6)]
+    rows.append((6, _unique_text("solo", 60)))
+    rows.append((7, None))
+    rows.append((8, "tiny"))  # < k bytes: passthrough
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    return df, block
+
+
+def test_planted_block_removed_except_canonical(planted):
+    df, block = planted
+    out = {r["doc_id"]: r for r in
+           strip_duplicate_spans(df, "doc_id", "content",
+                                 k=K, w=W).collect()}
+    src = {r["doc_id"]: r["content"] for r in df.collect()}
+    # canonical copy (min doc_id sharing the fingerprints) keeps it
+    assert block in out[1]["content_despanned"]
+    for i in (2, 3, 4, 5):
+        cleaned = out[i]["content_despanned"]
+        # the bulk of the block is gone (edges may keep <= EDGE bytes)
+        assert block not in cleaned
+        assert out[i]["n_bytes_removed"] >= len(block) - 2 * EDGE
+        assert out[i]["n_spans_removed"] >= 1
+        # text outside the planted span +/- EDGE survives verbatim
+        start = src[i].index(block)
+        assert src[i][:start - EDGE] in cleaned
+        assert src[i][start + len(block) + EDGE:] in cleaned
+    # no-duplicate doc, NULL, and sub-k docs pass through
+    assert out[6]["content_despanned"] == src[6]
+    assert out[6]["n_bytes_removed"] == 0
+    assert out[7]["content_despanned"] is None
+    assert out[7]["n_bytes_removed"] is None
+    assert out[8]["content_despanned"] == "tiny"
+
+
+def test_keep_canonical_false_scrubs_all(planted):
+    df, block = planted
+    out = strip_duplicate_spans(df, "doc_id", "content", k=K, w=W,
+                                keep_canonical=False)
+    n = out.filter(F.col("content_despanned").contains(
+        "permission is hereby granted")).count()
+    assert n == 0
+
+
+def test_within_doc_repetition_not_cut(spark):
+    # min_doc_freq counts DISTINCT docs: a block repeated inside ONE
+    # doc is repetition (quality signal), not cross-doc duplication
+    blk = _unique_text("rep", 40)
+    df = spark.createDataFrame(
+        [(1, blk + " middle " + blk), (2, _unique_text("other", 40))],
+        "doc_id long, content string")
+    out = strip_duplicate_spans(df, "doc_id", "content", k=K, w=W)
+    assert out.filter("n_bytes_removed > 0").count() == 0
+
+
+def test_min_span_precision_gate(planted):
+    df, block = planted
+    # an absurd min_span means nothing qualifies
+    out = strip_duplicate_spans(df, "doc_id", "content", k=K, w=W,
+                                min_span=10 ** 6)
+    assert out.filter("n_bytes_removed > 0").count() == 0
+
+
+def test_utf8_boundary_safety(spark):
+    block = "раздел лицензии повторяется во многих документах " * 3
+    # per-doc affixes share no k-gram with each other or the block
+    words = {1: "жёлудь", 2: "щавель", 3: "мякоть"}
+    rows = [(i, (w + " ") * 3 + block + (" " + w) * 3)
+            for i, w in words.items()]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = strip_duplicate_spans(df, "doc_id", "content", k=K, w=W)
+    for r in out.collect():
+        cleaned = r["content_despanned"]
+        cleaned.encode("utf-8")  # decodable, no split chars
+        assert "�" not in cleaned
+        assert words[r["doc_id"]] in cleaned
+    removed = {r["doc_id"]: r["n_bytes_removed"] for r in out.collect()}
+    assert removed[1] == 0 and removed[2] > 0 and removed[3] > 0
+
+
+def test_deterministic_across_partitioning(planted):
+    df, _ = planted
+    a = strip_duplicate_spans(df, "doc_id", "content", k=K, w=W) \
+        .select("doc_id", "content_despanned", "n_bytes_removed")
+    b = strip_duplicate_spans(df.repartition(7), "doc_id", "content",
+                              k=K, w=W) \
+        .select("doc_id", "content_despanned", "n_bytes_removed")
+    assert sorted(map(tuple, a.collect())) == \
+        sorted(map(tuple, b.collect()))
+
+
+def test_positional_fingerprints_positions_are_kgram_starts(spark):
+    text = "abcdefghij" * 5
+    df = spark.createDataFrame([(1, text)], "doc_id long, content string")
+    rows = positional_fingerprints(df, "doc_id", "content",
+                                   k=K, w=W).collect()
+    assert rows
+    b = text.encode("utf-8")
+    grams = {}
+    import numpy as np
+    powers = np.power(np.uint64(1099511628211),
+                      np.arange(K, dtype=np.uint64))
+    for r in rows:
+        g = np.frombuffer(b[r["pos"]:r["pos"] + K], dtype=np.uint8)
+        h = int((g.astype(np.uint64) * powers).sum(dtype=np.uint64))
+        assert np.int64(np.uint64(h)) == r["fingerprint"]
+        grams[r["pos"]] = r["fingerprint"]
+    assert max(grams) + K <= len(b)
+
+
+def test_plan_shape_no_pair_join(planted):
+    df, _ = planted
+    plan = strip_duplicate_spans(df, "doc_id", "content", k=K, w=W,
+                                 broadcast_hot=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # hot set force-broadcastable; two designated Arrow stages
+    # (fingerprint emit + cut/stitch), no row-at-a-time Python
+    assert "BroadcastExchange" in plan
+    # Arrow stages only (fingerprint emit appears twice in the plan
+    # TREE — hot-agg branch and hits branch — plus the cut/stitch);
+    # with materialize_fingerprints the scan collapses to one
+    assert plan.count("MapInPandas") == 3
+    assert "BatchEvalPython" not in plan
+    mat = strip_duplicate_spans(df, "doc_id", "content", k=K, w=W,
+                                materialize_fingerprints=True)
+    mplan = mat._jdf.queryExecution().executedPlan().toString()
+    assert mplan.count("MapInPandas") == 1
+    assert "ExistingRDD" in mplan
+    assert sorted(map(tuple, mat.select("doc_id", "n_bytes_removed")
+                      .collect())) == \
+        sorted(map(tuple,
+                   strip_duplicate_spans(df, "doc_id", "content",
+                                         k=K, w=W)
+                   .select("doc_id", "n_bytes_removed").collect()))
