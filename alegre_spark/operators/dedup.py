@@ -681,13 +681,44 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
                          .alias("fingerprint")))
 
 
+def winnow_powers(k: int):
+    """Precomputed FNV-prime powers for the NumPy winnowing kernel —
+    hoist per job so the per-row path never recomputes them."""
+    import numpy as np
+    return np.power(np.uint64(1099511628211),
+                    np.arange(k, dtype=np.uint64))
+
+
+def winnow_minima(s: str, k: int, w: int, powers):
+    """Shared NumPy winnowing kernel — the single source of truth for
+    the rolling-hash family used by `winnow_fingerprints_pandas` and
+    `span_repair.positional_fingerprints` (a fix here keeps both
+    engines' fingerprint values in lockstep). Returns (hashes int64,
+    byte positions int64) of the selected window minima, unique by
+    POSITION with the first-occurrence tie rule; byte view →
+    polynomial rolling k-gram hash (mod-2^64 wrap) → stride-tricks
+    sliding argmin."""
+    import numpy as np
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(b, k)
+    h = (sw.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
+    if len(h) <= w:
+        j = int(h.argmin())
+        return (h[j:j + 1].astype(np.int64),
+                np.array([j], dtype=np.int64))
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    pos = np.unique(wins.argmin(axis=1) + np.arange(len(wins)))
+    return h[pos].astype(np.int64), pos.astype(np.int64)
+
+
 def winnow_fingerprints_pandas(df: DataFrame, id_col: str,
                                text_col: str, k: int = 8,
                                w: int = 16) -> DataFrame:
     """Vectorized winnowing for LONG documents (the scale path): one
-    Arrow batch → NumPy byte view → polynomial rolling k-gram hash
-    (mod-2^64 wrap) → sliding-window minima via stride tricks — ~ms
-    per 200k-char row vs ~11 s for the per-element Catalyst HOF form.
+    Arrow batch through the `winnow_minima` kernel — ~ms per
+    200k-char row vs ~11 s for the per-element Catalyst HOF form.
     Same (id, fingerprint) contract and the same w+k-1 guarantee, but
     a DIFFERENT hash family than `winnow_fingerprints` — pick one
     engine per index, never mix within a containment join."""
@@ -695,21 +726,12 @@ def winnow_fingerprints_pandas(df: DataFrame, id_col: str,
     import pandas as pd
 
     id_dt = df.schema[id_col].dataType.simpleString()
-    # constant per k — hoisted so the per-row path never recomputes it
-    powers = np.power(np.uint64(1099511628211),
-                      np.arange(k, dtype=np.uint64))
+    powers = winnow_powers(k)
 
     def _one(s: str) -> "np.ndarray":
-        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-        if len(b) < k:
-            return np.empty(0, np.uint64)
-        sw = np.lib.stride_tricks.sliding_window_view(b, k)
-        h = (sw.astype(np.uint64) * powers).sum(axis=1,
-                                                dtype=np.uint64)
-        if len(h) <= w:
-            return np.array([h.min()], dtype=np.uint64)
-        return np.unique(
-            np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1))
+        # distinct VALUES of the position-unique minima == distinct
+        # window-min values (each selected position carries one value)
+        return np.unique(winnow_minima(s, k, w, powers)[0])
 
     def _map(batches):
         for pdf in batches:
@@ -786,7 +808,8 @@ def strip_frequent_lines(df: DataFrame, id_col: str = "doc_id",
                          min_doc_freq: int = 10,
                          out_col: str | None = None,
                          removed_col: str = "n_lines_removed",
-                         broadcast_frequent: bool | None = None
+                         broadcast_frequent: bool | None = None,
+                         materialize_lines: bool = False
                          ) -> DataFrame:
     """Corpus-level boilerplate strip: delete every line whose TRIMMED
     form appears in >= `min_doc_freq` DISTINCT documents (license
@@ -810,12 +833,22 @@ def strip_frequent_lines(df: DataFrame, id_col: str = "doc_id",
     has at most total_lines/min_doc_freq rows (usually tiny);
     `broadcast_frequent` is the `_probe_side` tri-state contract
     (True force-broadcast, False shuffle_hash hint, None = AQE).
-    `id_col` must be unique per row."""
+    `id_col` must be unique per row.
+
+    The exploded line stream feeds two plan branches (the frequency
+    aggregate and the anti-join), so by default the text is split
+    twice (plus the final output scan of `df` itself — unavoidable,
+    it carries the passthrough columns). `materialize_lines=True`
+    pins the exploded lines with a localCheckpoint so the split
+    happens ONCE, at the cost of caching one row per line — the same
+    trade as `span_repair.materialize_fingerprints`."""
     out_col = out_col or text_col + "_clean"
     lines = df.select(
         F.col(id_col).alias("_sl_id"),
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("_pos", "_line"))
+    if materialize_lines:
+        lines = lines.localCheckpoint(eager=True)
     norm = F.trim(F.col("_line"))
     freq = (lines.filter(norm != "")
             .select(norm.alias("_nl"), "_sl_id")

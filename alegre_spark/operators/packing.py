@@ -106,7 +106,6 @@ def chunk_boundaries(df: DataFrame, shard_col: str,
     packed = pack_sequences(df, shard_col, doc_cols, n_tokens_col,
                             seq_len, prefix)
     start = F.col(prefix + "start")
-    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
     chunk = F.explode(F.sequence(F.col(prefix + "first_chunk"),
                                  F.col(prefix + "last_chunk")))
     rows = (packed.filter(F.col(prefix + "n_chunks") > 0)

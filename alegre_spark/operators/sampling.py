@@ -111,10 +111,15 @@ def hash_shuffle(df: DataFrame, key_cols: list, num_shards: int,
     Feeds `packing.pack_sequences(shard_col=..., order_cols=
     [order_col, *key_cols])`: shuffle first, then pack each shard's
     stream — together they are the writer side of a training-data
-    layout. One shuffle (the repartition); the within-partition sort
-    never spills more than a shard. Ties in the hash are broken by the
-    key columns themselves, so the order is total iff `key_cols` is
-    unique per row (same contract as `pack_sequences.order_cols`)."""
+    layout. One shuffle (the repartition). A shard never splits
+    across partitions, but `repartition(n, col)` places shard i at
+    partition murmur3(i) % n — so a physical partition hosts 0..a-few
+    whole shards (expected 1), kept contiguous by the sort; the
+    within-partition sort bound is the sum of its co-hashed shards,
+    not exactly one shard (raise `num_shards` to tighten it). Ties in
+    the hash are broken by the key columns themselves, so the order
+    is total iff `key_cols` is unique per row (same contract as
+    `pack_sequences.order_cols`)."""
     if num_shards <= 0:
         raise ValueError("num_shards must be positive")
     h = _row_hash(key_cols, seed)

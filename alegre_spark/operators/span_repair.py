@@ -42,16 +42,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_FNV = 1099511628211  # same public FNV prime as winnow_fingerprints_pandas
+from .dedup import winnow_minima, winnow_powers
 
 
 def positional_fingerprints(df: DataFrame, id_col: str, text_col: str,
                             k: int = 16, w: int = 32) -> DataFrame:
     """Winnowing fingerprints WITH byte positions: (id, fingerprint,
     pos) where `pos` is the 0-based byte offset of the k-gram whose
-    hash is the window minimum (first-occurrence tie rule). Same
-    rolling-hash family and w+k-1 guarantee as
-    `dedup.winnow_fingerprints_pandas`, plus the positions that
+    hash is the window minimum (first-occurrence tie rule). The SAME
+    `dedup.winnow_minima` kernel as `winnow_fingerprints_pandas` —
+    same hash family, same w+k-1 guarantee — plus the positions that
     `strip_duplicate_spans` cuts at; the per-doc density is winnowing's
     usual ~2/(w+1) of the k-gram count. Docs shorter than k bytes
     (incl. NULL) emit nothing."""
@@ -61,22 +61,10 @@ def positional_fingerprints(df: DataFrame, id_col: str, text_col: str,
     if k <= 0 or w <= 0:
         raise ValueError("k and w must be positive")
     id_dt = df.schema[id_col].dataType.simpleString()
-    powers = np.power(np.uint64(_FNV), np.arange(k, dtype=np.uint64))
+    powers = winnow_powers(k)
 
     def _one(s: str):
-        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-        if len(b) < k:
-            return (np.empty(0, np.int64), np.empty(0, np.int64))
-        sw = np.lib.stride_tricks.sliding_window_view(b, k)
-        h = (sw.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
-        if len(h) <= w:
-            j = int(h.argmin())
-            return (h[j:j + 1].astype(np.int64),
-                    np.array([j], dtype=np.int64))
-        wins = np.lib.stride_tricks.sliding_window_view(h, w)
-        pos = wins.argmin(axis=1) + np.arange(len(wins))
-        pos = np.unique(pos)
-        return h[pos].astype(np.int64), pos.astype(np.int64)
+        return winnow_minima(s, k, w, powers)
 
     def _map(batches):
         for pdf in batches:

@@ -58,13 +58,31 @@ def test_strip_counts_distinct_docs_not_occurrences(spark):
     assert out[1]["content_clean"] == rows[0][1]
 
 
+def _anti_join_lines(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+
+
 def test_strip_broadcast_flag_plan(corpus):
     forced = strip_frequent_lines(corpus, "doc_id", "content", 3,
                                   broadcast_frequent=True)
-    assert "BroadcastExchange" in forced._jdf.queryExecution() \
-        .executedPlan().toString()
+    anti = _anti_join_lines(forced)
+    assert anti and all("BroadcastHashJoin" in ln for ln in anti)
     forbidden = strip_frequent_lines(corpus, "doc_id", "content", 3,
                                      broadcast_frequent=False)
-    plan = forbidden._jdf.queryExecution().executedPlan().toString()
-    # the anti-join side must not be broadcast when forbidden
-    assert "BroadcastHashJoin LeftAnti" not in plan
+    # the anti-join must be a shuffled hash join when broadcast is
+    # forbidden (the unrelated outer rebuild join may still broadcast)
+    anti = _anti_join_lines(forbidden)
+    assert anti and all("ShuffledHashJoin" in ln for ln in anti)
+
+
+def test_strip_materialize_lines_identity(corpus):
+    a = strip_frequent_lines(corpus, "doc_id", "content",
+                             min_doc_freq=3)
+    b = strip_frequent_lines(corpus, "doc_id", "content",
+                             min_doc_freq=3, materialize_lines=True)
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
+    # the pinned form reads the checkpoint, not a re-split
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
