@@ -144,3 +144,62 @@ def stratified_sample_exact(df: DataFrame, strata_cols: list[str],
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), *keys)
     return (df.withColumn("_sr", F.row_number().over(w))
             .filter(F.col("_sr") <= k).drop("_sr"))
+
+
+def mix_corpora(sources: dict, weights: dict, target_tokens: int,
+                token_col: str, key_cols: list, seed: int = 0,
+                source_col: str = "mix_source",
+                epoch_col: str = "epoch") -> DataFrame:
+    """Deterministic weighted corpus MIXTURE (the Pile / Dolma /
+    GPT-3 table-2.2 shape): draw from each named source so its share
+    of the delivered tokens matches `weights`, repeating small
+    high-quality sources for multiple epochs when their share exceeds
+    their size — GPT-3 upsamples Wikipedia ~3.4x this way. The
+    reference has no corpus-assembly surface at all; this composes
+    `hash_sample`, so membership (and therefore the mix) is a pure
+    function of row content: stable across resumes, partitioning,
+    and cluster sizes.
+
+    `sources` maps name -> DataFrame (schemas must be union-compatible
+    by name); `weights` maps the same names to relative weights
+    (normalized internally). Each source's sampling fraction is
+    f = (weight_share * target_tokens) / source_tokens; f > 1 emits
+    floor(f) full epochs (epoch_col = 0..floor(f)-1) plus a
+    hash-sampled remainder epoch, so expected delivered tokens equal
+    the share exactly. Adds `source_col` and `epoch_col`.
+
+    Scale shape: one SUM(token_col) aggregate per source (a scalar to
+    the driver — the only driver data), then per-source filters and
+    one union; no shuffle at all. Empty or zero-token sources
+    contribute nothing; their weight is NOT redistributed (document
+    the mix you asked for, deliver what exists)."""
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have the same keys")
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    parts = []
+    for name in sorted(sources):
+        df = sources[name]
+        n_tok = df.agg(F.sum(F.col(token_col).cast("long"))).first()[0]
+        if not n_tok:
+            continue
+        f = (weights[name] / total_w) * target_tokens / float(n_tok)
+        full, rem = int(f), f - int(f)
+        tagged = df.withColumn(source_col, F.lit(name))
+        if full >= 1:
+            parts.append(tagged.withColumn(
+                epoch_col,
+                F.explode(F.sequence(F.lit(0), F.lit(full - 1)))))
+        if rem > 0:
+            parts.append(
+                hash_sample(tagged, rem, key_cols, seed=seed)
+                .withColumn(epoch_col, F.lit(full)))
+    if not parts:
+        raise ValueError("all sources are empty or zero-token")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -113,3 +113,47 @@ def test_hash_shuffle_single_exchange_plan(spark):
     plan = hash_shuffle(df, ["id"], 8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def _tok_src(spark, tag, n, toks):
+    return spark.range(n).select(
+        (F.col("id") + hash(tag) % 1000 * 100000).alias("id"),
+        F.lit(toks).alias("n_tokens"))
+
+
+def test_mix_corpora_shares_and_epochs(spark):
+    from alegre_spark.operators.sampling import mix_corpora
+    # big: 100k tokens available; small: 2k tokens available
+    big = spark.range(1000).select("id", F.lit(100).alias("n_tokens"))
+    small = spark.range(5000, 5020).select(
+        "id", F.lit(100).alias("n_tokens"))
+    out = mix_corpora({"big": big, "small": small},
+                      {"big": 0.5, "small": 0.5},
+                      target_tokens=8000, token_col="n_tokens",
+                      key_cols=["id"])
+    rows = out.groupBy("mix_source").agg(
+        F.sum("n_tokens").alias("tok"),
+        F.max("epoch").alias("max_epoch")).collect()
+    got = {r["mix_source"]: r for r in rows}
+    # big: f = 4000/100000 = 0.04 -> ~4000 tokens, epoch 0 only
+    assert got["big"]["max_epoch"] == 0
+    assert 2500 < got["big"]["tok"] < 5500
+    # small: f = 4000/2000 = 2.0 -> exactly 2 full epochs, 4000 tokens
+    assert got["small"]["tok"] == 4000
+    assert got["small"]["max_epoch"] == 1
+
+
+def test_mix_corpora_deterministic_and_validation(spark):
+    from alegre_spark.operators.sampling import mix_corpora
+    import pytest as pt
+    a = spark.range(100).select("id", F.lit(10).alias("n_tokens"))
+    m1 = mix_corpora({"a": a}, {"a": 1.0}, 300, "n_tokens", ["id"])
+    m2 = mix_corpora({"a": a.repartition(7)}, {"a": 1.0}, 300,
+                     "n_tokens", ["id"])
+    assert sorted(map(tuple, m1.collect())) == \
+        sorted(map(tuple, m2.collect()))
+    with pt.raises(ValueError):
+        mix_corpora({"a": a}, {"b": 1.0}, 300, "n_tokens", ["id"])
+    with pt.raises(ValueError):
+        mix_corpora({"a": a.filter("id < 0")}, {"a": 1.0}, 300,
+                    "n_tokens", ["id"])
