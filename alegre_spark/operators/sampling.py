@@ -169,21 +169,47 @@ def mix_corpora(sources: dict, weights: dict, target_tokens: int,
     the share exactly. Adds `source_col` and `epoch_col`.
 
     Scale shape: one SUM(token_col) aggregate per source (a scalar to
-    the driver — the only driver data), then per-source filters and
-    one union; no shuffle at all. Empty or zero-token sources
-    contribute nothing; their weight is NOT redistributed (document
-    the mix you asked for, deliver what exists)."""
+    the driver — the only driver data, submitted CONCURRENTLY so N
+    sources cost ~one scan's latency, not N serial jobs), then
+    per-source filters and one union; no shuffle at all. Empty or
+    zero-token sources contribute nothing; their weight is NOT
+    redistributed (document the mix you asked for, deliver what
+    exists).
+
+    The remainder draw uses a seed derived from (seed, source name),
+    NOT the caller's seed directly: with the raw seed, a source that
+    was itself produced by `hash_sample`/`hash_split` on the same
+    key_cols and seed would have its u-values already truncated, and
+    the remainder would over-deliver deterministically (u < 0.9
+    survivors sampled at u < 0.5 keep 5/9, not 1/2). The derived seed
+    decorrelates the draws; if you chain further hash-family filters,
+    vary their seeds the same way."""
+    import zlib
+
     if set(sources) != set(weights):
         raise ValueError("sources and weights must have the same keys")
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
+    if any(float(v) < 0 for v in weights.values()):
+        raise ValueError("weights must be non-negative")
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
+
+    names = sorted(sources)
+
+    def _total(name):
+        return sources[name].agg(
+            F.sum(F.col(token_col).cast("long"))).first()[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(8, len(names))) as ex:
+        totals = dict(zip(names, ex.map(_total, names)))
+
     parts = []
-    for name in sorted(sources):
+    for name in names:
         df = sources[name]
-        n_tok = df.agg(F.sum(F.col(token_col).cast("long"))).first()[0]
+        n_tok = totals[name]
         if not n_tok:
             continue
         f = (weights[name] / total_w) * target_tokens / float(n_tok)
@@ -194,8 +220,9 @@ def mix_corpora(sources: dict, weights: dict, target_tokens: int,
                 epoch_col,
                 F.explode(F.sequence(F.lit(0), F.lit(full - 1)))))
         if rem > 0:
+            src_seed = seed + zlib.crc32(name.encode("utf-8"))
             parts.append(
-                hash_sample(tagged, rem, key_cols, seed=seed)
+                hash_sample(tagged, rem, key_cols, seed=src_seed)
                 .withColumn(epoch_col, F.lit(full)))
     if not parts:
         raise ValueError("all sources are empty or zero-token")

@@ -115,12 +115,6 @@ def test_hash_shuffle_single_exchange_plan(spark):
     assert plan.count("Exchange") == 1
 
 
-def _tok_src(spark, tag, n, toks):
-    return spark.range(n).select(
-        (F.col("id") + hash(tag) % 1000 * 100000).alias("id"),
-        F.lit(toks).alias("n_tokens"))
-
-
 def test_mix_corpora_shares_and_epochs(spark):
     from alegre_spark.operators.sampling import mix_corpora
     # big: 100k tokens available; small: 2k tokens available
@@ -156,4 +150,30 @@ def test_mix_corpora_deterministic_and_validation(spark):
         mix_corpora({"a": a}, {"b": 1.0}, 300, "n_tokens", ["id"])
     with pt.raises(ValueError):
         mix_corpora({"a": a.filter("id < 0")}, {"a": 1.0}, 300,
+                    "n_tokens", ["id"])
+
+
+def test_mix_corpora_decorrelated_from_upstream_split(spark):
+    from alegre_spark.operators.sampling import mix_corpora
+    # source produced by hash_split on the SAME key_cols/seed: the
+    # remainder draw must not re-use the caller seed, or survivors'
+    # truncated u-range over-delivers (u<0.9 sampled at u<0.5 keeps
+    # 5/9 not 1/2)
+    base = spark.range(4000).select("id", F.lit(10).alias("n_tokens"))
+    train = hash_split(base, {"train": 0.9, "valid": 0.1}, ["id"]) \
+        .filter("split = 'train'").drop("split")
+    n_train = train.count()
+    out = mix_corpora({"t": train}, {"t": 1.0},
+                      target_tokens=5 * n_train, token_col="n_tokens",
+                      key_cols=["id"], seed=0)
+    frac = out.count() / n_train
+    assert 0.45 < frac < 0.55  # correlated draw would give ~0.556
+
+
+def test_mix_corpora_rejects_negative_weight(spark):
+    from alegre_spark.operators.sampling import mix_corpora
+    import pytest as pt
+    a = spark.range(10).select("id", F.lit(10).alias("n_tokens"))
+    with pt.raises(ValueError):
+        mix_corpora({"a": a, "b": a}, {"a": 2.0, "b": -1.0}, 100,
                     "n_tokens", ["id"])
