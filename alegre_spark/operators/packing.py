@@ -91,7 +91,8 @@ def pack_chunk_stats(df: DataFrame, shard_col: str, n_tokens_col: str,
 
 def chunk_boundaries(df: DataFrame, shard_col: str,
                      doc_cols: list, n_tokens_col: str, seq_len: int,
-                     prefix: str = "pack_") -> DataFrame:
+                     prefix: str = "pack_",
+                     carry_cols: list = ()) -> DataFrame:
     """Explode the packed layout into one row per (doc, chunk) with the
     doc's token sub-range inside that chunk — the writer-side view a
     chunk materializer consumes (`groupBy(shard, chunk_id)` then
@@ -100,17 +101,19 @@ def chunk_boundaries(df: DataFrame, shard_col: str,
     Emits: shard, doc_cols..., chunk_id, off_in_chunk (where the doc's
     slice starts inside the chunk), tok_from/tok_to (the half-open
     range of the DOC's own tokens landing in this chunk). Zero-token
-    docs emit nothing. Cost: the pack window plus one bounded explode
-    (a doc yields `n_chunks` rows — O(n_tokens/seq_len), never more
-    than its own length)."""
+    docs emit nothing. `carry_cols` are passed through untouched (and
+    take no part in the pack ordering) — `materialize_chunks` carries
+    the token array this way. Cost: the pack window plus one bounded
+    explode (a doc yields `n_chunks` rows — O(n_tokens/seq_len),
+    never more than its own length)."""
     packed = pack_sequences(df, shard_col, doc_cols, n_tokens_col,
                             seq_len, prefix)
     start = F.col(prefix + "start")
     chunk = F.explode(F.sequence(F.col(prefix + "first_chunk"),
                                  F.col(prefix + "last_chunk")))
     rows = (packed.filter(F.col(prefix + "n_chunks") > 0)
-            .select(shard_col, *doc_cols, n_tokens_col, start.alias("_ps"),
-                    chunk.alias("chunk_id")))
+            .select(shard_col, *doc_cols, *carry_cols, n_tokens_col,
+                    start.alias("_ps"), chunk.alias("chunk_id")))
     chunk_lo = F.col("chunk_id") * seq_len
     ps = F.col("_ps")
     n2 = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
@@ -121,3 +124,41 @@ def chunk_boundaries(df: DataFrame, shard_col: str,
             .withColumn("tok_from", tok_from)
             .withColumn("tok_to", tok_to)
             .drop("_ps"))
+
+
+def materialize_chunks(df: DataFrame, shard_col: str, doc_cols: list,
+                       tokens_col: str, seq_len: int) -> DataFrame:
+    """The writer's last step: turn per-doc TOKEN ARRAYS into the
+    actual fixed-length training sequences of the concat-and-chunk
+    layout. Returns one row per (shard, chunk_id) with `tokens`
+    (array, exactly `seq_len` long except each shard's final partial
+    chunk) and `chunk_n_tokens`; `F.array_join(tokens, sep)` or a
+    tokenizer-id map downstream turns it into writable text/ids.
+
+    Composition: `chunk_boundaries` emits each doc's (chunk, token
+    sub-range) rows with the token array carried through; one
+    `slice` per row cuts the doc's contribution, and one
+    groupBy(shard, chunk) stitches contributions in `off_in_chunk`
+    order. Cost: the pack window + one bounded explode + ONE
+    aggregation whose state per chunk is <= seq_len tokens — no
+    driver data, no cross join; parallelism is by chunk. Zero-token
+    docs contribute nothing (same contract as `chunk_boundaries`)."""
+    d = df.withColumn(
+        "_mc_nt",
+        F.when(F.col(tokens_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens_col)))
+    b = chunk_boundaries(d, shard_col, doc_cols, "_mc_nt", seq_len,
+                         carry_cols=[tokens_col])
+    piece = F.slice(F.col(tokens_col),
+                    (F.col("tok_from") + 1).cast("int"),
+                    (F.col("tok_to") - F.col("tok_from")).cast("int"))
+    per = b.select(shard_col, "chunk_id", "off_in_chunk",
+                   piece.alias("_piece"))
+    stitched = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("off_in_chunk", "_piece"))),
+            lambda s: s["_piece"]))
+    return (per.groupBy(shard_col, "chunk_id")
+            .agg(stitched.alias("tokens"))
+            .withColumn("chunk_n_tokens", F.size("tokens")))

@@ -109,3 +109,47 @@ def test_pack_single_shuffle_plan(docs):
     plan = pack_sequences(docs, "repo", ["fid"], "nt", 8) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_materialize_chunks_exact_layout(spark):
+    from alegre_spark.operators.packing import materialize_chunks
+    # shard a: docs of 3, 5, 4, 0, 10 tokens; seq_len 8 -> chunks of
+    # 8, 8, 6; shard b: 7+1 -> one full chunk
+    def toks(tag, n):
+        return [f"{tag}{i}" for i in range(n)]
+    rows = [("a", 1, toks("p", 3)), ("a", 2, toks("q", 5)),
+            ("a", 3, toks("r", 4)), ("a", 4, []), ("a", 5, toks("s", 10)),
+            ("b", 1, toks("x", 7)), ("b", 2, toks("y", 1)),
+            ("b", 3, None)]
+    df = spark.createDataFrame(
+        rows, "repo string, fid long, toks array<string>")
+    out = {(r["repo"], r["chunk_id"]): r for r in
+           materialize_chunks(df, "repo", ["fid"], "toks", 8).collect()}
+    # every chunk full except each shard's last
+    assert [out[("a", c)]["chunk_n_tokens"] for c in (0, 1, 2)] == \
+        [8, 8, 6]
+    assert out[("b", 0)]["chunk_n_tokens"] == 8
+    # concatenating chunks in order == concatenating docs in order
+    stream_a = [t for c in (0, 1, 2) for t in out[("a", c)]["tokens"]]
+    assert stream_a == (toks("p", 3) + toks("q", 5) + toks("r", 4) +
+                        toks("s", 10))
+    assert list(out[("b", 0)]["tokens"]) == toks("x", 7) + toks("y", 1)
+
+
+def test_materialize_chunks_deterministic(spark):
+    from alegre_spark.operators.packing import materialize_chunks
+    df = spark.range(50).select(
+        F.pmod("id", F.lit(3)).cast("string").alias("repo"),
+        F.col("id").alias("fid"),
+        F.transform(F.sequence(F.lit(1), (F.pmod("id", F.lit(7)))),
+                    lambda i: F.concat(F.col("id").cast("string"),
+                                       F.lit("_"), i.cast("string")))
+        .alias("toks"))
+    a = materialize_chunks(df, "repo", ["fid"], "toks", 16).collect()
+    b = materialize_chunks(df.repartition(11), "repo", ["fid"],
+                           "toks", 16).collect()
+    key = lambda r: (r["repo"], r["chunk_id"])  # noqa: E731
+    assert sorted([(r["repo"], r["chunk_id"], list(r["tokens"]))
+                   for r in a]) == \
+        sorted([(r["repo"], r["chunk_id"], list(r["tokens"]))
+                for r in b])
