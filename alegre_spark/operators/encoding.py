@@ -1,0 +1,104 @@
+"""Vocabulary build + token→id encoding (beyond-reference).
+
+The writer step between the filter/dedup stages and sequence packing:
+turn per-doc token arrays into integer-id arrays against a
+frequency-ranked vocabulary (the classic word-level / BPE-merge-output
+encoding shape — Sennrich et al. 2016 operate on exactly such a
+ranked symbol table). The reference stops at indexing text
+(`bulk_similarity_controller.py:48-57`); this belongs to the
+beyond-reference training-data family (SURVEY §2.12) and composes
+with `packing.materialize_chunks` (encode ids, then pack).
+
+Spark-first shape and scale notes:
+  - The vocab candidate table is `explode → groupBy(token) → count`
+    — fully partial-aggregated (map-side combine absorbs Zipf-head
+    skew: every partition pre-counts `def`/`return`/`{` locally, so
+    the shuffle carries one row per (partition, token), not per
+    occurrence).
+  - Ranking never global-sorts the corpus: `orderBy(...).limit(V)`
+    compiles to TakeOrderedAndProject (per-partition top-V, merged),
+    so the only totally-ordered object is the ≤V-row result — a
+    bounded dimension table by construction, like the IVF centroid
+    sample. The row_number window that assigns ids runs on those
+    ≤V rows only.
+  - Encoding joins the exploded tokens against the vocab with an
+    explicit broadcast (a vocab is ≤ a few hundred thousand rows —
+    driver/executor-memory bounded the same way the pipeline's model
+    artifacts are), then rebuilds each doc's array with one groupBy
+    whose state is bounded by the doc's own length — the
+    `materialize_chunks` stitch pattern.
+
+Determinism contract: ids are a pure function of the corpus —
+rank by (count desc, token asc), specials first — so encode/decode
+is stable across partitioning, resumes, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_vocab(df: DataFrame, tokens_col: str, vocab_size: int,
+                min_count: int = 1,
+                specials: tuple = ("<unk>",)) -> DataFrame:
+    """Frequency-ranked vocabulary over a token-array column.
+
+    Returns (token string, id long, count long): `specials` take ids
+    0..len(specials)-1 in the order given (count NULL — they are
+    reserved symbols, not corpus observations; a literal special
+    occurring in the corpus is excluded from the ranked candidates so
+    its id stays unique); corpus tokens take the remaining ids by
+    (count desc, token asc) — the total order that makes the vocab a
+    pure function of the data. NULL tokens and NULL arrays count
+    nothing. `vocab_size` bounds the TOTAL table (specials included).
+    """
+    if vocab_size <= len(specials):
+        raise ValueError("vocab_size must exceed len(specials)")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    spark = df.sparkSession
+    n_corpus = vocab_size - len(specials)
+    counts = (df.select(F.explode(tokens_col).alias("token"))
+              .filter(F.col("token").isNotNull())
+              .filter(~F.col("token").isin(list(specials)))
+              .groupBy("token").agg(F.count("*").alias("count"))
+              .filter(F.col("count") >= min_count))
+    # TakeOrderedAndProject: per-partition top-V merge, never a full
+    # sort — the ONLY place a total order exists is this <=V-row table
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(n_corpus)
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    ranked = top.withColumn(
+        "id", (F.row_number().over(w) + len(specials) - 1).cast("long"))
+    spec = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(specials)], "token string, id long"
+    ).withColumn("count", F.lit(None).cast("long"))
+    return spec.select("token", "id", "count").unionByName(
+        ranked.select("token", "id", "count"))
+
+
+def encode_tokens(df: DataFrame, tokens_col: str, vocab: DataFrame,
+                  doc_cols: list, unk_id: int = 0,
+                  out_col: str = "token_ids") -> DataFrame:
+    """Add `out_col`: the doc's token array mapped to vocab ids, with
+    out-of-vocabulary tokens mapped to `unk_id` (`build_vocab` puts
+    `specials[0]` at id 0). Order-preserving; empty and NULL arrays
+    both encode to the empty array. `doc_cols` must uniquely key rows.
+
+    Cost: one bounded explode, one BROADCAST join against the vocab
+    (never a shuffle of the corpus on token), one groupBy(doc) whose
+    state is the doc's own length, and one equi-join back on the doc
+    key. No Python, no driver data."""
+    pos_tok = F.posexplode(tokens_col)
+    exploded = (df.select(*doc_cols, pos_tok.alias("_pos", "token")))
+    joined = exploded.join(F.broadcast(vocab.select("token", "id")),
+                           "token", "left")
+    tid = F.coalesce(F.col("id"), F.lit(unk_id)).alias("_tid")
+    rebuilt = F.transform(
+        F.array_sort(F.collect_list(F.struct("_pos", "_tid"))),
+        lambda s: s["_tid"])
+    ids = (joined.select(*doc_cols, F.col("_pos"), tid)
+           .groupBy(*doc_cols).agg(rebuilt.alias(out_col)))
+    empty = F.array().cast("array<long>")
+    return (df.join(ids, list(doc_cols), "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), empty)))

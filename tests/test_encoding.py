@@ -1,0 +1,104 @@
+"""Vocabulary build + token-id encoding (operators/encoding.py)."""
+
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.encoding import build_vocab, encode_tokens
+
+
+def _docs(spark):
+    rows = [
+        (1, ["def", "f", "(", ")", ":", "return", "x"]),
+        (2, ["def", "g", "(", ")", ":", "return", "y"]),
+        (3, ["x", "=", "x", "+", "x"]),
+        (4, []),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, toks array<string>")
+
+
+def test_build_vocab_rank_and_specials(spark):
+    v = build_vocab(_docs(spark), "toks", vocab_size=6,
+                    specials=("<unk>", "<pad>"))
+    rows = {r["token"]: (r["id"], r["count"]) for r in v.collect()}
+    assert rows["<unk>"] == (0, None) and rows["<pad>"] == (1, None)
+    # x:4, def:2, (:2, ):2, ::2, return:2 ... top-4 corpus slots by
+    # (count desc, token asc): x, then the count-2 ties ( ) :
+    assert rows["x"][0] == 2
+    assert [t for t, (i, _) in sorted(rows.items(), key=lambda kv: kv[1][0])
+            ] == ["<unk>", "<pad>", "x", "(", ")", ":"]
+    assert v.count() == 6
+
+
+def test_build_vocab_min_count(spark):
+    v = build_vocab(_docs(spark), "toks", vocab_size=50, min_count=2)
+    toks = {r["token"] for r in v.collect()}
+    # singletons (f, g, y, =, +) are dropped; ties at 2 all kept
+    assert "f" not in toks and "=" not in toks
+    assert {"x", "def", "return", "(", ")", ":", "<unk>"} <= toks
+
+
+def test_encode_known_and_unk(spark):
+    docs = _docs(spark)
+    v = build_vocab(docs, "toks", vocab_size=6,
+                    specials=("<unk>", "<pad>"))
+    out = {r["doc_id"]: list(r["token_ids"])
+           for r in encode_tokens(docs, "toks", v, ["doc_id"]).collect()}
+    ids = {r["token"]: r["id"] for r in v.collect()}
+    # doc 3: x = x + x -> [x, unk, x, unk, x]
+    assert out[3] == [ids["x"], 0, ids["x"], 0, ids["x"]]
+    # doc 1 element-wise: in-vocab tokens get their id, rest unk
+    expect1 = [ids.get(t, 0)
+               for t in ["def", "f", "(", ")", ":", "return", "x"]]
+    assert out[1] == expect1
+    # empty and NULL arrays both encode to []
+    assert out[4] == [] and out[5] == []
+
+
+def test_encode_deterministic_across_partitioning(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.transform(F.sequence(F.lit(1), F.pmod("id", F.lit(9))),
+                    lambda i: F.concat(F.lit("t"),
+                                       F.pmod(i * F.col("id"),
+                                              F.lit(17)).cast("string")))
+        .alias("toks"))
+    v = build_vocab(docs, "toks", vocab_size=12)
+    a = encode_tokens(docs, "toks", v, ["doc_id"]).collect()
+    b = encode_tokens(docs.repartition(13), "toks",
+                      build_vocab(docs.repartition(7), "toks", 12),
+                      ["doc_id"]).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted([(r["doc_id"], list(r["token_ids"])) for r in a]) == \
+        sorted([(r["doc_id"], list(r["token_ids"])) for r in b])
+
+
+def test_encode_then_materialize_chunks(spark):
+    # the full writer chain: encode ids -> pack into fixed sequences;
+    # the packed id stream equals the concatenated per-doc encodings
+    from alegre_spark.operators.packing import materialize_chunks
+    docs = _docs(spark).withColumn("repo", F.lit("r"))
+    v = build_vocab(docs, "toks", vocab_size=6)
+    enc = encode_tokens(docs, "toks", v, ["doc_id"])
+    chunks = materialize_chunks(enc.withColumn(
+        "ids_str", F.transform("token_ids",
+                               lambda i: i.cast("string"))),
+        "repo", ["doc_id"], "ids_str", 4)
+    got = [t for r in sorted(chunks.collect(),
+                             key=lambda r: r["chunk_id"])
+           for t in r["tokens"]]
+    flat = [str(t) for r in sorted(enc.collect(),
+                                   key=lambda r: r["doc_id"])
+            for t in r["token_ids"]]
+    assert got == flat and len(flat) == 19
+
+
+def test_vocab_plan_is_bounded_topk(spark):
+    # the only total order is TakeOrderedAndProject over the candidate
+    # counts — no global Sort of the corpus; encode broadcasts the vocab
+    docs = _docs(spark)
+    v = build_vocab(docs, "toks", vocab_size=6)
+    vplan = v._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in vplan
+    eplan = (encode_tokens(docs, "toks", v, ["doc_id"])
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in eplan
