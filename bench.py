@@ -57,6 +57,13 @@ def main():
             steady.append(dt)
     pipeline_sec = sorted(steady)[1]  # median of 3
     timings["pipeline_steady"] = round(pipeline_sec, 3)
+    # Under ambient co-tenant host load (loadavg 5-9 with zero local
+    # processes, documented in BENCH.md §r3b) the median absorbs
+    # whatever the neighbors were doing; the BEST steady run is the
+    # least-biased estimate of what the CODE costs, and is the same
+    # statistic tools/scaling_bench.py already reports. The headline
+    # metric stays the median for cross-round comparability.
+    timings["pipeline_steady_best"] = round(sorted(steady)[0], 3)
     files_per_sec = n / pipeline_sec
     files.unpersist()
 
@@ -88,6 +95,7 @@ def main():
     print(json.dumps({
         "metric": "files_per_sec_pipeline",
         "value": round(files_per_sec, 1),
+        "value_best_steady": round(n / sorted(steady)[0], 1),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
