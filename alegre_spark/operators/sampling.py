@@ -146,6 +146,52 @@ def stratified_sample_exact(df: DataFrame, strata_cols: list[str],
             .filter(F.col("_sr") <= k).drop("_sr"))
 
 
+def stratified_token_budget(df: DataFrame, strata_cols: list[str],
+                            budget, token_col: str, key_cols: list,
+                            seed: int = 0) -> DataFrame:
+    """Per-stratum TOKEN budget: keep the hash-smallest rows of each
+    stratum until their cumulative token count reaches `budget` — the
+    unit real corpus curation quotas are set in (per-language /
+    per-source token budgets), where `stratified_sample_exact` counts
+    rows. `budget` is an int, or a dict {stratum_value: budget} over
+    the single column in `strata_cols` (unlisted strata dropped,
+    mirroring `hash_sample`'s per-stratum contract).
+
+    A row is kept iff the tokens BEFORE it fit the budget, so the
+    boundary row that crosses the line is included (budgets are
+    floors: delivering 1.0000x-1.0001x of a quota beats silently
+    under-delivering it; pass budget - max_doc_tokens for a ceiling)
+    and a first row larger than the whole budget still represents its
+    stratum. NULL token counts count 0.
+
+    Scale shape: one shuffle on the strata, then a window cumulative
+    sum in hash order (`pack_sequences`'s layout) — no second pass, no
+    driver data. Unlike the exact-k quota there is no WindowGroupLimit
+    pushdown (the cutoff depends on the running sum, not a rank), so a
+    mega-stratum routes its full row set through one reducer: salt the
+    strata (split a giant language into `lang#0..lang#15` and give
+    each a budget share) when one stratum dominates the corpus."""
+    h = _row_hash(key_cols, seed)
+    keys = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    if isinstance(budget, dict):
+        if len(strata_cols) != 1:
+            raise ValueError("per-stratum budgets need exactly one "
+                             "strata column")
+        b = F.lit(None).cast("long")
+        for value, q in budget.items():
+            b = F.when(F.col(strata_cols[0]) == F.lit(value),
+                       F.lit(int(q))).otherwise(b)
+    else:
+        b = F.lit(int(budget))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), *keys)
+    n = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    before = F.coalesce(
+        F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    return (df.withColumn("_tb", before)
+            .filter(F.col("_tb") < b).drop("_tb"))
+
+
 def mix_corpora(sources: dict, weights: dict, target_tokens: int,
                 token_col: str, key_cols: list, seed: int = 0,
                 source_col: str = "mix_source",

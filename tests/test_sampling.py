@@ -177,3 +177,56 @@ def test_mix_corpora_rejects_negative_weight(spark):
     with pt.raises(ValueError):
         mix_corpora({"a": a, "b": a}, {"a": 2.0, "b": -1.0}, 100,
                     "n_tokens", ["id"])
+
+
+def test_token_budget_floor_and_boundary(spark):
+    from alegre_spark.operators.sampling import stratified_token_budget
+    df = _docs(spark, 400).withColumn(
+        "n_tok", F.pmod("id", F.lit(7)) + 1)
+    out = stratified_token_budget(df, ["stratum"], 100, "n_tok", ["id"])
+    sums = {r["stratum"]: r["s"] for r in
+            out.groupBy("stratum").agg(F.sum("n_tok").alias("s"))
+            .collect()}
+    assert set(sums) == {"s0", "s1", "s2", "s3"}
+    # budget is a floor: >= 100, overshoot bounded by one doc (max 7)
+    for v in sums.values():
+        assert 100 <= v <= 106
+    # kept rows are the hash-smallest prefix: re-running the selection
+    # on the kept rows with the same budget is a no-op
+    again = stratified_token_budget(out, ["stratum"], 100, "n_tok",
+                                    ["id"])
+    assert again.count() == out.count()
+
+
+def test_token_budget_per_stratum_dict_and_null(spark):
+    from alegre_spark.operators.sampling import stratified_token_budget
+    df = _docs(spark, 400).withColumn(
+        "n_tok", F.when(F.pmod("id", F.lit(10)) == 0,
+                        F.lit(None).cast("long"))
+        .otherwise(F.pmod("id", F.lit(7)) + 1))
+    out = stratified_token_budget(
+        df, ["stratum"], {"s0": 50, "s1": 10_000_000}, "n_tok", ["id"])
+    by = {r["stratum"]: r for r in
+          out.groupBy("stratum")
+          .agg(F.sum("n_tok").alias("s"), F.count("*").alias("c"))
+          .collect()}
+    assert set(by) == {"s0", "s1"}          # unlisted strata dropped
+    assert 50 <= by["s0"]["s"] <= 56
+    assert by["s1"]["c"] == 100             # huge budget keeps all
+    # a first row larger than the whole budget still represents its
+    # stratum (before=0 < b)
+    one = spark.createDataFrame([("x", 1, 999)],
+                                "stratum string, id long, n_tok long")
+    assert stratified_token_budget(one, ["stratum"], 5, "n_tok",
+                                   ["id"]).count() == 1
+
+
+def test_token_budget_layout_stable(spark):
+    from alegre_spark.operators.sampling import stratified_token_budget
+    df = _docs(spark, 1000).withColumn(
+        "n_tok", F.pmod("id", F.lit(5)) + 1)
+    a = {r["id"] for r in stratified_token_budget(
+        df, ["stratum"], 77, "n_tok", ["id"]).collect()}
+    b = {r["id"] for r in stratified_token_budget(
+        df.repartition(13), ["stratum"], 77, "n_tok", ["id"]).collect()}
+    assert a == b
