@@ -55,6 +55,8 @@ def build_vocab(df: DataFrame, tokens_col: str, vocab_size: int,
     """
     if vocab_size <= len(specials):
         raise ValueError("vocab_size must exceed len(specials)")
+    if len(set(specials)) != len(specials):
+        raise ValueError("specials must be distinct (ids are positional)")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     spark = df.sparkSession

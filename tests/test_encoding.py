@@ -37,6 +37,17 @@ def test_build_vocab_min_count(spark):
     assert {"x", "def", "return", "(", ")", ":", "<unk>"} <= toks
 
 
+def test_build_vocab_validation(spark):
+    import pytest
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        build_vocab(docs, "toks", vocab_size=1)   # <= len(specials)
+    with pytest.raises(ValueError):
+        build_vocab(docs, "toks", 10, specials=("<unk>", "<unk>"))
+    with pytest.raises(ValueError):
+        build_vocab(docs, "toks", 10, min_count=0)
+
+
 def test_encode_known_and_unk(spark):
     docs = _docs(spark)
     v = build_vocab(docs, "toks", vocab_size=6,
