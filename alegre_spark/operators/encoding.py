@@ -85,7 +85,12 @@ def encode_tokens(df: DataFrame, tokens_col: str, vocab: DataFrame,
     """Add `out_col`: the doc's token array mapped to vocab ids, with
     out-of-vocabulary tokens mapped to `unk_id` (`build_vocab` puts
     `specials[0]` at id 0). Order-preserving; empty and NULL arrays
-    both encode to the empty array. `doc_cols` must uniquely key rows.
+    both encode to the empty array. NULL ELEMENTS inside an array also
+    encode to `unk_id` (posexplode emits them, the vocab equi-join
+    never matches NULL, and the coalesce maps them to unk) — by
+    design indistinguishable from a real OOV token; filter NULL
+    elements upstream if they should be dropped instead.
+    `doc_cols` must uniquely key rows.
 
     Cost: one bounded explode, one BROADCAST join against the vocab
     (never a shuffle of the corpus on token), one groupBy(doc) whose

@@ -55,10 +55,14 @@ def pack_sequences(df: DataFrame, shard_col: str, order_cols: list,
     start = F.coalesce(
         F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0))
-    df = df.withColumn(prefix + "start", start)
-    start_c = F.col(prefix + "start")
-    first = F.floor(start_c / seq_len)
-    last = F.floor((start_c + n - 1) / seq_len)
+    df = (df.withColumn(prefix + "start", start)
+          .withColumn("_pack_end_", F.col(prefix + "start") + n - 1))
+    # Integer DIV on longs, not floor(double division): a double loses
+    # integer precision past 2^53, so a shard stream longer than ~9e15
+    # tokens would mis-assign chunks. DIV keeps chunk ids exact for
+    # arbitrarily long streams (offsets are >= 0, so DIV == floor).
+    first = F.expr(f"`{prefix}start` DIV {int(seq_len)}")
+    last = F.expr(f"`_pack_end_` DIV {int(seq_len)}")
     nonempty = n > 0
     return (df
             .withColumn(prefix + "first_chunk",
@@ -67,7 +71,8 @@ def pack_sequences(df: DataFrame, shard_col: str, order_cols: list,
                         F.when(nonempty, last))
             .withColumn(prefix + "n_chunks",
                         F.when(nonempty, last - first + 1)
-                        .otherwise(F.lit(0))))
+                        .otherwise(F.lit(0)))
+            .drop("_pack_end_"))
 
 
 def pack_chunk_stats(df: DataFrame, shard_col: str, n_tokens_col: str,
@@ -83,7 +88,9 @@ def pack_chunk_stats(df: DataFrame, shard_col: str, n_tokens_col: str,
     total = F.sum(n).alias("total_tokens")
     out = df.groupBy(shard_col).agg(total,
                                     F.count("*").alias("n_docs"))
-    n_chunks = F.ceil(F.col("total_tokens") / seq_len)
+    # ceil(a/L) as exact long arithmetic (see pack_sequences on DIV)
+    n_chunks = F.expr(
+        f"(total_tokens + {int(seq_len) - 1}) DIV {int(seq_len)}")
     return (out.withColumn("n_chunks", n_chunks)
             .withColumn("pad_tokens",
                         n_chunks * seq_len - F.col("total_tokens")))
@@ -102,10 +109,13 @@ def chunk_boundaries(df: DataFrame, shard_col: str,
     slice starts inside the chunk), tok_from/tok_to (the half-open
     range of the DOC's own tokens landing in this chunk). Zero-token
     docs emit nothing. `carry_cols` are passed through untouched (and
-    take no part in the pack ordering) — `materialize_chunks` carries
-    the token array this way. Cost: the pack window plus one bounded
-    explode (a doc yields `n_chunks` rows — O(n_tokens/seq_len),
-    never more than its own length)."""
+    take no part in the pack ordering). Cost: the pack window plus one
+    bounded explode (a doc yields `n_chunks` rows — O(n_tokens/seq_len),
+    never more than its own length). Caution: the explode REPLICATES
+    carry_cols into every chunk row, so carrying a large payload (e.g.
+    the full token array) costs O(payload x n_chunks) transient bytes
+    per doc — `materialize_chunks` avoids this by slicing per-chunk
+    pieces BEFORE its explode; do the same for big payloads."""
     packed = pack_sequences(df, shard_col, doc_cols, n_tokens_col,
                             seq_len, prefix)
     start = F.col(prefix + "start")
@@ -135,9 +145,12 @@ def materialize_chunks(df: DataFrame, shard_col: str, doc_cols: list,
     chunk) and `chunk_n_tokens`; `F.array_join(tokens, sep)` or a
     tokenizer-id map downstream turns it into writable text/ids.
 
-    Composition: `chunk_boundaries` emits each doc's (chunk, token
-    sub-range) rows with the token array carried through; one
-    `slice` per row cuts the doc's contribution, and one
+    Composition: `pack_sequences` gives each doc its chunk span; ONE
+    projection slices the doc's per-chunk pieces inside an
+    `F.transform` over that span (so the Generate input carries the
+    pieces — total O(n_tokens) bytes per doc — never the full array
+    replicated once per chunk); the explode then yields one
+    (chunk_id, off_in_chunk, piece) row per touched chunk, and one
     groupBy(shard, chunk) stitches contributions in `off_in_chunk`
     order. Cost: the pack window + one bounded explode + ONE
     aggregation whose state per chunk is <= seq_len tokens — no
@@ -147,13 +160,28 @@ def materialize_chunks(df: DataFrame, shard_col: str, doc_cols: list,
         "_mc_nt",
         F.when(F.col(tokens_col).isNull(), F.lit(0))
         .otherwise(F.size(tokens_col)))
-    b = chunk_boundaries(d, shard_col, doc_cols, "_mc_nt", seq_len,
-                         carry_cols=[tokens_col])
-    piece = F.slice(F.col(tokens_col),
-                    (F.col("tok_from") + 1).cast("int"),
-                    (F.col("tok_to") - F.col("tok_from")).cast("int"))
-    per = b.select(shard_col, "chunk_id", "off_in_chunk",
-                   piece.alias("_piece"))
+    packed = pack_sequences(d, shard_col, doc_cols, "_mc_nt", seq_len)
+    n = F.col("_mc_nt").cast("long")
+    ps = F.col("pack_start")
+    L = int(seq_len)
+
+    def _piece_struct(c):
+        lo = c * L
+        tok_from = F.greatest(lo - ps, F.lit(0))
+        tok_to = F.least(lo + L - ps, n)
+        return F.struct(
+            c.alias("chunk_id"),
+            F.greatest(ps - lo, F.lit(0)).alias("off_in_chunk"),
+            F.slice(F.col(tokens_col), (tok_from + 1).cast("int"),
+                    (tok_to - tok_from).cast("int")).alias("_piece"))
+
+    pieces = F.transform(
+        F.sequence(F.col("pack_first_chunk"), F.col("pack_last_chunk")),
+        _piece_struct)
+    per = (packed.filter(F.col("pack_n_chunks") > 0)
+           .select(shard_col, F.explode(pieces).alias("_e"))
+           .select(shard_col, "_e.chunk_id", "_e.off_in_chunk",
+                   F.col("_e._piece").alias("_piece")))
     stitched = F.flatten(
         F.transform(
             F.array_sort(F.collect_list(

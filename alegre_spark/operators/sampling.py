@@ -148,7 +148,8 @@ def stratified_sample_exact(df: DataFrame, strata_cols: list[str],
 
 def stratified_token_budget(df: DataFrame, strata_cols: list[str],
                             budget, token_col: str, key_cols: list,
-                            seed: int = 0) -> DataFrame:
+                            seed: int = 0,
+                            salt_buckets: int = 1) -> DataFrame:
     """Per-stratum TOKEN budget: keep the hash-smallest rows of each
     stratum until their cumulative token count reaches `budget` — the
     unit real corpus curation quotas are set in (per-language /
@@ -167,12 +168,39 @@ def stratified_token_budget(df: DataFrame, strata_cols: list[str],
     Scale shape: one shuffle on the strata, then a window cumulative
     sum in hash order (`pack_sequences`'s layout) — no second pass, no
     driver data. Unlike the exact-k quota there is no WindowGroupLimit
-    pushdown (the cutoff depends on the running sum, not a rank), so a
-    mega-stratum routes its full row set through one reducer: salt the
-    strata (split a giant language into `lang#0..lang#15` and give
-    each a budget share) when one stratum dominates the corpus."""
+    pushdown (the cutoff depends on the running sum, not a rank), so
+    with `salt_buckets=1` a mega-stratum routes its full row set
+    through ONE reducer — and a real corpus always has a dominant
+    language. `salt_buckets=S > 1` defuses that: every stratum is
+    hash-split into S content-addressed sub-strata (decorrelated seed,
+    the `mix_corpora` pattern), each given an integer share of the
+    stratum's budget summing EXACTLY to it (base = budget div S, the
+    first budget mod S buckets get +1; Python integer math, no float
+    division), and the window runs per (stratum, bucket) — S-way
+    parallel inside the giant stratum. Semantics under salt: still
+    deterministic and layout-stable, still floor-per-bucket (total
+    delivered >= budget whenever every bucket has tokens to spare),
+    but the kept set is the union of per-bucket hash-prefixes, not
+    the stratum-global hash prefix, and the overshoot bound becomes
+    S boundary rows (< S * max_doc_tokens). A bucket whose tokens run
+    short under-delivers its share even if siblings have surplus —
+    hash-uniform buckets make that unlikely unless the stratum barely
+    covers its budget; keep S modest (8-32) and S * max_doc_tokens
+    << budget."""
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets must be >= 1")
     h = _row_hash(key_cols, seed)
     keys = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    salted = salt_buckets > 1
+
+    def _sub_budget(q):
+        q = int(q)
+        if not salted:
+            return F.lit(q)
+        base, rem = divmod(q, salt_buckets)
+        return (F.when(F.col("_tb_salt") < rem, F.lit(base + 1))
+                .otherwise(F.lit(base)))
+
     if isinstance(budget, dict):
         if len(strata_cols) != 1:
             raise ValueError("per-stratum budgets need exactly one "
@@ -180,16 +208,29 @@ def stratified_token_budget(df: DataFrame, strata_cols: list[str],
         b = F.lit(None).cast("long")
         for value, q in budget.items():
             b = F.when(F.col(strata_cols[0]) == F.lit(value),
-                       F.lit(int(q))).otherwise(b)
+                       _sub_budget(q)).otherwise(b)
     else:
-        b = F.lit(int(budget))
-    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), *keys)
+        b = _sub_budget(budget)
+    parts = [F.col(c) for c in strata_cols]
+    out = df
+    if salted:
+        # decorrelated bucket hash (seed xor a fixed tag, like
+        # mix_corpora's derived remainder seed): with the ORDER hash
+        # reused, bucket membership and within-bucket rank would be
+        # functions of the same value
+        out = out.withColumn(
+            "_tb_salt",
+            F.pmod(_row_hash(key_cols, seed ^ 0x5A17B0C7),
+                   F.lit(salt_buckets)).cast("int"))
+        parts.append(F.col("_tb_salt"))
+    w = Window.partitionBy(*parts).orderBy(h.asc(), *keys)
     n = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     before = F.coalesce(
         F.sum(n).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0))
-    return (df.withColumn("_tb", before)
-            .filter(F.col("_tb") < b).drop("_tb"))
+    return (out.withColumn("_tb", before)
+            .filter(F.col("_tb") < b)
+            .drop("_tb", *(["_tb_salt"] if salted else [])))
 
 
 def mix_corpora(sources: dict, weights: dict, target_tokens: int,

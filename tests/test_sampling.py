@@ -230,3 +230,68 @@ def test_token_budget_layout_stable(spark):
     b = {r["id"] for r in stratified_token_budget(
         df.repartition(13), ["stratum"], 77, "n_tok", ["id"]).collect()}
     assert a == b
+
+
+def _mega(spark, n=4000):
+    """80% of rows in one language — the mega-stratum shape every
+    real corpus has."""
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(F.pmod("id", F.lit(5)) < 4, F.lit("en"))
+        .otherwise(F.concat(F.lit("l"), F.pmod("id", F.lit(5))))
+        .alias("stratum"),
+        (F.pmod("id", F.lit(7)) + 1).alias("n_tok"))
+
+
+def test_token_budget_salted_totals_and_bound(spark):
+    from alegre_spark.operators.sampling import stratified_token_budget
+    df = _mega(spark)
+    S = 8
+    out = stratified_token_budget(df, ["stratum"], 800, "n_tok",
+                                  ["id"], salt_buckets=S)
+    sums = {r["stratum"]: r["s"] for r in
+            out.groupBy("stratum").agg(F.sum("n_tok").alias("s"))
+            .collect()}
+    # every stratum has plenty of tokens per bucket, so the per-bucket
+    # floors deliver >= budget; overshoot < S boundary docs (max 7)
+    assert 800 <= sums["en"] <= 800 + S * 7
+    # per-bucket sub-budgets partition the budget exactly: a budget
+    # that is NOT a multiple of S still totals right
+    out2 = stratified_token_budget(df, ["stratum"], 803, "n_tok",
+                                   ["id"], salt_buckets=S)
+    s2 = (out2.filter("stratum = 'en'")
+          .agg(F.sum("n_tok")).first()[0])
+    assert 803 <= s2 <= 803 + S * 7
+
+
+def test_token_budget_salted_layout_stable_and_parallel(spark):
+    from alegre_spark.operators.sampling import stratified_token_budget
+    df = _mega(spark)
+    out = stratified_token_budget(df, ["stratum"], 500, "n_tok",
+                                  ["id"], salt_buckets=8)
+    a = {r["id"] for r in out.collect()}
+    b = {r["id"] for r in stratified_token_budget(
+        df.repartition(13), ["stratum"], 500, "n_tok", ["id"],
+        salt_buckets=8).collect()}
+    assert a == b  # still content-addressed under salt
+    # the window partitions on (stratum, salt) — the mega-stratum is
+    # split across >= 8 window groups, not one reducer
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_tb_salt" in plan
+    n_groups = (df.withColumn(
+        "_s", F.pmod(F.xxhash64("id", F.lit(0 ^ 0x5A17B0C7)),
+                     F.lit(8)))
+        .filter("stratum = 'en'").select("_s").distinct().count())
+    assert n_groups >= 8
+    # salt=1 path unchanged: no salt column in its plan
+    plain = stratified_token_budget(df, ["stratum"], 500, "n_tok",
+                                    ["id"])
+    assert "_tb_salt" not in (
+        plain._jdf.queryExecution().executedPlan().toString())
+
+
+def test_token_budget_salted_rejects_bad_salt(spark):
+    from alegre_spark.operators.sampling import stratified_token_budget
+    with pytest.raises(ValueError):
+        stratified_token_budget(_mega(spark, 10), ["stratum"], 10,
+                                "n_tok", ["id"], salt_buckets=0)
