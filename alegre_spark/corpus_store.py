@@ -144,3 +144,56 @@ class CorpusStore:
                 appended = rows.count()
             rows.write.mode("append").parquet(path)
         return appended
+
+    # -- compaction ---------------------------------------------------------
+
+    def compact_into(self, spark: SparkSession, new_root: str,
+                     target_partitions: int | None = None,
+                     rows_per_file: int = 2_000_000) -> "CorpusStore":
+        """Periodic maintenance for a long-lived store: N rollforwards
+        leave each dataset as N small appended file groups (plus any
+        orphan index rows from crashed partial rollforwards), so the
+        per-batch `label()` reads degrade from 'scan a few big
+        clustered files' to 'open N*3 fragments'. Compaction reads the
+        CURRENT state (orphan-filtered, exactly what matching sees),
+        and rewrites each dataset once, clustered for its access path:
+
+          keepers      -> repartition by id  (the anti-join/semi-join
+                          probes and the candidate semi-join read it
+                          by id);
+          band_index   -> range-clustered by (band, key) — the
+                          incremental band equi-join's build side gets
+                          contiguous key ranges and parquet min/max
+                          skipping;
+          content_keys -> range-clustered by content_key (same for
+                          the exact-collapse equi-join).
+
+        Writes to a NEW root and returns a CorpusStore over it — the
+        caller swaps the pointer when done, so a crash mid-compaction
+        leaves the live store untouched (production: Iceberg's
+        RewriteFiles makes the swap an atomic snapshot commit; plain
+        parquet gets the same safety from the two-root pointer swap).
+        Labels are unchanged by construction: the rewritten state is
+        row-identical to the orphan-filtered live state (pinned by
+        test_corpus_store.test_compaction_label_identity).
+
+        `target_partitions` bounds output files per dataset; default
+        sizes from the keeper count at `rows_per_file` (ONE count on
+        the keeper table — a maintenance job, not the hot path)."""
+        keepers, bands, keys = self.read_state(spark)
+        if keepers is None:
+            raise ValueError("nothing to compact: store is empty")
+        if target_partitions is None:
+            target_partitions = max(
+                1, -(-keepers.count() // rows_per_file))
+        new = CorpusStore(new_root, self.id_col, self.text_col,
+                          **self.hash_args)
+        (keepers.repartition(target_partitions, F.col(self.id_col))
+         .write.mode("errorifexists").parquet(new.keepers_path))
+        if bands is not None:
+            (bands.repartitionByRange(target_partitions, "band", "key")
+             .write.mode("errorifexists").parquet(new.bands_path))
+        if keys is not None:
+            (keys.repartitionByRange(target_partitions, "content_key")
+             .write.mode("errorifexists").parquet(new.keys_path))
+        return new

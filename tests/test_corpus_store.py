@@ -81,6 +81,86 @@ def test_corpus_store_roundtrip_and_replay_convergence(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_compaction_label_identity_and_cleanup(spark):
+    """N rollforwards + compaction: the compacted store labels a next
+    batch EXACTLY like the fragmented one, carries identical
+    (orphan-filtered) state rows, drops crashed-partial orphan index
+    rows, and ends with fewer file fragments."""
+    from alegre_spark.corpus_store import CorpusStore
+    from alegre_spark.operators.dedup import minhash_band_index
+
+    work = tempfile.mkdtemp()
+    hashes = dict(num_hashes=8, bands=8, shingle_n=2)
+    store = CorpusStore(os.path.join(work, "live"), "doc_id", "text",
+                        **hashes)
+    try:
+        batches = [
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "one two three four five six seven eight")],
+            [(10, "ALPHA beta gamma delta epsilon zeta eta theta"),
+             (11, "totally fresh content about something else now")],
+            [(20, "one two three four five six seven eight"),
+             (21, "yet another brand new document body here today")],
+        ]
+        for rows in batches:
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            lb = store.label(b, threshold=0.6)
+            store.rollforward(b, _fresh_keeper_ids(lb))
+
+        # crashed-partial orphan: index rows for an id that never made
+        # keepers — compaction must NOT carry it over
+        orphan = spark.createDataFrame(
+            [(99, "orphan index only row content words")],
+            "doc_id long, text string")
+        minhash_band_index(orphan, "doc_id", "text", **hashes) \
+            .write.mode("append").parquet(store.bands_path)
+
+        compacted = store.compact_into(
+            spark, os.path.join(work, "compacted"),
+            target_partitions=1)
+
+        nxt = spark.createDataFrame(
+            [(30, "alpha beta gamma delta epsilon zeta eta theta"),
+             (31, "yet another brand new document body here today"),
+             (32, "completely unrelated words in a fresh batch row")],
+            "doc_id long, text string")
+        assert (_label_map(store.label(nxt, threshold=0.6)) ==
+                _label_map(compacted.label(nxt, threshold=0.6)))
+
+        # state is row-identical to the orphan-filtered live state
+        lk, lb_, lx = store.read_state(spark)
+        ck, cb, cx = compacted.read_state(spark)
+        for live, comp in ((lk, ck), (lb_, cb), (lx, cx)):
+            assert live.exceptAll(comp).count() == 0
+            assert comp.exceptAll(live).count() == 0
+        assert cb.filter("id = 99").count() == 0  # orphan gone
+
+        def n_files(path):
+            return sum(1 for f in os.listdir(path)
+                       if f.endswith(".parquet"))
+        assert n_files(compacted.bands_path) < n_files(store.bands_path)
+        assert n_files(compacted.keepers_path) == 1
+
+        # compacted store keeps rolling forward normally
+        ln = compacted.label(nxt, threshold=0.6)
+        assert compacted.rollforward(nxt, _fresh_keeper_ids(ln)) == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_compaction_empty_store_raises(spark):
+    import pytest
+
+    from alegre_spark.corpus_store import CorpusStore
+    work = tempfile.mkdtemp()
+    try:
+        with pytest.raises(ValueError):
+            CorpusStore(os.path.join(work, "live")).compact_into(
+                spark, os.path.join(work, "c"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_corpus_store_strict_read_errors(spark):
     """A keepers path that exists but is unreadable garbage must RAISE
     (treating it as bootstrap would re-ingest the corpus as

@@ -395,6 +395,54 @@ def test_ivf_ann(spark):
     assert all(r["cand_id"] < 20 for r in got)  # stays in cluster A
 
 
+def test_ann_auto_routing(spark):
+    """The structure-aware default: a clustered corpus routes to IVF,
+    a structureless one routes to the weak fallback — and BOTH deliver
+    the exact brute-force top-k through the one entry point (IVF with
+    covering nprobe on the clustered corpus; exact scan on the
+    structureless one)."""
+    import numpy as np
+
+    from alegre_spark.operators.ann import (ann_auto_topk,
+                                            brute_force_topk,
+                                            choose_ann_route)
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(4, 16)
+    clustered = spark.createDataFrame(
+        [(i, (centers[i % 4] + 0.05 * rng.randn(16)).tolist())
+         for i in range(200)], "vec_id long, embedding array<double>")
+    uniform = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>")
+
+    route_c, stat_c, _ = choose_ann_route(clustered, "vec_id",
+                                          "embedding", n_centroids=4,
+                                          sample=200)
+    route_u, stat_u, _ = choose_ann_route(uniform, "vec_id",
+                                          "embedding", n_centroids=4,
+                                          sample=200)
+    assert route_c == "ivf" and stat_c > 0.8
+    assert route_u == "weak" and stat_u < 0.5
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["cand_id"])
+        return out
+
+    for corpus, n_cent, nprobe in ((clustered, 4, 4), (uniform, 4, 2)):
+        probes = corpus.filter("vec_id < 5")
+        exact = sets(brute_force_topk(probes, corpus, "vec_id",
+                                      "vec_id", "embedding",
+                                      "embedding", k=5))
+        got = sets(ann_auto_topk(probes, corpus, "vec_id", "vec_id",
+                                 "embedding", "embedding", 16, k=5,
+                                 n_centroids=n_cent, sample=200,
+                                 nprobe=nprobe))
+        assert got == exact
+
+
 def test_lsh_multitable_recall_monotone(spark):
     """Multi-table LSH: L tables strictly widen the candidate union,
     so recall@k vs brute force is monotonically non-decreasing in L

@@ -92,11 +92,32 @@ def main():
         "ivf_nprobe2": recall(civf, cexact),
     }
 
+    # the r4 structure-aware default: ONE entry point, both shapes
+    from alegre_spark.operators.ann import ann_auto_topk, choose_ann_route
+    route_rand, stat_rand, _ = choose_ann_route(e, "vec_id", "embedding")
+    auto_rand = topk_sets(ann_auto_topk(
+        probes, e, "vec_id", "vec_id", "embedding", "embedding",
+        dim, k=k))
+    route_clus, stat_clus, _ = choose_ann_route(cdf, "vec_id",
+                                                "embedding")
+    auto_clus = topk_sets(ann_auto_topk(
+        cprobes, cdf, "vec_id", "vec_id", "embedding", "embedding",
+        dim, k=k))
+    auto = {
+        "random": {"route": route_rand,
+                   "structure": round(stat_rand, 4),
+                   "recall": recall(auto_rand)},
+        "clustered": {"route": route_clus,
+                      "structure": round(stat_clus, 4),
+                      "recall": recall(auto_clus, cexact)},
+    }
+
     print(json.dumps({"n_vectors": n, "k": k, "n_probes": len(exact),
                       "recall_lsh_6planes": recall(lsh),
                       "recall_lsh_multitable_L4_default": recall(multi),
                       "recall_ivf": ivf,
-                      "clustered_corpus": crecall}))
+                      "clustered_corpus": crecall,
+                      "auto_default": auto}))
     spark.stop()
 
 

@@ -1,0 +1,64 @@
+"""One COLD pipeline run in a fresh process — the probe for pinning
+the driver bench's `pipeline_cold` number (VERDICT r3 "what's wrong"
+#1: 9.42 s at r2 head vs 18.18 s at r3 head on the driver box, while
+steady IMPROVED — suspect list: r3c driver-side import/broadcast
+setup vs box contention).
+
+Replicates exactly the driver bench's cold window (`bench.py:39-55`):
+generate + persist + count the 120k corpus OUTSIDE the window, then
+time the FIRST `run_pipeline(...).filter("keep").count()` this JVM /
+these Python workers ever execute — so it pays Python-worker pandas
+and numpy imports, the LM lookup-table build, and codegen JIT. A
+steady (3rd) run is reported alongside for the contention cross-check
+(steady is the quantity whose noise band is already established).
+
+Run it from INSIDE the head's worktree (sys.path[0] = cwd) so the
+same probe text measures any head:
+
+    cd <worktree> && taskset -c 0-31 python tools/cold_probe.py
+
+Interleave A/B runs across worktrees on an idle box; one JSON line
+per run."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.getcwd())
+
+from alegre_spark.corpus import generate_corpus  # noqa: E402
+from alegre_spark.pipeline import PipelineConfig, run_pipeline  # noqa: E402
+from alegre_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="cold-probe", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    files = generate_corpus(spark, n_files, partitions=cpus * 2).persist()
+    n = files.count()
+    cfg = PipelineConfig(salt_buckets=cpus * 4)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_pipeline(files, cfg).filter("keep").count()
+        times.append(round(time.perf_counter() - t0, 3))
+
+    print(json.dumps({
+        "head": os.path.basename(os.getcwd()),
+        "n": n,
+        "cold_sec": times[0],
+        "steady_sec": times[2],
+        "all_runs": times,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

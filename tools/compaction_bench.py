@@ -1,0 +1,122 @@
+"""Measure what CorpusStore compaction buys: N sequential
+rollforwards leave each dataset as N appended fragment groups, so the
+per-batch `label()` read path degrades with ingest count even when
+the corpus itself barely grows. Compaction rewrites the state
+clustered (keepers by id, band index by (band, key) range, content
+keys by key range) and must restore the few-big-files read profile —
+with labels identical before/after (also pinned by
+tests/test_corpus_store.py::test_compaction_label_identity*).
+
+Protocol: ingest `n_batches` batches of `batch_rows` via the real
+rollforward, time `label()` of a fixed probe batch on the fragmented
+store (median of 3), compact, re-time on the compacted store, and
+report file counts + timings as ONE JSON line.
+
+Usage: python tools/compaction_bench.py [batch_rows] [n_batches]
+       (defaults: 2000 rows, 24 batches)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from alegre_spark.corpus import generate_corpus  # noqa: E402
+from alegre_spark.corpus_store import CorpusStore  # noqa: E402
+from alegre_spark.session import get_spark  # noqa: E402
+
+
+def _batch(spark, n_rows: int, tag: int):
+    files = generate_corpus(spark, n_rows)
+    bid = F.xxhash64("repo", "path", "commit", F.lit(tag))
+    return (files.select(
+        bid.alias("doc_id"),
+        F.concat_ws(" ", "content", F.lit(f"t{tag}"),
+                    bid.cast("string")).alias("text"))
+        .dropDuplicates(["doc_id"]))
+
+
+def _n_files(path: str) -> int:
+    try:
+        return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    except FileNotFoundError:
+        return 0
+
+
+def _label_time(store: CorpusStore, probe, reps: int = 3) -> float:
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        store.label(probe, threshold=0.8).write \
+            .format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def main():
+    batch_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    spark = get_spark(app_name="compaction-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp()
+    store = CorpusStore(os.path.join(work, "live"))
+    try:
+        t0 = time.perf_counter()
+        for i in range(n_batches):
+            b = _batch(spark, batch_rows, i).persist()
+            b.count()
+            labels = store.label(b, threshold=0.8)
+            keepers = (labels.filter(
+                (~F.col("matched_existing")) &
+                (F.col("id") == F.col("keeper_id"))).select("id"))
+            store.rollforward(b, keepers)
+            b.unpersist()
+        t_ingest = time.perf_counter() - t0
+
+        probe = _batch(spark, batch_rows, 999_999).persist()
+        probe.count()
+
+        files_before = {p: _n_files(getattr(store, p)) for p in
+                        ("keepers_path", "bands_path", "keys_path")}
+        t_frag = _label_time(store, probe)
+        frag_labels = {r["id"]: r["keeper_id"] for r in
+                       store.label(probe, threshold=0.8).collect()}
+
+        t0 = time.perf_counter()
+        compacted = store.compact_into(
+            spark, os.path.join(work, "compacted"))
+        t_compact = time.perf_counter() - t0
+
+        files_after = {p: _n_files(getattr(compacted, p)) for p in
+                       ("keepers_path", "bands_path", "keys_path")}
+        t_comp = _label_time(compacted, probe)
+        comp_labels = {r["id"]: r["keeper_id"] for r in
+                       compacted.label(probe, threshold=0.8).collect()}
+        assert comp_labels == frag_labels, "compaction changed labels"
+
+        print(json.dumps({
+            "batch_rows": batch_rows, "n_batches": n_batches,
+            "ingest_total_sec": round(t_ingest, 2),
+            "files_before": files_before, "files_after": files_after,
+            "label_fragmented_sec": round(t_frag, 3),
+            "label_compacted_sec": round(t_comp, 3),
+            "compact_sec": round(t_compact, 2),
+            "labels_identical": True,
+            "speedup": round(t_frag / t_comp, 2),
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

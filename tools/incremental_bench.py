@@ -16,11 +16,25 @@ groups), so the count is reported rather than asserted.
 
 Usage: python tools/incremental_bench.py [batch_rows] [sizes...]
        (defaults: 1000 batch, corpus sizes 20000 80000)
+
+Knobs (env) for the bloom DESIGN-POINT run (VERDICT r3 item 7 — the
+default 2/3-dup batch shape cannot show a bloom win by construction,
+since most rows carry at least one bloom-positive band and the gate
+prunes nothing):
+  ALEGRE_INC_NOVEL_PCT  percent of the batch that is fresh content
+                        (default 34 ≈ the legacy thirds mix); set 90+
+                        to measure the gate at its design point, where
+                        most rows should short-circuit to "novel"
+                        without probing the persisted corpus indexes;
+  ALEGRE_INC_SKIP_FULL  "1" skips the full-recompute leg (irrelevant
+                        to the bloom question; dominates wall time at
+                        large corpus sizes).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -37,6 +51,8 @@ from alegre_spark.operators.dedup import (content_key_index,  # noqa: E402
 from alegre_spark.session import get_spark  # noqa: E402
 
 HASH_ARGS = dict(num_hashes=16, bands=4, shingle_n=3)
+NOVEL_PCT = int(os.environ.get("ALEGRE_INC_NOVEL_PCT", "34"))
+SKIP_FULL = os.environ.get("ALEGRE_INC_SKIP_FULL", "") == "1"
 
 
 def one_size(spark, n_corpus: int, batch, d: str) -> dict:
@@ -56,14 +72,16 @@ def one_size(spark, n_corpus: int, batch, d: str) -> dict:
     bands = spark.read.parquet(f"{d}/bands_{n_corpus}")
     keys = spark.read.parquet(f"{d}/keys_{n_corpus}")
 
-    t0 = time.perf_counter()
-    full = dedup_corpus_two_phase(
-        corpus.unionByName(batch), "doc_id", "text",
-        threshold=0.8, **HASH_ARGS)
     batch_ids = {r[0] for r in batch.select("doc_id").collect()}
-    full_rows = {r["id"]: r["keeper_id"] for r in full.collect()
-                 if r["id"] in batch_ids}
-    t_full = time.perf_counter() - t0
+    full_rows, t_full = None, None
+    if not SKIP_FULL:
+        t0 = time.perf_counter()
+        full = dedup_corpus_two_phase(
+            corpus.unionByName(batch), "doc_id", "text",
+            threshold=0.8, **HASH_ARGS)
+        full_rows = {r["id"]: r["keeper_id"] for r in full.collect()
+                     if r["id"] in batch_ids}
+        t_full = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     inc = dedup_incremental(
@@ -99,17 +117,19 @@ def one_size(spark, n_corpus: int, batch, d: str) -> dict:
     # (transitive corpus-group merges differ by design — the
     # incremental path assigns, it never re-clusters the corpus)
     agree = disagree = batch_side = 0
-    for bid, (keeper, _) in inc_rows.items():
-        full_keeper = full_rows[bid]
-        if full_keeper in batch_ids:
-            batch_side += 1
-        elif keeper == full_keeper:
-            agree += 1
-        else:
-            disagree += 1
+    if full_rows is not None:
+        for bid, (keeper, _) in inc_rows.items():
+            full_keeper = full_rows[bid]
+            if full_keeper in batch_ids:
+                batch_side += 1
+            elif keeper == full_keeper:
+                agree += 1
+            else:
+                disagree += 1
     corpus.unpersist()
     return {"corpus_rows": n, "index_build_sec": round(t_index, 2),
-            "full_recompute_sec": round(t_full, 2),
+            "full_recompute_sec":
+                None if t_full is None else round(t_full, 2),
             "incremental_sec": round(t_inc, 2),
             "bloom_build_sec": round(t_bloom_build, 2),
             "incremental_bloom_sec": round(t_gated, 2),
@@ -127,15 +147,19 @@ def main():
     spark = get_spark(app_name="incremental-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # batch: 1/3 exact dups of corpus docs, 1/3 near dups (one
-    # appended token), 1/3 fresh content — exercises every incremental
-    # stage (generate_corpus is deterministic by index, so unperturbed
-    # content equals the corpus rows')
+    # batch mix: NOVEL_PCT% fresh content, the remainder split evenly
+    # between exact dups of corpus docs and near dups (one appended
+    # token) — the default 34 reproduces the legacy thirds mix that
+    # exercises every incremental stage (generate_corpus is
+    # deterministic by index, so unperturbed content equals the
+    # corpus rows'); 90+ is the bloom design point.
     bid = F.xxhash64("repo", "path", "commit", F.lit("b"))
-    mode = F.pmod(bid, F.lit(3))
-    text = (F.when(mode == 0, F.col("content"))
-            .when(mode == 1, F.concat_ws(" ", "content",
-                                         F.lit("zq"), bid))
+    mode = F.pmod(bid, F.lit(100))
+    exact_hi = (100 - NOVEL_PCT) // 2
+    near_hi = 100 - NOVEL_PCT
+    text = (F.when(mode < exact_hi, F.col("content"))
+            .when(mode < near_hi, F.concat_ws(" ", "content",
+                                              F.lit("zq"), bid))
             .otherwise(F.concat_ws(" ", F.lit("fresh doc"),
                                    F.sha2(bid.cast("string"), 256),
                                    F.sha2(F.concat(bid.cast("string"),
@@ -151,17 +175,20 @@ def main():
             results.append(one_size(spark, n, batch, d))
 
     lo, hi = results[0], results[-1]
-    print(json.dumps({
-        "batch_rows": batch_rows, "sizes": results,
+    out = {
+        "batch_rows": batch_rows, "novel_pct": NOVEL_PCT,
+        "sizes": results,
         "corpus_growth": round(hi["corpus_rows"] /
                                lo["corpus_rows"], 2),
-        "full_growth": round(hi["full_recompute_sec"] /
-                             lo["full_recompute_sec"], 2),
         "incremental_growth": round(hi["incremental_sec"] /
                                     lo["incremental_sec"], 2),
-        "speedup_at_largest": round(hi["full_recompute_sec"] /
-                                    hi["incremental_sec"], 2),
-    }))
+    }
+    if not SKIP_FULL:
+        out["full_growth"] = round(hi["full_recompute_sec"] /
+                                   lo["full_recompute_sec"], 2)
+        out["speedup_at_largest"] = round(hi["full_recompute_sec"] /
+                                          hi["incremental_sec"], 2)
+    print(json.dumps(out))
     spark.stop()
 
 
