@@ -162,10 +162,22 @@ _STEM_RULES: dict[str, list[tuple[str, str]]] = {
            # EnglishMinimalStemFilter bound (runs→run, yes kept)
            (r"^(.{2,}?[^su])s$", r"$1"),
            (r"^(.{3,}?[st])ion$", r"$1")],
-    # SpanishLightStemmer shape: chop plural/gender vowel suffixes
-    "es": [(r"^(.{3,}?)(?:os|as|es|o|a|e)$", r"$1")],
-    "pt": [(r"^(.{3,}?)(?:ões|ais|eis|os|as|es|o|a|e)$", r"$1")],
-    "pt-br": [(r"^(.{3,}?)(?:ões|ais|eis|os|as|es|o|a|e)$", r"$1")],
+    # SpanishLightStemmer shape: gerund endings first (r4 — the
+    # analyzer bench measured trabajo/trabajando and corre/corriendo
+    # unconflated by the vowel chop alone, tools/
+    # analyzer_recall_bench.py §families), then plural/gender vowels
+    "es": [(r"^(.{3,}?)(?:ando|iendo)$", r"$1"),
+           (r"^(.{3,}?)(?:os|as|es|o|a|e)$", r"$1")],
+    # pt: the RSLP nasal-plural reduction ões->ão FIRST (r4 — the
+    # bench measured informação/informações unconflated: the bare
+    # 'ões' chop left informaç vs informaçã), then gerunds, then the
+    # vowel chop (which conflates the ão forms by dropping final o)
+    "pt": [(r"^(.{2,}?)ões$", r"$1ão"),
+           (r"^(.{3,}?)(?:ando|endo|indo)$", r"$1"),
+           (r"^(.{3,}?)(?:ais|eis|os|as|es|o|a|e)$", r"$1")],
+    "pt-br": [(r"^(.{2,}?)ões$", r"$1ão"),
+              (r"^(.{3,}?)(?:ando|endo|indo)$", r"$1"),
+              (r"^(.{3,}?)(?:ais|eis|os|as|es|o|a|e)$", r"$1")],
     # FrenchLightStemmer shape: the -eaux→-eau / -aux→-al special
     # cases FIRST (châteaux→château, chevaux/animaux→cheval/animal —
     # the Lucene light stemmer's norm step; the plain chop left
@@ -174,10 +186,35 @@ _STEM_RULES: dict[str, list[tuple[str, str]]] = {
     # mute e
     "fr": [(r"^(.{2,}?)eaux$", r"$1eau"),
            (r"^(.{2,}?)aux$", r"$1al"),
+           # participle/infinitive endings (r4: the bench measured
+           # parler/parlé unconflated — é survives the s/x/e chops
+           # because asciifold runs AFTER stemming)
+           (r"^(.{2,}?)(?:ées|ée|és|é|er)$", r"$1"),
            (r"^(.{3,}?)(?:eux|x|s)$", r"$1"),
            (r"^(.{3,}?)e$", r"$1")],
-    # GermanLightStemmer shape: plural/case endings; umlaut fold below
-    "de": [(r"^(.{3,}?)(?:ern|em|en|er|es|e|s)$", r"$1")],
+    # GermanLightStemmer shape: plural/case endings; umlaut fold
+    # below. Bare -s only after a "valid s-ending" consonant — the
+    # Snowball/Lucene guard (r4: the unguarded chop stemmed the BASE
+    # haus→hau while häuser→haus, so the umlaut plural never
+    # conflated with its own singular)
+    "de": [(r"^(.{3,}?)(?:ern|em|en|er|es|e)$", r"$1"),
+           (r"^(.{3,}?[bdfghklmnrt])s$", r"$1")],
+    # IndonesianStemmer shape (Lucene / Tala 2003, light subset; r4 —
+    # the analyzer bench measured the no-rules id chain at 0/6
+    # conflations where the reference's `indonesian` analyzer stems).
+    # Lucene's numSyllables>2 guard is replicated as "the remainder
+    # must keep >=2 vowels" `(?:[^aeiou]*[aeiou]){2}` — it is what
+    # conflates makanan->makan while protecting makan itself. One
+    # particle strip, one possessive, ONE derivational prefix
+    # (longest-first; bare be-/pe- only before the Tala
+    # consonant+'er' pattern, so besar keeps its b), one suffix.
+    "id": [(r"^((?:[^aeiou]*[aeiou]){2}.*?)(?:lah|kah|tah|pun)$",
+            r"$1"),
+           (r"^((?:[^aeiou]*[aeiou]){2}.*?)(?:nya|ku|mu)$", r"$1"),
+           (r"^(?:meng|meny|mem|men|me|peng|peny|pem|pen|di|ter|ke"
+            r"|se|ber|bel)((?:[^aeiou]*[aeiou]){2}.*)$", r"$1"),
+           (r"^(?:be|pe)([bcdfghjklmnpqrstvwxyz]er[a-z]+)$", r"$1"),
+           (r"^((?:[^aeiou]*[aeiou]){2}.*?)(?:kan|an|i)$", r"$1")],
     # HindiStemmer shape (Lucene, light subset): long verbal endings,
     # then nasalized case endings, then a single trailing matra
     "hi": [(r"^(.{2,}?)(?:ाएंगी|ाएंगे|ाऊंगी|ाऊंगा)$", r"$1"),

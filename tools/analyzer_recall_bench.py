@@ -9,9 +9,19 @@ analyzer that fails to conflate the inflections drops the pair's
 overlap below threshold.
 
 The "snowball" mode uses stems computed OFFLINE with the published
-Snowball algorithms (Porter2 en / es / pt / fr / de) for exactly the
+Snowball algorithms (Porter2 en / es / pt / fr / de; Lucene
+IndonesianStemmer for id, which has no Snowball) for exactly the
 corpus vocabulary, hand-verified against the algorithm rule tables —
-there is no stemmer library in this sandbox. The lookup covers only
+there is no stemmer library in this sandbox. r4 extends the corpus
+past plain inflection (VERDICT r3 item 8): -ation/-ización/-ação
+derivational families, -ness nominalization, irregular verbs (as
+4-tuples carrying the DISTINCT Snowball stems, since Snowball has no
+lemma tables and honestly fails those too), German genitive/umlaut
+plurals and the 3sg -t verb ending Snowball leaves, and Indonesian
+(whose light chain currently has no stem rules at all). Besides the
+pair-recall metric, a per-family `conflates` table reports, for each
+(base, variant) pair and mode, whether the two forms share a token
+after analysis — the direct rule-gap map. The lookup covers only
 the corpus words; that is sufficient because the metric only tokenizes
 this corpus. Chain order matches `tokenize_analyzed_lang`:
 standard tokens -> stopword removal -> stem -> asciifold -> distinct.
@@ -37,10 +47,16 @@ from alegre_spark.functions.analyzers import (  # noqa: E402
     tokenize_analyzed_lang)
 from alegre_spark.session import get_spark  # noqa: E402
 
-# (form_in_base, form_in_variant, snowball_stem) — inflection families.
+# (form_in_base, form_in_variant, snowball_stem) — inflection families
+# — OR 4-tuples (a, b, snowball_stem_a, snowball_stem_b) for pairs the
+# Snowball algorithms themselves do NOT conflate (irregular verbs,
+# unhandled verb endings): there the "snowball" mode must honestly
+# reproduce the distinct stems rather than pretend a win.
 # Snowball stems hand-computed from the published algorithms; the
-# en stems follow Porter2, others the per-language Snowball stemmers.
-FAMILIES: dict[str, list[tuple[str, str, str]]] = {
+# en stems follow Porter2, others the per-language Snowball stemmers
+# (id: the Lucene IndonesianStemmer, Tala 2003, derivational mode —
+# the `indonesian` ES analyzer's stemmer; there is no Snowball id).
+FAMILIES: dict[str, list[tuple]] = {
     "en": [
         ("connection", "connections", "connect"),
         ("city", "cities", "citi"),
@@ -50,6 +66,15 @@ FAMILIES: dict[str, list[tuple[str, str, str]]] = {
         ("study", "studies", "studi"),
         ("house", "houses", "hous"),
         ("running", "runs", "run"),
+        # r4 extension: -ation/-ness derivational families (Porter2
+        # steps 2-4 collapse these; a light stemmer usually cannot)
+        ("relation", "relational", "relate"),     # ation→ate; ational→ate
+        ("organize", "organizations", "organ"),   # ization→ize, ize∈R2→∅
+        ("happy", "happiness", "happi"),          # ness∈R1→∅; y→i
+        # irregular verbs: Porter2 has NO lemma table — it does not
+        # conflate these either, so both modes should fail equally
+        ("run", "ran", "run", "ran"),
+        ("went", "gone", "went", "gone"),
     ],
     "es": [
         ("casa", "casas", "cas"),
@@ -58,6 +83,12 @@ FAMILIES: dict[str, list[tuple[str, str, str]]] = {
         ("trabajo", "trabajando", "trabaj"),
         ("corre", "corriendo", "corr"),
         ("bonito", "bonita", "bonit"),
+        # r4: -ación derivational family (step-1 'ación/aciones'
+        # delete in R2) + noun/verb conflation
+        ("presentación", "presentaciones", "present"),
+        ("organizar", "organización", "organiz"),
+        # irregular verb (ir): Spanish Snowball does not conflate
+        ("voy", "fueron", "voy", "fueron"),
     ],
     "pt": [
         ("casa", "casas", "cas"),
@@ -65,6 +96,11 @@ FAMILIES: dict[str, list[tuple[str, str, str]]] = {
         ("menino", "meninos", "menin"),
         ("trabalho", "trabalhando", "trabalh"),
         ("grande", "grandes", "grand"),
+        # r4: -ação/-ações derivational family (step-1 delete in R2);
+        # the nasal plural is the classic pt light-stemmer trap
+        ("informação", "informações", "inform"),
+        ("movimento", "movimentos", "moviment"),  # 'imento' outside
+                                                  # R2 → residual o/os
     ],
     "fr": [
         ("cheval", "chevaux", "cheval"),
@@ -72,6 +108,11 @@ FAMILIES: dict[str, list[tuple[str, str, str]]] = {
         ("maison", "maisons", "maison"),
         ("parler", "parlé", "parl"),
         ("grand", "grandes", "grand"),
+        # r4: -ation family + irregular verb (être: no conflation)
+        ("nation", "national", "nation", "national"),
+        # irregular verb (aller) — and the double-l start puts 'ait'
+        # outside RV, so French Snowball leaves allait whole too
+        ("va", "allait", "va", "allait"),
     ],
     "de": [
         ("katze", "katzen", "katz"),
@@ -79,6 +120,21 @@ FAMILIES: dict[str, list[tuple[str, str, str]]] = {
         ("kind", "kinder", "kind"),
         ("haus", "häuser", "haus"),   # umlaut folds AFTER stem
         ("spiele", "spielen", "spiel"),
+        # r4: genitive + umlaut plural + a verb ending German
+        # Snowball leaves (3sg -t is not in its suffix lists)
+        ("kindes", "kinder", "kind"),
+        ("buch", "bücher", "buch"),
+        ("spielen", "spielt", "spiel", "spielt"),
+    ],
+    # r4: Indonesian — the analyzer chain has NO stem rules today
+    # (`_STEM_RULES` has no 'id' entry), so "light" ≡ "none" and this
+    # section measures the whole IndonesianStemmer gap directly
+    "id": [
+        ("buku", "bukunya", "buku"),      # possessive -nya
+        ("makan", "makanan", "makan"),    # derivational -an
+        ("main", "bermain", "main"),      # derivational ber-
+        ("ajar", "belajar", "ajar"),      # ber- allomorph bel-
+        ("kerja", "bekerja", "kerja"),    # ber- allomorph be-
     ],
 }
 
@@ -91,6 +147,7 @@ FILLER: dict[str, list[str]] = {
     "pt": ["mercado", "relatório", "ontem", "aldeia"],
     "fr": ["marché", "rapport", "hier", "village"],
     "de": ["markt", "bericht", "gestern", "dorf"],
+    "id": ["pasar", "laporan", "kemarin", "desa"],
 }
 
 
@@ -102,8 +159,8 @@ def build_pairs(lang: str) -> list[tuple[str, str, str]]:
     pairs = []
     for i in range(6):
         chosen = [fams[(i + j) % len(fams)] for j in range(len(fams) - 1)]
-        base = " ".join([a for a, _, _ in chosen] + fill)
-        var = " ".join([b for _, b, _ in chosen] + fill)
+        base = " ".join([f[0] for f in chosen] + fill)
+        var = " ".join([f[1] for f in chosen] + fill)
         pairs.append((f"{lang}_{i}", base, var))
     return pairs
 
@@ -113,9 +170,15 @@ def snowball_tokens(col, lang: str):
     distinct (mirrors tokenize_analyzed_lang with the stemmer
     swapped)."""
     lookup = {}
-    for a, b, stem in FAMILIES[lang]:
-        lookup[a] = stem
-        lookup[b] = stem
+    for fam in FAMILIES[lang]:
+        if len(fam) == 3:
+            a, b, stem = fam
+            lookup[a] = stem
+            lookup[b] = stem
+        else:                       # honest non-conflating pair
+            a, b, stem_a, stem_b = fam
+            lookup[a] = stem_a
+            lookup[b] = stem_b
     kv = []
     for k, v in sorted(lookup.items()):
         kv += [F.lit(k), F.lit(v)]
@@ -164,6 +227,26 @@ def main():
             got = (df.select("pair_id", score.alias("score"))
                    .filter(F.col("score") >= threshold).collect())
             matched[mode] = {r["pair_id"] for r in got}
+
+        # per-family conflation map: does analyzing the two FORMS alone
+        # leave a shared token? (pair recall blends families; this is
+        # the per-rule gap diagnostic)
+        fam_df = spark.createDataFrame(
+            [(f[0], f[1]) for f in FAMILIES[lang]],
+            "form_a string, form_b string")
+        confl: dict[str, list] = {}
+        for mode, tok in modes.items():
+            rows2 = fam_df.select(
+                "form_a",
+                (F.size(F.array_intersect(
+                    tok(F.col("form_a"), lang),
+                    tok(F.col("form_b"), lang))) > 0).alias("c")
+            ).collect()
+            confl[mode] = [bool(r["c"]) for r in rows2]
+        result.setdefault("families", {})[lang] = [
+            {"pair": f"{f[0]}/{f[1]}",
+             **{m: confl[m][i] for m in modes}}
+            for i, f in enumerate(FAMILIES[lang])]
         result["langs"][lang] = {m: len(matched[m]) for m in modes}
         result["langs"][lang]["pairs"] = len(rows)
         totals["pairs"] += len(rows)
