@@ -1,0 +1,105 @@
+"""Writer-chain throughput: the end-to-end training-data layout
+(VERDICT r3 item 1's bench half; the correctness half is the
+oracle-gated q61 contract row) — deterministic corpus shuffle
+(`sampling.hash_shuffle`) → vocabulary build (`encoding.build_vocab`)
+→ token-id encoding (`encoding.encode_tokens`) → concat-and-chunk
+sequence materialization (`packing.materialize_chunks`) — measured in
+TOKENS/SEC over a generated corpus.
+
+Protocol: generate the corpus once, write it to parquet, read it back
+(both so the timed window starts from storage like a real writer job
+and so generation cost is excluded); tokenize with the same
+whitespace split the q49/q61 slots use; one warmup pass at 1/10 size
+(Python-worker/JIT spin-up); then cold + median-of-3 steady timings
+of the full chain driven by ONE action (a noop-format write of the
+chunk rows — isolates the chain's compute/shuffle from disk speed;
+stated as such). Total tokens are counted OUTSIDE the timed window
+from the input (tokens-in == tokens-out by the interval-coverage
+invariant pinned in tests/test_packing.py).
+
+Usage: python tools/writer_bench.py [n_files] [seq_len] [vocab_size]
+       (defaults: 1_000_000 files, 2048, 32768)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from alegre_spark.corpus import generate_corpus_distributed  # noqa: E402
+from alegre_spark.operators.encoding import (build_vocab,  # noqa: E402
+                                             encode_tokens)
+from alegre_spark.operators.packing import materialize_chunks  # noqa: E402
+from alegre_spark.operators.sampling import hash_shuffle  # noqa: E402
+from alegre_spark.session import get_spark  # noqa: E402
+
+
+def chain(files, seq_len: int, vocab_size: int, num_shards: int):
+    d = files.select(
+        F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256)
+        .alias("doc_id"),
+        F.split(F.trim("content"), r"\s+").alias("toks"))
+    vocab = build_vocab(d, "toks", vocab_size=vocab_size)
+    enc = encode_tokens(d, "toks", vocab, ["doc_id"])
+    shuffled = hash_shuffle(enc.select("doc_id", "token_ids"),
+                            ["doc_id"], num_shards=num_shards)
+    return materialize_chunks(shuffled, "shard",
+                              ["shuffle_order", "doc_id"],
+                              "token_ids", seq_len=seq_len)
+
+
+def run_once(files, seq_len, vocab_size, num_shards) -> float:
+    t0 = time.perf_counter()
+    chain(files, seq_len, vocab_size, num_shards) \
+        .write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main():
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    seq_len = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    vocab_size = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    num_shards = cpus * 2
+    spark = get_spark(app_name="writer-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with tempfile.TemporaryDirectory() as work:
+        data = os.path.join(work, "corpus")
+        generate_corpus_distributed(spark, n_files,
+                                    partitions=cpus * 2) \
+            .write.mode("overwrite").parquet(data)
+        files = spark.read.parquet(data)
+        total_tokens = files.select(
+            F.sum(F.size(F.split(F.trim("content"), r"\s+")))
+            .alias("t")).collect()[0]["t"]
+
+        warm = files.limit(max(n_files // 10, 1000))
+        run_once(warm, seq_len, vocab_size, num_shards)
+
+        cold = run_once(files, seq_len, vocab_size, num_shards)
+        steady = sorted(run_once(files, seq_len, vocab_size, num_shards)
+                        for _ in range(3))
+        sec = steady[1]
+        print(json.dumps({
+            "n_files": n_files, "total_tokens": int(total_tokens),
+            "seq_len": seq_len, "vocab_size": vocab_size,
+            "num_shards": num_shards, "cpus": cpus,
+            "cold_sec": round(cold, 2),
+            "steady_sec_median3": round(sec, 2),
+            "steady_sec_best": round(steady[0], 2),
+            "tokens_per_sec": round(total_tokens / sec, 1),
+            "tokens_per_sec_best": round(total_tokens / steady[0], 1),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
