@@ -112,7 +112,9 @@ def stream_incremental_dedup(spark: SparkSession, input_dir: str,
                              num_hashes: int = 16, bands: int = 4,
                              shingle_n: int = 3,
                              trigger_available_now: bool = True,
-                             max_files_per_trigger: int = 64):
+                             max_files_per_trigger: int = 64,
+                             checkpoint_dir: str | None = None,
+                             labels_dir: str | None = None):
     """Streaming face of the daily-ingest path: each micro-batch
     labels against the ROLLING corpus via `CorpusStore` (the same
     storage + replay-convergent rollforward the batch job
@@ -126,7 +128,20 @@ def stream_incremental_dedup(spark: SparkSession, input_dir: str,
     a mid-rollforward crash converges (see corpus_store.py — orphan
     index rows are ignored for matching and the appends are
     anti-joined), and a replayed batch's labels overwrite their own
-    batch_id partition. Returns the started StreamingQuery."""
+    batch_id partition. Returns the started StreamingQuery.
+
+    `checkpoint_dir` / `labels_dir` default INSIDE `corpus_dir` (the
+    single-directory deployment), but a long-lived stream should put
+    them OUTSIDE it: that decouples the stream's position and label
+    history from the store root, which is what lets periodic
+    compaction swap the root without losing either — stop the stream,
+    `CorpusStore(corpus_dir).compact_into(spark, new_root)`, restart
+    with `corpus_dir=new_root` and the SAME checkpoint/labels dirs;
+    the stream resumes exactly where it stopped, now labeling against
+    the compacted state (convergence pinned by
+    tests/test_streaming.py::test_stream_compact_swap_converges).
+    With the default in-root checkpoint a root swap would reset the
+    stream to batch 0 and replay everything."""
     import os as _os
 
     from .corpus_store import CorpusStore
@@ -134,8 +149,10 @@ def stream_incremental_dedup(spark: SparkSession, input_dir: str,
     store = CorpusStore(corpus_dir, id_col, text_col,
                         num_hashes=num_hashes, bands=bands,
                         shingle_n=shingle_n)
-    labels_path = _os.path.join(corpus_dir, "labels_stream")
-    checkpoint = _os.path.join(corpus_dir, "_checkpoint")
+    labels_path = labels_dir or _os.path.join(corpus_dir,
+                                              "labels_stream")
+    checkpoint = checkpoint_dir or _os.path.join(corpus_dir,
+                                                 "_checkpoint")
 
     stream = (spark.readStream
               .schema(f"{id_col} {id_type}, {text_col} string")

@@ -354,3 +354,90 @@ def test_stream_kill_restart_converges(spark):
             .filter("count > 1").count() == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_compact_swap_converges(spark):
+    """The full operational loop compaction exists for: stream two
+    batches -> stop -> compact the store into a NEW root (atomic
+    pointer swap) -> restart the stream against the compacted root
+    with the SAME external checkpoint + labels dirs -> stream one
+    more batch. The stream must resume where it stopped (no replay of
+    batches 0-1), and the final labels/keepers must equal an
+    uninterrupted three-batch run's. Requires checkpoint_dir /
+    labels_dir OUTSIDE the corpus root — the reason those parameters
+    exist."""
+    from alegre_spark.corpus_store import CorpusStore
+    from alegre_spark.streaming import stream_incremental_dedup
+
+    hashes = dict(num_hashes=8, bands=8, shingle_n=2)
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        [(10, "ALPHA beta gamma delta epsilon zeta eta theta"),
+         (11, "totally fresh content about something else now")],
+        [(20, "one two three four five six seven eight"),
+         (21, "yet another brand new document body here today")],
+    ]
+
+    def write_batch(inp, rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(inp)
+
+    def run(inp, corpus, checkpoint, labels):
+        q = stream_incremental_dedup(
+            spark, inp, corpus, threshold=0.6,
+            max_files_per_trigger=1, checkpoint_dir=checkpoint,
+            labels_dir=labels, **hashes)
+        q.awaitTermination(180)
+
+    def state(corpus, labels):
+        lab = {r["id"]: (r["keeper_id"], r["matched_existing"])
+               for r in spark.read.parquet(labels).collect()}
+        keep = sorted(r["doc_id"] for r in
+                      spark.read.parquet(f"{corpus}/keepers").collect())
+        return lab, keep
+
+    work = tempfile.mkdtemp()
+    try:
+        # --- uninterrupted reference run
+        inp_u = os.path.join(work, "in_u")
+        for rows in batches:
+            write_batch(inp_u, rows)
+        run(inp_u, os.path.join(work, "c_u"),
+            os.path.join(work, "ckpt_u"), os.path.join(work, "lab_u"))
+        want = state(os.path.join(work, "c_u"),
+                     os.path.join(work, "lab_u"))
+
+        # --- compact-swap run: batches 0-1, stop
+        inp = os.path.join(work, "in_s")
+        ckpt = os.path.join(work, "ckpt_s")
+        labels = os.path.join(work, "lab_s")
+        root_a = os.path.join(work, "c_a")
+        write_batch(inp, batches[0])
+        write_batch(inp, batches[1])
+        run(inp, root_a, ckpt, labels)
+
+        # compact into a new root (the pointer swap)
+        root_b = os.path.join(work, "c_b")
+        store_a = CorpusStore(root_a, "doc_id", "text", **hashes)
+        store_a.compact_into(spark, root_b)
+        for p in ("keepers_path", "bands_path", "keys_path"):
+            assert len([f for f in os.listdir(getattr(
+                CorpusStore(root_b, "doc_id", "text", **hashes), p))
+                if f.endswith(".parquet")]) == 1
+
+        # restart against the compacted root, same checkpoint/labels
+        write_batch(inp, batches[2])
+        run(inp, root_b, ckpt, labels)
+
+        got = state(root_b, labels)
+        # label equality doubles as the no-replay proof: had the
+        # restarted stream replayed batches 0-1 against root_b (which
+        # already holds their keepers), those rows would label
+        # matched_existing=True instead of founding their groups
+        assert got[0] == want[0]
+        assert got[1] == want[1]
+        assert spark.read.parquet(f"{root_b}/keepers").count() \
+            == len(want[1])
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
