@@ -150,6 +150,19 @@ _STEM_RULES: dict[str, list[tuple[str, str]]] = {
     # rebuilds the stem from whichever group matched.
     "en": [(r"'s$|['’]$", ""), (r"^(.{3,}?)sses$", r"$1ss"),
            (r"^(.{3,}?)ies$", r"$1i"),
+           # Porter2 step-2/3 derivational families (r4 — ES's
+           # built-in `english` analyzer stems with FULL Porter2, so
+           # these measured gaps were real reference divergences:
+           # organize/organizations, relation/relational,
+           # happy/happiness, BENCH §analyzers). ization→ize must
+           # precede the ation family or 'organizations' would read
+           # as organiz+ations; the {3,} prefix floor replays
+           # Porter2's R1 guard for this vocabulary (station, nation
+           # stay whole).
+           (r"^(.{3,}?)izations?$", r"$1ize"),
+           (r"^(.{3,}?)(?:ational|ations?|ator)$", r"$1ate"),
+           (r"^(.{3,}?)iness$", r"$1i"),
+           (r"^(.{3,}?)ness$", r"$1"),
            (r"^(.+[aeiouy]b)b(?:ing|ed)$|^(.+[aeiouy]d)d(?:ing|ed)$"
             r"|^(.+[aeiouy]f)f(?:ing|ed)$|^(.+[aeiouy]g)g(?:ing|ed)$"
             r"|^(.+[aeiouy]m)m(?:ing|ed)$|^(.+[aeiouy]n)n(?:ing|ed)$"
