@@ -40,6 +40,17 @@ CHECKS = {
         ("ReadSchema: struct<text:string,source:string>",
          "agg side prunes doc_id from the scan"),
     ],
+    # r4: the composed writer chain — each stage's scale shape must
+    # survive the composition (the pieces were asserted individually
+    # by the packing/encoding pytest plan checks)
+    "q61_writer_chain": [
+        ("TakeOrderedAndProject", "vocab rank is a bounded top-V "
+                                  "(never a corpus-wide sort)"),
+        ("BroadcastHashJoin", "the ≤V-row vocab id map is broadcast "
+                              "to the encode join"),
+        ("Window [sum", "pack offset is ONE window cumsum per shard"),
+        ("partial_count", "token counts partial-aggregated"),
+    ],
     # the q04 slot is now the winnowing containment join; the
     # anti/semi-join plan shapes move to q40 below
     "q04_winnow_containment": [
@@ -154,6 +165,8 @@ FORBIDDEN = {
                        "MapInPandas", "CartesianProduct"],
     "q60_repo_gate": ["ArrowEvalPython", "BatchEvalPython",
                       "MapInPandas", "CartesianProduct"],
+    "q61_writer_chain": ["ArrowEvalPython", "BatchEvalPython",
+                         "MapInPandas", "CartesianProduct"],
     "q09_token_overlap_join": ["ArrowEvalPython", "BatchEvalPython",
                                "MapInPandas"],
     "q14_cosine_topk": ["ArrowEvalPython", "BatchEvalPython",
