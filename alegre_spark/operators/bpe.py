@@ -1,0 +1,212 @@
+"""Byte-pair-encoding subword vocabulary: learn merges, segment
+distributed (beyond-reference).
+
+`encoding.build_vocab` ranks whole tokens; real LLM writers learn a
+SUBWORD vocabulary first (Sennrich, Haddow & Birch 2016, "Neural
+Machine Translation of Rare Words with Subword Units") and only then
+assign ids. This module adds the missing half and composes with the
+existing writer chain: `bpe_segment` turns each doc's token array
+into a subword-symbol array, which `encoding.build_vocab` /
+`encode_tokens` / `packing.materialize_chunks` already handle.
+
+Spark-first shape — the same two-phase pattern as IVF
+(`ann.ivf_fit_centroids`) and the pipeline's model artifacts:
+
+  1. FIT on a bounded aggregate. BPE training never needs the corpus,
+     only the (word, count) table: `word_frequency_table` is one
+     explode + partial-aggregated groupBy (map-side combine absorbs
+     the Zipf head) + TakeOrderedAndProject for the top-`max_words`
+     cap — the only totally-ordered object is the capped result. The
+     driver then learns merges on that ≤max_words-row table with an
+     indexed pair-count structure (incremental updates touch only the
+     words containing the merged pair — the standard fast BPE
+     trainer). The cap is the documented fidelity bound: at 100 TB
+     the top 1M word types carry effectively all pair mass (Zipf), so
+     truncation changes low-rank merges only; raise `max_words` to
+     push the boundary.
+  2. APPLY distributed. `bpe_segment` is ONE designated Arrow stage
+     (`mapInPandas`-free: a vectorized pandas UDF over the token
+     array column) with per-batch memoization over distinct tokens —
+     a code corpus repeats identifiers endlessly, so each Arrow batch
+     segments its distinct tokens once. Encoding is inherently
+     algorithmic (ordered merge application), i.e. exactly the
+     model-stage shape the repo reserves Python for; everything
+     before and after stays Catalyst.
+
+Determinism contract: merges are a pure function of the word-count
+table — pair rank breaks ties by (count desc, pair lexicographic) —
+and segmentation is a pure function of (token, merges), so the whole
+fit/apply path is stable across partitioning, resumes, and cluster
+sizes (same contract as `encoding.build_vocab`).
+
+`end_of_word` (default "</w>", the Sennrich marker) is appended as
+its own symbol so merges can distinguish suffix from infix contexts;
+tokens must not contain the marker string themselves (assert-guarded
+in fit, documented here for apply).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+END_OF_WORD = "</w>"
+
+
+def word_frequency_table(df: DataFrame, tokens_col: str,
+                         max_words: int = 1_000_000) -> DataFrame:
+    """(word, count): the bounded aggregate BPE fits on. One explode +
+    partial-agg count + TakeOrderedAndProject((count desc, word asc),
+    max_words); never a corpus-wide sort."""
+    return (df.select(F.explode(tokens_col).alias("word"))
+            .where(F.col("word").isNotNull() & (F.col("word") != ""))
+            .groupBy("word").agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc("word"))
+            .limit(max_words))
+
+
+def _pair_stats(vocab: dict[tuple[str, ...], int]):
+    """pair -> total count, and pair -> {word_symbols: occurrences}
+    (the index that makes merges incremental)."""
+    stats: dict[tuple[str, str], int] = defaultdict(int)
+    index: dict[tuple[str, str], dict] = defaultdict(dict)
+    for word, freq in vocab.items():
+        for i in range(len(word) - 1):
+            pair = (word[i], word[i + 1])
+            stats[pair] += freq
+            index[pair][word] = index[pair].get(word, 0) + 1
+    return stats, index
+
+
+def _merge_word(word: tuple[str, ...], pair: tuple[str, str],
+                joined: str) -> tuple[str, ...]:
+    out, i = [], 0
+    while i < len(word):
+        if (i < len(word) - 1 and word[i] == pair[0]
+                and word[i + 1] == pair[1]):
+            out.append(joined)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_bpe_merges(word_counts, n_merges: int,
+                     end_of_word: str = END_OF_WORD,
+                     min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Learn up to `n_merges` BPE merge rules from a (word, count)
+    table (a DataFrame from `word_frequency_table`, or an iterable of
+    (word, count) rows). Driver-side on the bounded table — see the
+    module docstring for why that is the honest scale shape. Stops
+    early when the best remaining pair occurs < `min_pair_count`
+    times (merging hapax pairs memorizes noise — Sennrich's own
+    stopping criterion). Ties break by (count desc, pair
+    lexicographic): deterministic for a given table."""
+    if isinstance(word_counts, DataFrame):
+        rows = [(r[0], r[1]) for r in word_counts.collect()]
+    else:
+        rows = list(word_counts)
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, freq in rows:
+        if not word:
+            continue
+        assert end_of_word not in word, (
+            f"token {word!r} contains the end-of-word marker "
+            f"{end_of_word!r}; choose a different marker")
+        sym = tuple(word) + (end_of_word,)
+        vocab[sym] = vocab.get(sym, 0) + int(freq)
+
+    stats, index = _pair_stats(vocab)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best] < min_pair_count:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        # incremental update: only words containing `best` change
+        for old_word in list(index[best]):
+            freq = vocab.pop(old_word, None)
+            if freq is None:
+                continue
+            # retract old word's pair contributions
+            for i in range(len(old_word) - 1):
+                p = (old_word[i], old_word[i + 1])
+                stats[p] -= freq
+                occ = index[p]
+                occ[old_word] = occ.get(old_word, 1) - 1
+                if occ.get(old_word, 0) <= 0:
+                    occ.pop(old_word, None)
+                if stats[p] <= 0:
+                    stats.pop(p, None)
+                    index.pop(p, None)
+            new_word = _merge_word(old_word, best, joined)
+            vocab[new_word] = vocab.get(new_word, 0) + freq
+            for i in range(len(new_word) - 1):
+                p = (new_word[i], new_word[i + 1])
+                stats[p] += freq
+                index[p][new_word] = index[p].get(new_word, 0) + 1
+    return merges
+
+
+def segment_token(token: str, ranks: dict[tuple[str, str], int],
+                  end_of_word: str = END_OF_WORD) -> list[str]:
+    """Pure-Python BPE encoder for ONE token: start from characters +
+    the end-of-word symbol and repeatedly apply the LOWEST-RANK
+    applicable merge (the standard greedy-by-rank encoder, identical
+    to applying the learned merges in order)."""
+    if not token:
+        return []
+    word = list(token) + [end_of_word]
+    while len(word) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(word) - 1):
+            r = ranks.get((word[i], word[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        word[best_i:best_i + 2] = [word[best_i] + word[best_i + 1]]
+    return word
+
+
+def bpe_segment(df: DataFrame, tokens_col: str,
+                merges: list[tuple[str, str]],
+                out_col: str = "subwords",
+                end_of_word: str = END_OF_WORD) -> DataFrame:
+    """Add `out_col`: each doc's token array segmented into BPE
+    subword symbols (flattened across the doc's tokens, in order).
+    One vectorized Arrow stage; per-batch memoization over distinct
+    tokens (a code corpus repeats identifiers endlessly, so each
+    batch segments its distinct tokens once). NULL/empty arrays give
+    empty arrays; NULL/empty elements contribute nothing."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def _seg(col: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def one(tokens):
+            if tokens is None:
+                return []
+            out: list[str] = []
+            for t in tokens:
+                if not t:
+                    continue
+                got = cache.get(t)
+                if got is None:
+                    got = segment_token(t, ranks, end_of_word)
+                    cache[t] = got
+                out.extend(got)
+            return out
+
+        return col.map(one)
+
+    return df.withColumn(out_col, _seg(F.col(tokens_col)))

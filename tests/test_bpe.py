@@ -1,0 +1,153 @@
+"""BPE subword vocabulary: fit on the bounded word-count aggregate,
+segment distributed (operators/bpe.py). The fit is cross-checked
+against a from-scratch textbook implementation (Sennrich 2016 §3.2's
+recount-every-iteration algorithm) so the incremental index can never
+drift from the published algorithm."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.bpe import (END_OF_WORD, bpe_segment,
+                                        learn_bpe_merges, segment_token,
+                                        word_frequency_table)
+
+
+def naive_bpe(word_counts: dict[str, int], n_merges: int,
+              min_pair_count: int = 2):
+    """Textbook reference: full pair recount each iteration."""
+    vocab = {tuple(w) + (END_OF_WORD,): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for word, freq in vocab.items():
+            for i in range(len(word) - 1):
+                stats[(word[i], word[i + 1])] += freq
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best] < min_pair_count:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_vocab = {}
+        for word, freq in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if (i < len(word) - 1 and word[i] == best[0]
+                        and word[i + 1] == best[1]):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_merges_match_textbook_reference():
+    """The incremental-index trainer returns EXACTLY the textbook
+    algorithm's merges, on the classic Sennrich corpus and on a
+    messier one (ties, overlaps, unicode, single chars)."""
+    for corpus, n in ((SENNRICH, 10),
+                      ({"aaa": 3, "aab": 2, "ß": 4, "ab": 7,
+                        "x": 9, "été": 2, "tete": 2}, 12)):
+        got = learn_bpe_merges(corpus.items(), n)
+        want = naive_bpe(corpus, n)
+        assert got == want
+    # the classic first merges: (e,s) wins with 9, then (es,t)
+    m = learn_bpe_merges(SENNRICH.items(), 4)
+    assert m[0] == ("e", "s") and m[1] == ("es", "t")
+
+
+def test_merges_deterministic_and_tie_ordered():
+    """Same table in any row order -> same merges; ties break by pair
+    lexicographic (documented contract)."""
+    corpus = {"ab": 2, "cd": 2, "ef": 2}
+    a = learn_bpe_merges(list(corpus.items()), 3)
+    b = learn_bpe_merges(list(reversed(list(corpus.items()))), 3)
+    assert a == b
+    # everything ties at 2; lexicographic order decides — ("a","b")
+    # first, then the freshly-created ("ab","</w>") still precedes
+    # ("c","d")
+    assert a[0] == ("a", "b") and a[1] == ("ab", END_OF_WORD)
+
+
+def test_min_pair_count_stops_hapax_memorization():
+    merges = learn_bpe_merges({"abcdef": 1}.items(), 100)
+    assert merges == []  # every pair occurs once -> no merges
+
+
+def test_segment_token_roundtrip_and_greedy_rank():
+    merges = learn_bpe_merges(SENNRICH.items(), 10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for tok in ("lowest", "newer", "wide", "low", "zzz", "née"):
+        sym = segment_token(tok, ranks)
+        # roundtrip: concatenation minus the marker reconstructs token
+        assert "".join(sym).replace(END_OF_WORD, "") == tok
+        assert sym[-1].endswith(END_OF_WORD)
+    # a fully-merged frequent word collapses to few symbols
+    assert len(segment_token("newest", ranks)) <= 2
+    assert segment_token("", ranks) == []
+
+
+def test_word_frequency_table_and_distributed_segment(spark):
+    """End to end on Spark: bounded word-count fit + one-Arrow-stage
+    segmentation that matches the driver-side encoder for every
+    token, incl. NULL/empty arrays and empty elements."""
+    docs = spark.createDataFrame(
+        [(1, ["low", "low", "lower"]), (2, ["newest", "widest"]),
+         (3, ["newest", "newest", ""]), (4, None), (5, [])],
+        "doc_id long, toks array<string>")
+    wf = word_frequency_table(docs, "toks", max_words=10)
+    rows = {r["word"]: r["count"] for r in wf.collect()}
+    assert rows == {"low": 2, "lower": 1, "newest": 3, "widest": 1}
+    # plan shape: partial agg + TakeOrderedAndProject, no corpus sort
+    plan = wf._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+    merges = learn_bpe_merges(wf, 8, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {r["doc_id"]: r["subwords"] for r in
+           bpe_segment(docs, "toks", merges).collect()}
+    for doc_id, toks in ((1, ["low", "low", "lower"]),
+                         (2, ["newest", "widest"]),
+                         (3, ["newest", "newest", ""])):
+        want = []
+        for t in toks:
+            want.extend(segment_token(t, ranks))
+        assert got[doc_id] == want
+    assert got[4] == [] and got[5] == []
+
+
+def test_compose_with_encoding_writer_chain(spark):
+    """The advertised composition: segment -> build_vocab ->
+    encode_tokens. Every subword id decodes back to the exact
+    subword stream (no unk: the vocab is built FROM the segmented
+    corpus, so it covers it)."""
+    from alegre_spark.operators.encoding import build_vocab, encode_tokens
+
+    docs = spark.createDataFrame(
+        [(i, ("low lower newest widest low " * 3).split())
+         for i in range(6)], "doc_id long, toks array<string>")
+    merges = learn_bpe_merges(
+        word_frequency_table(docs, "toks"), 6, min_pair_count=1)
+    seg = bpe_segment(docs, "toks", merges)
+    vocab = build_vocab(seg, "subwords", vocab_size=64)
+    enc = encode_tokens(seg, "subwords", vocab, ["doc_id", "subwords"])
+    id2tok = {r["id"]: r["token"] for r in vocab.collect()}
+    for r in enc.collect():
+        assert [id2tok[i] for i in r["token_ids"]] == r["subwords"]
+
+
+def test_marker_collision_guarded():
+    with pytest.raises(AssertionError):
+        learn_bpe_merges({"bad" + END_OF_WORD: 1}.items(), 2)
