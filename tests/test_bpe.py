@@ -151,3 +151,45 @@ def test_compose_with_encoding_writer_chain(spark):
 def test_marker_collision_guarded():
     with pytest.raises(AssertionError):
         learn_bpe_merges({"bad" + END_OF_WORD: 1}.items(), 2)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = st.text(alphabet="abcde", min_size=1, max_size=8)
+
+
+def _apply_merges_in_order(token: str, merges) -> list[str]:
+    """Textbook application: run each learned merge over the symbol
+    sequence IN LEARNED ORDER (how Sennrich's apply_bpe works)."""
+    word = list(token) + [END_OF_WORD]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(word):
+            if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        word = out
+    return word
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.dictionaries(_WORDS, st.integers(1, 9), min_size=1,
+                       max_size=12),
+       st.lists(_WORDS, min_size=1, max_size=6))
+def test_segment_equals_sequential_merge_application(corpus, probes):
+    """segment_token's greedy-by-LOWEST-rank loop is equivalent to
+    applying the learned merges sequentially in learned order — for
+    ANY corpus-derived merge list and ANY probe token (the property
+    that makes the memoized encoder faithful to the trainer). Holds
+    because each learned merge's output symbol can only be consumed
+    by LATER merges, so rank order is a topological order of the
+    merge dependency DAG."""
+    merges = learn_bpe_merges(corpus.items(), 12, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for tok in probes:
+        assert segment_token(tok, ranks) == \
+            _apply_merges_in_order(tok, merges)
