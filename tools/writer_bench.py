@@ -18,7 +18,14 @@ from the input (tokens-in == tokens-out by the interval-coverage
 invariant pinned in tests/test_packing.py).
 
 Usage: python tools/writer_bench.py [n_files] [seq_len] [vocab_size]
-       (defaults: 1_000_000 files, 2048, 32768)
+                                    [n_bpe_merges]
+       (defaults: 1_000_000 files, 2048, 32768, 0)
+
+With n_bpe_merges > 0 the chain becomes the SUBWORD writer: fit BPE
+merges on the bounded word-frequency table (fit time reported
+separately — it is a once-per-corpus cost), then
+segment (one memoized Arrow stage) → vocab → encode → shuffle →
+pack; tokens/sec then counts SUBWORD tokens through the chain.
 """
 
 from __future__ import annotations
@@ -41,11 +48,16 @@ from alegre_spark.operators.sampling import hash_shuffle  # noqa: E402
 from alegre_spark.session import get_spark  # noqa: E402
 
 
-def chain(files, seq_len: int, vocab_size: int, num_shards: int):
+def chain(files, seq_len: int, vocab_size: int, num_shards: int,
+          merges=None):
     d = files.select(
         F.sha2(F.concat_ws("|", "repo", "path", "commit"), 256)
         .alias("doc_id"),
         F.split(F.trim("content"), r"\s+").alias("toks"))
+    if merges:
+        from alegre_spark.operators.bpe import bpe_segment
+        d = (bpe_segment(d, "toks", merges)
+             .select("doc_id", F.col("subwords").alias("toks")))
     vocab = build_vocab(d, "toks", vocab_size=vocab_size)
     enc = encode_tokens(d, "toks", vocab, ["doc_id"])
     shuffled = hash_shuffle(enc.select("doc_id", "token_ids"),
@@ -55,9 +67,10 @@ def chain(files, seq_len: int, vocab_size: int, num_shards: int):
                               "token_ids", seq_len=seq_len)
 
 
-def run_once(files, seq_len, vocab_size, num_shards) -> float:
+def run_once(files, seq_len, vocab_size, num_shards,
+             merges=None) -> float:
     t0 = time.perf_counter()
-    chain(files, seq_len, vocab_size, num_shards) \
+    chain(files, seq_len, vocab_size, num_shards, merges) \
         .write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
@@ -66,6 +79,7 @@ def main():
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     seq_len = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     vocab_size = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+    n_merges = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     num_shards = cpus * 2
     spark = get_spark(app_name="writer-bench", master=f"local[{cpus}]")
@@ -77,18 +91,34 @@ def main():
                                     partitions=cpus * 2) \
             .write.mode("overwrite").parquet(data)
         files = spark.read.parquet(data)
-        total_tokens = files.select(
-            F.sum(F.size(F.split(F.trim("content"), r"\s+")))
-            .alias("t")).collect()[0]["t"]
+        toks = files.select(
+            F.split(F.trim("content"), r"\s+").alias("toks"))
+
+        merges, fit_sec = None, None
+        if n_merges > 0:
+            from alegre_spark.operators.bpe import (bpe_segment,
+                                                    learn_bpe_merges,
+                                                    word_frequency_table)
+            t0 = time.perf_counter()
+            merges = learn_bpe_merges(
+                word_frequency_table(toks, "toks"), n_merges)
+            fit_sec = round(time.perf_counter() - t0, 2)
+            total_tokens = bpe_segment(toks, "toks", merges).select(
+                F.sum(F.size("subwords")).alias("t")) \
+                .collect()[0]["t"]
+        else:
+            total_tokens = toks.select(
+                F.sum(F.size("toks")).alias("t")).collect()[0]["t"]
 
         warm = files.limit(max(n_files // 10, 1000))
-        run_once(warm, seq_len, vocab_size, num_shards)
+        run_once(warm, seq_len, vocab_size, num_shards, merges)
 
-        cold = run_once(files, seq_len, vocab_size, num_shards)
-        steady = sorted(run_once(files, seq_len, vocab_size, num_shards)
+        cold = run_once(files, seq_len, vocab_size, num_shards, merges)
+        steady = sorted(run_once(files, seq_len, vocab_size,
+                                 num_shards, merges)
                         for _ in range(3))
         sec = steady[1]
-        print(json.dumps({
+        out = {
             "n_files": n_files, "total_tokens": int(total_tokens),
             "seq_len": seq_len, "vocab_size": vocab_size,
             "num_shards": num_shards, "cpus": cpus,
@@ -97,7 +127,11 @@ def main():
             "steady_sec_best": round(steady[0], 2),
             "tokens_per_sec": round(total_tokens / sec, 1),
             "tokens_per_sec_best": round(total_tokens / steady[0], 1),
-        }))
+        }
+        if n_merges > 0:
+            out["n_bpe_merges"] = len(merges)
+            out["bpe_fit_sec"] = fit_sec
+        print(json.dumps(out))
     spark.stop()
 
 
