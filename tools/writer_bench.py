@@ -18,8 +18,13 @@ from the input (tokens-in == tokens-out by the interval-coverage
 invariant pinned in tests/test_packing.py).
 
 Usage: python tools/writer_bench.py [n_files] [seq_len] [vocab_size]
-                                    [n_bpe_merges]
-       (defaults: 1_000_000 files, 2048, 32768, 0)
+                                    [n_bpe_merges] [sink]
+       (defaults: 1_000_000 files, 2048, 32768, 0, noop)
+
+sink "noop" isolates the chain's compute/shuffle from disk;
+sink "parquet" writes the chunk rows for real (fresh dir per run) so
+tokens/sec includes the serialization + disk cost of the actual
+training-shard write.
 
 With n_bpe_merges > 0 the chain becomes the SUBWORD writer: fit BPE
 merges on the bounded word-frequency table (fit time reported
@@ -68,10 +73,14 @@ def chain(files, seq_len: int, vocab_size: int, num_shards: int,
 
 
 def run_once(files, seq_len, vocab_size, num_shards,
-             merges=None) -> float:
+             merges=None, sink: str = "noop",
+             out_dir: str | None = None) -> float:
     t0 = time.perf_counter()
-    chain(files, seq_len, vocab_size, num_shards, merges) \
-        .write.format("noop").mode("overwrite").save()
+    w = chain(files, seq_len, vocab_size, num_shards, merges).write
+    if sink == "parquet":
+        w.mode("overwrite").parquet(out_dir)
+    else:
+        w.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -80,6 +89,7 @@ def main():
     seq_len = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     vocab_size = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
     n_merges = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    sink = sys.argv[5] if len(sys.argv) > 5 else "noop"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     num_shards = cpus * 2
     spark = get_spark(app_name="writer-bench", master=f"local[{cpus}]")
@@ -110,18 +120,21 @@ def main():
             total_tokens = toks.select(
                 F.sum(F.size("toks")).alias("t")).collect()[0]["t"]
 
+        out_dir = os.path.join(work, "chunks")
         warm = files.limit(max(n_files // 10, 1000))
-        run_once(warm, seq_len, vocab_size, num_shards, merges)
+        run_once(warm, seq_len, vocab_size, num_shards, merges,
+                 sink, out_dir)
 
-        cold = run_once(files, seq_len, vocab_size, num_shards, merges)
+        cold = run_once(files, seq_len, vocab_size, num_shards,
+                        merges, sink, out_dir)
         steady = sorted(run_once(files, seq_len, vocab_size,
-                                 num_shards, merges)
+                                 num_shards, merges, sink, out_dir)
                         for _ in range(3))
         sec = steady[1]
         out = {
             "n_files": n_files, "total_tokens": int(total_tokens),
             "seq_len": seq_len, "vocab_size": vocab_size,
-            "num_shards": num_shards, "cpus": cpus,
+            "num_shards": num_shards, "cpus": cpus, "sink": sink,
             "cold_sec": round(cold, 2),
             "steady_sec_median3": round(sec, 2),
             "steady_sec_best": round(steady[0], 2),
