@@ -190,3 +190,36 @@ def materialize_chunks(df: DataFrame, shard_col: str, doc_cols: list,
     return (per.groupBy(shard_col, "chunk_id")
             .agg(stitched.alias("tokens"))
             .withColumn("chunk_n_tokens", F.size("tokens")))
+
+
+def chunk_doc_spans(df: DataFrame, shard_col: str, doc_cols: list,
+                    n_tokens_col: str, seq_len: int,
+                    prefix: str = "pack_") -> DataFrame:
+    """The attention-mask sidecar of `materialize_chunks`: one row per
+    (shard, chunk_id) with `doc_spans` — the ORDERED array of
+    (off_in_chunk, doc_cols..., n_tokens) structs describing which
+    document owns which token range of that training sequence. A
+    trainer reading the chunk table joins this 1:1 on
+    (shard, chunk_id) to build cross-document attention masks /
+    example boundaries (the concat-and-chunk layout packs unrelated
+    docs into one sequence; GPT-3-style training masks attention at
+    those seams — Brown et al. 2020 §2.1).
+
+    Invariants (pinned by tests/test_packing.py): spans are sorted by
+    `off_in_chunk` (struct sort; offsets are unique within a chunk by
+    construction), tile the chunk EXACTLY — first span at offset 0,
+    each next span starts where the previous ended, and the total
+    equals the materialized chunk's `chunk_n_tokens` — and each
+    span's length equals the doc's token sub-range landing in that
+    chunk. Cost: the same pack window + bounded explode as
+    `chunk_boundaries`, then ONE groupBy whose per-chunk state is
+    ≤ the number of docs touching the chunk (≤ seq_len structs)."""
+    b = chunk_boundaries(df, shard_col, doc_cols, n_tokens_col,
+                         seq_len, prefix)
+    span = F.struct(
+        F.col("off_in_chunk"),
+        *[F.col(c) for c in doc_cols],
+        (F.col("tok_to") - F.col("tok_from")).alias("n_tokens"))
+    return (b.groupBy(shard_col, "chunk_id")
+            .agg(F.array_sort(F.collect_list(span)).alias("doc_spans"))
+            .withColumn("n_docs", F.size("doc_spans")))

@@ -153,3 +153,53 @@ def test_materialize_chunks_deterministic(spark):
                    for r in a]) == \
         sorted([(r["repo"], r["chunk_id"], list(r["tokens"]))
                 for r in b])
+
+
+def test_chunk_doc_spans_tile_and_locate(spark):
+    """The attention-mask sidecar: spans sort by offset, tile each
+    chunk exactly (start 0, contiguous, total == the materialized
+    chunk's chunk_n_tokens), 1:1 with materialize_chunks rows, and
+    each span LOCATES its doc's tokens — slicing the stitched chunk
+    at the span reproduces exactly that doc's own sub-range."""
+    from alegre_spark.operators.packing import (chunk_doc_spans,
+                                                materialize_chunks)
+
+    def toks(tag, n):
+        return [f"{tag}{i}" for i in range(n)]
+    rows = [("a", 1, toks("p", 3)), ("a", 2, toks("q", 5)),
+            ("a", 3, toks("r", 4)), ("a", 4, []), ("a", 5, toks("s", 10)),
+            ("b", 1, toks("x", 7)), ("b", 2, toks("y", 1)),
+            ("b", 3, None)]
+    df = spark.createDataFrame(
+        rows, "repo string, fid long, toks array<string>")
+    doc_toks = {(r, f): t or [] for r, f, t in rows}
+
+    chunks = {(r["repo"], r["chunk_id"]): r for r in
+              materialize_chunks(df, "repo", ["fid"], "toks", 8)
+              .collect()}
+    sized = df.withColumn("nt", F.size(F.coalesce(
+        F.col("toks"), F.array())))
+    spans = {(r["repo"], r["chunk_id"]): r for r in
+             chunk_doc_spans(sized, "repo", ["fid"], "nt", 8)
+             .collect()}
+    assert set(spans) == set(chunks)          # 1:1 with chunk rows
+
+    consumed = {}                             # (repo, fid) -> count
+    for key, row in spans.items():
+        chunk_tokens = list(chunks[key]["tokens"])
+        off = 0
+        for s in row["doc_spans"]:
+            assert s["off_in_chunk"] == off   # contiguous tiling
+            piece = chunk_tokens[off:off + s["n_tokens"]]
+            start = consumed.get((key[0], s["fid"]), 0)
+            want = doc_toks[(key[0], s["fid"])][start:start +
+                                                s["n_tokens"]]
+            assert piece == want              # span locates the doc
+            consumed[(key[0], s["fid"])] = start + s["n_tokens"]
+            off += s["n_tokens"]
+        assert off == chunks[key]["chunk_n_tokens"]
+        assert row["n_docs"] == len(row["doc_spans"])
+    # every non-empty doc fully consumed across its chunks
+    for (r, f), t in doc_toks.items():
+        if t:
+            assert consumed[(r, f)] == len(t)
