@@ -34,7 +34,10 @@ def cosine_similarity(vec_a, vec_b) -> float:
     csim = np.dot(a, b) / denom if denom else np.nan
     if np.isnan(csim):
         return 0.0
-    return float(csim)
+    # |cos| <= 1 mathematically; squaring denormal components (~1e-161)
+    # underflows the norm and the ratio can exceed 1 (observed 1.0011258
+    # on [1.0, 0.0] vs [1.39e-161, 0.0]), so clamp the float artifact.
+    return float(min(1.0, max(-1.0, csim)))
 
 
 def angular_similarity(vec_a, vec_b) -> float:
@@ -65,7 +68,10 @@ def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity column; 0.0 on zero-norm (NaN->0 parity with
     `similarity_measures.py:11-12`)."""
     denom = norm_col(a) * norm_col(b)
-    return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
+    raw = dot_col(a, b) / denom
+    # clamp the denormal-underflow artifact (|cos| <= 1 mathematically)
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), raw))
+    return F.when(denom > 0, clamped).otherwise(F.lit(0.0))
 
 
 def angular_col(a: Column, b: Column) -> Column:

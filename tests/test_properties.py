@@ -83,7 +83,30 @@ def test_cosine_bounds_and_symmetry(a, b):
     a, b = a[:n], b[:n]
     c1, c2 = cosine_similarity(a, b), cosine_similarity(b, a)
     assert abs(c1 - c2) < 1e-9
-    assert -1.0 - 1e-9 <= c1 <= 1.0 + 1e-9
+    assert -1.0 <= c1 <= 1.0
+
+
+def test_cosine_denormal_underflow_clamped():
+    """Pinned hypothesis counterexample (round-4 judge run): squaring
+    1.39e-161 underflows the norm into subnormal doubles and the unclamped
+    ratio came out 1.0011258 > 1. The scalar and Catalyst forms must both
+    clamp to [-1, 1]."""
+    from alegre_spark.functions.measures import cosine_similarity
+    c = cosine_similarity([1.0, 0.0], [1.39e-161, 0.0])
+    assert -1.0 <= c <= 1.0
+    c2 = cosine_similarity([1.0, 0.0], [-1.39e-161, 0.0])
+    assert -1.0 <= c2 <= 1.0
+
+
+def test_cosine_col_denormal_underflow_clamped(spark):
+    from pyspark.sql import functions as F
+    from alegre_spark.functions.measures import cosine_col
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.39e-161, 0.0]), ([1.0, 0.0], [-1.39e-161, 0.0])],
+        "a array<double>, b array<double>")
+    rows = df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()
+    for r in rows:
+        assert -1.0 <= r["c"] <= 1.0
 
 
 @settings(max_examples=200, deadline=None)
