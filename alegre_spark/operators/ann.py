@@ -329,6 +329,12 @@ def ann_auto_topk(probes: DataFrame, candidates: DataFrame,
     IVF branch, so a structured corpus pays nothing extra. Measured:
     `tools/ann_recall.py` — recall@10 = 1.0 on BOTH corpus shapes via
     this one entry point."""
+    if weak_fallback not in ("brute", "lsh"):
+        # a typo ("bruteforce", "exact") must not silently select the
+        # ~0.18-recall LSH path
+        raise ValueError(
+            f"weak_fallback must be 'brute' or 'lsh', got "
+            f"{weak_fallback!r}")
     route, _structure, C = choose_ann_route(
         candidates, cand_id, cand_vec, n_centroids, sample,
         min_structure)
