@@ -146,32 +146,58 @@ def minhash_band_index(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, bands: int = 4,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs sharing at least one LSH band.
     Returns (id_a, id_b, n_bands) with id_a < id_b.
 
-    Shape (r4): ONE aggregation to (band, key) buckets, then in-bucket
-    pair generation from the sorted id array — not a self-join. A
-    self-join of the unpersisted index recomputed the whole
-    shingle→hash→band subtree on both sides (Catalyst does not reuse
-    the exchange across the aliased branches; measured 2x upstream
-    work at sf0.1), and its output is the same O(sum bucket^2) rows
-    this form emits. Per-bucket state is the id array — same
-    degenerate-bucket bound as the join's quadratic output; an id
-    appears at most once per (band, key), so `n_bands` (count of
-    shared bands per pair) is byte-identical to the join form."""
+    Shape (r4, tightened r5): ONE aggregation to (band, key) buckets,
+    then in-bucket pair generation — not a self-join. A self-join of
+    the unpersisted index recomputed the whole shingle→hash→band
+    subtree on both sides (Catalyst does not reuse the exchange across
+    the aliased branches; measured 2x upstream work at sf0.1). Output
+    cardinality is the same O(sum bucket^2) either way; what r5 fixes
+    is PEAK MEMORY: the r4 form flattened each bucket's full pair list
+    into ONE array value (O(B^2) in a single task) before exploding.
+    Now `posexplode` fans the bucket out to one row per member first
+    (row state = the O(B) id array), and a second explode slices each
+    member's greater-id suffix — the generator streams pairs, so no
+    task ever holds more than one bucket's id array. An id appears at
+    most once per (band, key), so `n_bands` (count of shared bands per
+    pair) is byte-identical to the join form.
+
+    `max_bucket_size` (default None = off) is the hot-bucket valve,
+    mirroring winnowing's hot-fingerprint cap: buckets larger than the
+    cap are dropped from pair generation (logged at WARN with the
+    dropped-bucket count — costs one extra pass over the bucket
+    aggregate, opt-in only). A bucket of thousands of members means
+    thousands of near-identical docs (boilerplate); in the two-phase
+    composition the EXACT phase already collapses identical bodies, so
+    capping is safe there, and elsewhere the survivors still pair up
+    through their other `bands-1` band keys unless they collide on
+    every band (i.e. are exact-signature dups)."""
     buckets = minhash_band_index(df, id_col, text_col, num_hashes,
                                  bands, shingle_n)
     grouped = (buckets.groupBy("band", "key")
                .agg(F.array_sort(F.collect_list("id")).alias("_ids"))
                .filter(F.size("_ids") > 1))
-    ids = F.col("_ids")
-    pair = F.explode(F.flatten(F.transform(
-        ids, lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))))))
-    return (grouped.select(pair.alias("_p"))
-            .select("_p.id_a", "_p.id_b")
+    if max_bucket_size is not None:
+        import logging
+        grouped = grouped.persist()
+        n_dropped = grouped.filter(
+            F.size("_ids") > max_bucket_size).count()
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: dropping %d buckets larger than "
+                "max_bucket_size=%d from pair generation",
+                n_dropped, max_bucket_size)
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
+    members = grouped.select(
+        F.col("_ids"), F.posexplode("_ids").alias("_i", "id_a"))
+    return (members.select(
+                "id_a",
+                F.explode(F.slice(F.col("_ids"), F.col("_i") + 2,
+                                  F.size("_ids"))).alias("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_bands")))
 

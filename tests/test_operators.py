@@ -85,6 +85,45 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_lsh_hot_bucket_valve(spark):
+    """Planted degenerate bucket: 30 byte-identical docs land in ONE
+    bucket per band; with `max_bucket_size` those buckets are dropped
+    from pair generation, and in the two-phase composition the labels
+    are IDENTICAL to the uncapped run because the exact phase owns
+    exact-dup groups — the LSH stage never sees more than one survivor
+    per identical body."""
+    from alegre_spark.operators.dedup import (minhash_lsh_pairs,
+                                              dedup_corpus_two_phase)
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark shuffle partitions " * 5
+    rows = [(i, base) for i in range(1, 31)] + [(31, near), (32, far)]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    # valve drops the 30-member buckets; the 2-member (base-vs-near
+    # survivor) pairs would only come from the exact phase upstream
+    capped = minhash_lsh_pairs(df, "id", "text", max_bucket_size=5)
+    uncapped = minhash_lsh_pairs(df, "id", "text")
+    assert capped.count() < uncapped.count()
+    assert uncapped.count() >= 30 * 29 // 2  # the quadratic bucket
+
+    def labels(out):
+        return {(r["id"], r["keeper_id"], r["is_keeper"], r["group_size"])
+                for r in out.collect()}
+
+    def capped_fn(keepers):
+        return minhash_lsh_pairs(keepers, "id", "text", max_bucket_size=5)
+
+    # threshold 0.7: the x5-repeated body has ~9 distinct trigrams, so
+    # the one-word edit gives distinct-shingle jaccard 0.75
+    plain = labels(dedup_corpus_two_phase(df, "id", "text", threshold=0.7))
+    valved = labels(dedup_corpus_two_phase(
+        df, "id", "text", threshold=0.7, candidate_pairs_fn=capped_fn))
+    assert plain == valved
+    # and the labels are right: {1..31} one group under keeper 1
+    assert (31, 1, False, 31) in plain and (32, 32, True, 1) in plain
+
+
 def test_ngram_jaccard(spark):
     from alegre_spark.operators.dedup import ngram_jaccard_pairs
     df = spark.createDataFrame(
@@ -441,6 +480,13 @@ def test_ann_auto_routing(spark):
                                  n_centroids=n_cent, sample=200,
                                  nprobe=nprobe))
         assert got == exact
+
+    # a typo must not silently select the ~0.18-recall LSH fallback
+    import pytest
+    with pytest.raises(ValueError, match="weak_fallback"):
+        ann_auto_topk(uniform.filter("vec_id < 2"), uniform, "vec_id",
+                      "vec_id", "embedding", "embedding", 16,
+                      weak_fallback="bruteforce")
 
 
 def test_lsh_multitable_recall_monotone(spark):
