@@ -47,6 +47,7 @@ in fit, documented here for apply).
 
 from __future__ import annotations
 
+import heapq
 from collections import defaultdict
 
 import pandas as pd
@@ -118,22 +119,40 @@ def learn_bpe_merges(word_counts, n_merges: int,
     for word, freq in rows:
         if not word:
             continue
-        assert end_of_word not in word, (
-            f"token {word!r} contains the end-of-word marker "
-            f"{end_of_word!r}; choose a different marker")
+        if end_of_word in word:
+            # ValueError, not assert: input validation must survive -O
+            raise ValueError(
+                f"token {word!r} contains the end-of-word marker "
+                f"{end_of_word!r}; choose a different marker")
         sym = tuple(word) + (end_of_word,)
         vocab[sym] = vocab.get(sym, 0) + int(freq)
 
     stats, index = _pair_stats(vocab)
     merges: list[tuple[str, str]] = []
+    # Best-pair selection is a lazy-invalidation heap instead of an
+    # O(P) min scan per merge (r5; P = live distinct pairs, ~600k on
+    # the 1M-word table, so the scan dominated the 181.7 s/2k-merge r4
+    # fit). Entries are (-count, pair): heap order = count desc, pair
+    # lexicographic asc — the exact tie-break of the old
+    # `min(stats.items(), key=(-count, pair))`, so learned merges are
+    # byte-identical. An entry is live iff its count still equals
+    # stats[pair]; every count change pushes a fresh entry, so the
+    # current value is always present and stale ones are skipped on
+    # pop. Same amortized trick as the classic fast BPE trainers.
+    heap = [(-c, p) for p, c in stats.items()]
+    heapq.heapify(heap)
     for _ in range(n_merges):
-        if not stats:
-            break
-        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if stats[best] < min_pair_count:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if stats.get(p) == -negc:
+                best = p
+                break
+        if best is None or stats[best] < min_pair_count:
             break
         merges.append(best)
         joined = best[0] + best[1]
+        touched: set[tuple[str, str]] = set()
         # incremental update: only words containing `best` change
         for old_word in list(index[best]):
             freq = vocab.pop(old_word, None)
@@ -143,6 +162,7 @@ def learn_bpe_merges(word_counts, n_merges: int,
             for i in range(len(old_word) - 1):
                 p = (old_word[i], old_word[i + 1])
                 stats[p] -= freq
+                touched.add(p)
                 occ = index[p]
                 occ[old_word] = occ.get(old_word, 1) - 1
                 if occ.get(old_word, 0) <= 0:
@@ -155,18 +175,39 @@ def learn_bpe_merges(word_counts, n_merges: int,
             for i in range(len(new_word) - 1):
                 p = (new_word[i], new_word[i + 1])
                 stats[p] += freq
+                touched.add(p)
                 index[p][new_word] = index[p].get(new_word, 0) + 1
+        for p in touched:
+            c = stats.get(p)
+            if c is not None and c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
+#: Greedy-by-rank segmentation is O(len^2) per distinct token; past
+#: this length a token is bypassed as ONE opaque symbol. Whitespace
+#: tokenization of a code corpus produces exactly such tokens
+#: (minified JS lines, base64 blobs) — the same exposure the stemmer
+#: guards with _STEM_MAX_LEN after a measured hang on a 200k-char
+#: token. 1k chars ≫ any real word in any language; a >1k-char
+#: "word" is data, not vocabulary, and would never earn merges.
+BPE_MAX_TOKEN_LEN = 1024
+
+
 def segment_token(token: str, ranks: dict[tuple[str, str], int],
-                  end_of_word: str = END_OF_WORD) -> list[str]:
+                  end_of_word: str = END_OF_WORD,
+                  max_token_len: int = BPE_MAX_TOKEN_LEN) -> list[str]:
     """Pure-Python BPE encoder for ONE token: start from characters +
     the end-of-word symbol and repeatedly apply the LOWEST-RANK
     applicable merge (the standard greedy-by-rank encoder, identical
-    to applying the learned merges in order)."""
+    to applying the learned merges in order). Tokens longer than
+    `max_token_len` bypass the quadratic loop and come back as one
+    unsegmented symbol (token + marker — the same shape as a fully
+    merged word)."""
     if not token:
         return []
+    if len(token) > max_token_len:
+        return [token + end_of_word]
     word = list(token) + [end_of_word]
     while len(word) > 1:
         best_rank, best_i = None, None
@@ -183,13 +224,16 @@ def segment_token(token: str, ranks: dict[tuple[str, str], int],
 def bpe_segment(df: DataFrame, tokens_col: str,
                 merges: list[tuple[str, str]],
                 out_col: str = "subwords",
-                end_of_word: str = END_OF_WORD) -> DataFrame:
+                end_of_word: str = END_OF_WORD,
+                max_token_len: int = BPE_MAX_TOKEN_LEN) -> DataFrame:
     """Add `out_col`: each doc's token array segmented into BPE
     subword symbols (flattened across the doc's tokens, in order).
     One vectorized Arrow stage; per-batch memoization over distinct
     tokens (a code corpus repeats identifiers endlessly, so each
     batch segments its distinct tokens once). NULL/empty arrays give
-    empty arrays; NULL/empty elements contribute nothing."""
+    empty arrays; NULL/empty elements contribute nothing. Tokens
+    longer than `max_token_len` (minified JS, base64 blobs) skip the
+    O(len^2) greedy loop — see `segment_token`."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
     @pandas_udf("array<string>")
@@ -205,7 +249,8 @@ def bpe_segment(df: DataFrame, tokens_col: str,
                     continue
                 got = cache.get(t)
                 if got is None:
-                    got = segment_token(t, ranks, end_of_word)
+                    got = segment_token(t, ranks, end_of_word,
+                                        max_token_len)
                     cache[t] = got
                 out.extend(got)
             return out

@@ -149,8 +149,31 @@ def test_compose_with_encoding_writer_chain(spark):
 
 
 def test_marker_collision_guarded():
-    with pytest.raises(AssertionError):
+    # ValueError, not AssertionError: must survive `python -O`
+    with pytest.raises(ValueError):
         learn_bpe_merges({"bad" + END_OF_WORD: 1}.items(), 2)
+
+
+def test_long_token_bypasses_quadratic_loop():
+    """Tokens past BPE_MAX_TOKEN_LEN (minified JS / base64 blobs from
+    whitespace tokenization of code) skip the O(len^2) greedy loop and
+    come back as ONE opaque symbol — the _STEM_MAX_LEN pattern. A
+    200k-char token must segment in far under a second."""
+    import time
+    from alegre_spark.operators.bpe import (BPE_MAX_TOKEN_LEN,
+                                            segment_token)
+    merges = learn_bpe_merges({"abab": 50, "cdcd": 30}.items(), 6,
+                              min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    blob = "ab" * 100_000  # 200k chars, every adjacent pair mergeable
+    t0 = time.monotonic()
+    out = segment_token(blob, ranks)
+    assert time.monotonic() - t0 < 1.0
+    assert out == [blob + END_OF_WORD]
+    # exactly at the limit still segments normally
+    at_limit = "ab" * (BPE_MAX_TOKEN_LEN // 2)
+    seg = segment_token(at_limit, ranks)
+    assert len(seg) > 1 and "".join(seg) == at_limit + END_OF_WORD
 
 
 from hypothesis import given, settings  # noqa: E402

@@ -1,0 +1,66 @@
+"""BPE fit cost curve: driver-side `learn_bpe_merges` seconds vs
+n_merges (VERDICT r4 'What's wrong #3' / 'Next round #3').
+
+The fit is once-per-corpus but driver-resident, so its cost must be
+budgetable: this bench builds the SAME bounded word-frequency table
+the writer uses (1M generated files → top `max_words` word types),
+collects it once (Arrow), then times the pure-Python trainer at a
+ladder of n_merges values. Prints ONE JSON line with the curve plus
+the table-build/collect cost, so a production user can extrapolate a
+32k-merge vocab fit from measured points instead of a guess.
+
+Usage: python tools/bpe_fit_bench.py [n_files] [merge_ladder]
+       (defaults: 1_000_000 files, "500,2000,8000,32000")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from alegre_spark.corpus import generate_corpus_distributed  # noqa: E402
+from alegre_spark.operators.bpe import (learn_bpe_merges,  # noqa: E402
+                                        word_frequency_table)
+from alegre_spark.session import get_spark  # noqa: E402
+
+
+def main():
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    ladder = [int(x) for x in
+              (sys.argv[2] if len(sys.argv) > 2
+               else "500,2000,8000,32000").split(",")]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bpe-fit-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    toks = generate_corpus_distributed(spark, n_files,
+                                       partitions=cpus * 2) \
+        .select(F.split(F.trim("content"), r"\s+").alias("toks"))
+    t0 = time.perf_counter()
+    pdf = word_frequency_table(toks, "toks").toPandas()
+    table_sec = round(time.perf_counter() - t0, 2)
+    rows = list(zip(pdf.iloc[:, 0], pdf.iloc[:, 1]))
+
+    curve = {}
+    for n in ladder:
+        t0 = time.perf_counter()
+        merges = learn_bpe_merges(rows, n, min_pair_count=2)
+        curve[str(n)] = {"fit_sec": round(time.perf_counter() - t0, 2),
+                         "merges_learned": len(merges)}
+
+    print(json.dumps({
+        "n_files": n_files, "distinct_words": len(rows),
+        "word_table_build_collect_sec": table_sec,
+        "fit_curve": curve, "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
