@@ -179,10 +179,27 @@ class CorpusStore:
 
         `target_partitions` bounds output files per dataset; default
         sizes from the keeper count at `rows_per_file` (ONE count on
-        the keeper table — a maintenance job, not the hot path)."""
+        the keeper table — a maintenance job, not the hot path).
+
+        Concurrency: the three datasets are SNAPSHOTTED here via one
+        eager localCheckpoint before any write, so the count and the
+        three writes all see a single consistent state even though
+        each write is its own action. That still leaves a window —
+        the three `_read`s underneath `read_state` are not one atomic
+        multi-table snapshot — so do NOT run a rollforward against
+        this store while compacting (stop the stream first, as
+        `streaming.py` requires; production Iceberg gets real
+        snapshot isolation from the table format)."""
         keepers, bands, keys = self.read_state(spark)
         if keepers is None:
             raise ValueError("nothing to compact: store is empty")
+        # pin ONE state for count + all three writes (each is its own
+        # action; lazy reads could otherwise see different appends)
+        keepers = keepers.localCheckpoint(eager=True)
+        bands = bands.localCheckpoint(eager=True) if bands is not None \
+            else None
+        keys = keys.localCheckpoint(eager=True) if keys is not None \
+            else None
         if target_partitions is None:
             target_partitions = max(
                 1, -(-keepers.count() // rows_per_file))
