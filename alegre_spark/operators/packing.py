@@ -31,11 +31,46 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salt_shards(df: DataFrame, shard_col: str, key_cols: list,
+                salt_buckets: int, seed: int = 0,
+                out_col: str = "pack_shard") -> DataFrame:
+    """Defuse a mega-shard BEFORE packing: add `out_col` =
+    `<shard>#<salt>` where the salt is a decorrelated content hash in
+    [0, salt_buckets) — the same valve `stratified_token_budget
+    (salt_buckets=S)` grew for the same trap. A caller-controlled
+    `shard_col` (repo in the north-rule table) concentrates the pack
+    window: ONE window partition per shard means an 80%-one-repo
+    corpus packs 80% of its tokens in ONE task. Salting splits each
+    shard's stream into S independent streams packed in parallel;
+    every chunk is still a contiguous slice of exactly one
+    (deterministic) stream, so the packing contract is unchanged —
+    only the doc→stream assignment differs, which a trainer never
+    observes. Pass `out_col` as `pack_sequences`'s `shard_col` (and
+    keep it in the output keys). The salt is a pure function of
+    `key_cols` + seed: stable across resumes and cluster sizes, like
+    every hash-family operator here."""
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets must be >= 1")
+    from alegre_spark.operators.sampling import _row_hash
+    salt = F.pmod(_row_hash(key_cols, seed ^ 0x5A17B0C7),
+                  F.lit(salt_buckets)).cast("int")
+    return df.withColumn(
+        out_col, F.concat_ws("#", F.col(shard_col).cast("string"),
+                             salt.cast("string")))
+
+
 def pack_sequences(df: DataFrame, shard_col: str, order_cols: list,
                    n_tokens_col: str, seq_len: int,
                    prefix: str = "pack_") -> DataFrame:
     """Assign every document its token interval and chunk span in the
     concat-and-chunk layout.
+
+    Parallelism is ONE window partition per `shard_col` value — a
+    skewed shard key (one giant repo) serializes its whole stream in
+    one task, the same mega-partition trap `stratified_token_budget`
+    defuses with `salt_buckets`. Use `salt_shards` to split hot
+    shards first, or feed `hash_shuffle`'s `shard` column (uniform by
+    construction; its 64+-shard guidance applies here unchanged).
 
     Adds (with `prefix`):
       - `<p>start`: first token offset of the doc in its shard stream;

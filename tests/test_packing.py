@@ -203,3 +203,50 @@ def test_chunk_doc_spans_tile_and_locate(spark):
     for (r, f), t in doc_toks.items():
         if t:
             assert consumed[(r, f)] == len(t)
+
+
+def test_salt_shards_defuses_mega_shard(spark):
+    """An 80%-one-repo corpus packs ONE window partition per shard —
+    `salt_shards` must split the hot shard into multiple deterministic
+    streams while preserving every packing invariant: totals per
+    stream sum to the corpus total, each stream's layout tiles exactly
+    (pack_chunk_stats agrees with pack_sequences), and the assignment
+    is a pure function of the keys (stable across partitioning)."""
+    from alegre_spark.operators.packing import salt_shards
+
+    rows = [("hot", i, (i % 7) + 1) for i in range(400)] + \
+           [("cold", i, (i % 5) + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "repo string, fid long, nt long")
+
+    salted = salt_shards(df, "repo", ["repo", "fid"], salt_buckets=8)
+    hot_streams = (salted.filter("repo = 'hot'")
+                   .select("pack_shard").distinct().count())
+    assert 2 <= hot_streams <= 8            # the mega-shard is split
+
+    # pure function of the keys: identical under different physical
+    # partitioning, and buckets stay within [0, S)
+    again = salt_shards(df.repartition(13), "repo", ["repo", "fid"],
+                        salt_buckets=8)
+    assert (set(map(tuple, salted.select("repo", "fid", "pack_shard")
+                    .collect()))
+            == set(map(tuple, again.select("repo", "fid", "pack_shard")
+                       .collect())))
+
+    # packing the salted streams preserves the token total and the
+    # exact tiling contract per stream
+    packed = pack_sequences(salted, "pack_shard", ["fid"], "nt", 8)
+    stats = pack_chunk_stats(salted, "pack_shard", "nt", 8)
+    assert (stats.agg(F.sum("total_tokens")).first()[0]
+            == df.agg(F.sum("nt")).first()[0])
+    by_stream = {r["pack_shard"]: r for r in stats.collect()}
+    ends = (packed.groupBy("pack_shard")
+            .agg(F.max(F.col("pack_start") + F.col("nt")).alias("end"),
+                 F.max("pack_last_chunk").alias("last"))
+            .collect())
+    for r in ends:
+        s = by_stream[r["pack_shard"]]
+        assert r["end"] == s["total_tokens"]
+        assert r["last"] == s["n_chunks"] - 1
+
+    with pytest.raises(ValueError):
+        salt_shards(df, "repo", ["repo", "fid"], salt_buckets=0)
