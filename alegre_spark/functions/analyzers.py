@@ -17,10 +17,20 @@ whole-stage-codegen, no Python):
   tables add no retrieval signal at these token lengths.
 - asciifolding: Latin-1/Latin-A accent fold via translate + ß→ss.
 - ar: stopwords + Arabic letter normalization (alef/teh-marbuta/ya
-  forms, the Lucene arabic_normalization step) instead of a stemmer.
-- hi / bn: stopwords + indic normalization (nukta strip, chandrabindu
-  → anusvara) + a light subset of the Lucene Hindi/Bengali suffix
-  strippers (long verbal endings, case clitics, trailing matras).
+  forms, the Lucene arabic_normalization step) + the light10 stemmer
+  (Larkey et al. 2002 — the algorithm Lucene's ArabicStemmer
+  implements: one definite-article/conjunction prefix strip, then the
+  ten suffixes in order, each at most once, ≥2 chars kept).
+- hi: stopwords + indic normalization (nukta strip, chandrabindu →
+  anusvara) + the FULL Ramanathan & Rao 2003 suffix table (what
+  Lucene's HindiStemmer implements): longest matching suffix from the
+  five length classes, stripped ONCE, ≥2 chars kept.
+- bn: stopwords + indic normalization + a light NOMINAL subset of the
+  Bengali suffix strippers (plural/case clitics, trailing vowel
+  signs); verbal morphology is out of scope — Lucene's
+  BengaliStemmer tables are not verifiable in this sandbox, so only
+  the nominal classes every published Bengali light stemmer agrees
+  on are implemented (see tools/analyzer_recall_bench.py).
 - cjk: the bigram chain lives in `similarity_join.tokenize_analyzed_cjk`.
 
 Chain order follows ES: lowercase → NORMALIZE (ar/hi/bn) →
@@ -228,11 +238,48 @@ _STEM_RULES: dict[str, list[tuple[str, str]]] = {
             r"|se|ber|bel)((?:[^aeiou]*[aeiou]){2}.*)$", r"$1"),
            (r"^(?:be|pe)([bcdfghjklmnpqrstvwxyz]er[a-z]+)$", r"$1"),
            (r"^((?:[^aeiou]*[aeiou]){2}.*?)(?:kan|an|i)$", r"$1")],
-    # HindiStemmer shape (Lucene, light subset): long verbal endings,
-    # then nasalized case endings, then a single trailing matra
-    "hi": [(r"^(.{2,}?)(?:ाएंगी|ाएंगे|ाऊंगी|ाऊंगा)$", r"$1"),
-           (r"^(.{2,}?)(?:ें|ों|ीं|ां|एं|ओं)$", r"$1"),
-           (r"^(.{2,}?)[ािीुूेो]$", r"$1")],
+    # The FULL HindiStemmer table (Lucene = Ramanathan & Rao 2003,
+    # "A Lightweight Stemmer for Hindi", table 1): ONE rule, ONE
+    # application — the lazy `(..+?)` prefix makes the regex strip the
+    # LONGEST table suffix (smallest prefix wins, all alternatives
+    # end-anchored), exactly Lucene's descending length-class scan,
+    # and a single regexp_replace is a single strip, exactly Lucene's
+    # return-on-first-match. `..+?` keeps >= 2 chars (Lucene's
+    # `len > suffix_len + 1` guard). Suffix classes by length:
+    # 5: future/honorific verb endings; 4: future + abstract-noun
+    # obliques; 3: participles/obliques; 2: case endings/participles;
+    # 1: single matras.
+    "hi": [(r"^(..+?)(?:"
+            r"ाएंगी|ाएंगे|ाऊंगी|ाऊंगा|ाइयाँ|ाइयों|ाइयां"
+            r"|ाएगी|ाएगा|ाओगी|ाओगे|एंगी|ेंगी|एंगे|ेंगे|ूंगी|ूंगा"
+            r"|ातीं|नाओं|नाएं|ताओं|ताएं|ियाँ|ियों|ियां"
+            r"|ाकर|ाइए|ाईं|ाया|ेगी|ेगा|ोगी|ोगे|ाने|ाना|ाते|ाती|ाता"
+            r"|तीं|ाओं|ाएं|ुओं|ुएं|ुआं"
+            r"|कर|ाओ|िए|ाई|ाए|ने|नी|ना|ते|ीं|ती|ता|ाँ|ां|ों|ें"
+            r"|ो|े|ू|ु|ी|ि|ा)$", r"$1")],
+    # Arabic light10 (Larkey, Ballesteros & Connell 2002 — the
+    # algorithm Lucene's ArabicStemmer implements, applied AFTER
+    # arabic_normalization). Rule 1 strips ONE prefix (Lucene's
+    # stemPrefix returns on first match, so the و-vs-وال order
+    # matters and a stripped وال must NOT expose a fresh و strip —
+    # hence one combined alternation, single application): multi-char
+    # prefixes keep >= 2 chars, the bare conjunction و keeps >= 3.
+    # Rules 2-11: the ten suffixes IN LUCENE ORDER, each applied at
+    # most once but cascading onto later rules (Lucene's stemSuffix
+    # iterates the whole list, re-testing against the shrunk buffer),
+    # each keeping >= 2 chars. The ة rule is unreachable after
+    # normalization (ة → ه) but kept for table fidelity.
+    "ar": [(r"^(?:(?:وال|بال|كال|فال|ال|لل)(..+)|و(...+))$", r"$1$2"),
+           (r"^(..+)ها$", r"$1"),
+           (r"^(..+)ان$", r"$1"),
+           (r"^(..+)ات$", r"$1"),
+           (r"^(..+)ون$", r"$1"),
+           (r"^(..+)ين$", r"$1"),
+           (r"^(..+)يه$", r"$1"),
+           (r"^(..+)ية$", r"$1"),
+           (r"^(..+)ه$", r"$1"),
+           (r"^(..+)ة$", r"$1"),
+           (r"^(..+)ي$", r"$1")],
     # BengaliStemmer shape (light subset): plural/case clitics, then a
     # single trailing vowel sign
     "bn": [(r"^(.{2,}?)(?:গুলো|গুলি|দের|েরা)$", r"$1"),
@@ -342,7 +389,9 @@ def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
         {_normalize_word_py(s, lang) for s in STOPWORDS[lang]})])
     toks = F.array_except(toks, stops)
     if lang in ("ar",):
-        pass                      # no stemmer; normalization done
+        # light10 stem after normalization; the ES ar chain has no
+        # asciifolding (reference `language_analyzers.py` rebuilt_ar)
+        toks = F.transform(toks, lambda t: _stem(t, lang))
     elif lang in ("hi", "bn"):
         toks = F.transform(toks, lambda t: _stem(t, lang))
     else:

@@ -104,20 +104,34 @@ def tokenize_analyzed(col: Column) -> Column:
 
 
 def tokenize_analyzed_cjk(col: Column) -> Column:
-    """CJK-analyzer-style tokens (`language_analyzers.py` 'cjk' chain):
+    """CJK-analyzer-style tokens (`language_analyzers.py` 'cjk' chain
+    = cjk_width + lowercase + cjk_bigram + english_stop):
     Han/Hiragana/Katakana/Hangul runs emit OVERLAPPING BIGRAMS (the
     Lucene cjk_bigram filter — CJK text has no word spaces, so unigram
     runs would make every sentence one token); non-CJK runs tokenize
     like the standard analyzer. Two-step HOF over a bound token array
-    (HOF lambdas don't CSE — see `shingles_from_tokens`)."""
+    (HOF lambdas don't CSE — see `shingles_from_tokens`).
+
+    cjk_width (r5): full-width ASCII forms (U+FF01-FF5E, ubiquitous in
+    zh/ja text: ＡＢＣ１２３) fold to ASCII via ONE translate before
+    tokenizing, so ＳＰＡＲＫ and spark analyze identically. The
+    filter's other half — halfwidth katakana composition (ｶﾞ → ガ) —
+    needs 2→1 char composition that `translate` can't express; it is a
+    documented boundary (legacy Shift-JIS-era text only; measured in
+    tools/analyzer_recall_bench.py §cjk). english_stop (r5): the cjk
+    analyzer's fixed 35-word Lucene stop set is removed from the final
+    stream; bigrams are CJK strings that can never equal an English
+    stopword, so one array_except on the token array is exactly the
+    ES filter."""
     cjk = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]"
     # the letter alternative must EXCLUDE CJK (class intersection),
     # else a Latin-led run greedily swallows adjacent CJK chars
     # ('iPhone充电器' would become one opaque token, never bigrammed)
     latin = (r"[\p{L}&&[^\p{IsHan}\p{IsHiragana}"
              r"\p{IsKatakana}\p{IsHangul}]]+")
+    folded = F.translate(col, _CJK_WIDTH_SRC, _CJK_WIDTH_DST)
     runs = F.regexp_extract_all(
-        F.lower(col),
+        F.lower(folded),
         F.lit(cjk + r"+|" + latin + r"|[\p{N}]+(?:\.[\p{N}]+)?"), 0)
 
     def expand(tok: Column) -> Column:
@@ -137,7 +151,24 @@ def tokenize_analyzed_cjk(col: Column) -> Column:
             lambda i: F.substring(tok, i, 2))
         return F.when(is_cjk & (n >= 2), bigrams).otherwise(F.array(tok))
 
-    return F.array_distinct(F.flatten(F.transform(runs, expand)))
+    out = F.array_distinct(F.flatten(F.transform(runs, expand)))
+    return F.array_except(
+        out, F.array(*[F.lit(s) for s in _CJK_EN_STOPS]))
+
+
+# cjk_width, the translate-expressible half: full-width ASCII forms →
+# ASCII (U+FF01..FF5E → U+0021..007E) + ideographic space → space.
+_CJK_WIDTH_SRC = "".join(chr(0xFF01 + i) for i in range(94)) + "　"
+_CJK_WIDTH_DST = "".join(chr(0x21 + i) for i in range(94)) + " "
+
+# the ES cjk analyzer's fixed english_stop list (reference
+# `language_analyzers.py` rebuilt_cjk — Lucene's CJKAnalyzer set,
+# which adds s/t/www to the standard English stops).
+_CJK_EN_STOPS = (
+    "a", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "s",
+    "such", "t", "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with", "www")
 
 
 def min_should_match(n_tokens: Column, threshold: float) -> Column:

@@ -255,6 +255,27 @@ def test_cjk_latin_adjacent_runs_split(spark):
     assert t == ["iphone", "充电", "电器"]
 
 
+def test_cjk_width_and_english_stop(spark):
+    """The ES cjk analyzer's other two filters (r5): cjk_width folds
+    full-width ASCII before tokenizing (ＳＰＡＲＫ ≡ spark,
+    ４．５ ≡ 4.5) and english_stop removes the fixed 35-word list
+    from the final stream (bigrams can never collide with it)."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.similarity_join import \
+        tokenize_analyzed_cjk
+
+    def t(s):
+        return spark.createDataFrame([(s,)], "c string").select(
+            tokenize_analyzed_cjk(F.col("c")).alias("t")).first()["t"]
+
+    assert t("ＳＰＡＲＫ集群４．５") == ["spark", "集群", "4.5"]
+    assert t("the 数据 to 处理") == ["数据", "处理"]
+    # mixed han+hiragana is ONE bigram run (Lucene default: all four
+    # CJK scripts buffered together)
+    assert t("日本語です") == ["日本", "本語", "語で", "です"]
+
+
 def test_language_analyzer_chains(spark):
     """Per-language chains (reference `language_analyzers.py:6-304`):
     stopword removal, light stemming, asciifolding — morphological
@@ -299,6 +320,21 @@ def test_language_analyzer_chains(spark):
         len(toks("হ\u09df\u09c7 কলা", "bn")) == 1
     # ar: alef/teh-marbuta normalization unifies orthographic variants
     assert toks("أهمية", "ar") == toks("اهمية", "ar")
+    # ar light10 stemming (r5 — Lucene ArabicStemmer tables): article
+    # prefix, sound plurals, feminine ة(→ه), possessive ها
+    assert set(toks("الكتاب كتاب", "ar")) == {"كتاب"}
+    assert set(toks("معلمون معلم", "ar")) == {"معلم"}
+    assert set(toks("سيارة سيارات", "ar")) == {"سيار"}
+    assert set(toks("قلمها قلم", "ar")) == {"قلم"}
+    # ONE prefix strip only (Lucene stemPrefix returns on first
+    # match): a stripped وال must not expose a fresh و strip
+    assert toks("والولاية", "ar") == ["ولا"]   # وال then يه — not و too
+    # hi full table (r5 — Lucene HindiStemmer): longest suffix, ONE
+    # strip; short words keep the >= 2-char floor
+    assert set(toks("बनाना बनाएंगे", "hi")) == {"बन"}   # ाना / ाएंगे
+    assert set(toks("चलता चलती", "hi")) == {"चल"}
+    assert toks("गाते", "hi") == ["गा"]   # ते strips; the exposed ा
+    # must NOT strip again (single application, unlike chained rules)
     # unknown language falls back to the standard chain
     assert toks("The Dogs", "xx") == ["the", "dogs"]
 

@@ -126,6 +126,53 @@ FAMILIES: dict[str, list[tuple]] = {
         ("buch", "bücher", "buch"),
         ("spielen", "spielt", "spiel", "spielt"),
     ],
+    # r5: Hindi — the chain now carries the FULL Ramanathan & Rao 2003
+    # table (what Lucene's HindiStemmer implements), so the offline
+    # column below is hand-computed from that published table and
+    # light-vs-offline parity is the claim under test. Stems verified
+    # by walking the descending length classes by hand (longest
+    # matching suffix, single strip, >= 2 chars kept).
+    "hi": [
+        ("किताब", "किताबें", "किताब"),    # ें case ending (2)
+        ("कमरा", "कमरे", "कमर"),           # single matra (1)
+        ("चलता", "चलती", "चल"),            # ता/ती participles (2)
+        ("बनाना", "बनाएंगे", "बन"),        # ाना (3) / ाएंगे future (5)
+        ("लिखने", "लिखकर", "लिख"),         # ने (2) / कर absolutive (2)
+        ("भावना", "भावनाओं", "भाव"),       # ना (2) / नाओं oblique (4)
+        ("हाथ", "हाथों", "हाथ"),           # ों oblique plural (2)
+        # suppletive stem (जाना/गया): NO suffix table conflates these —
+        # both modes must fail equally (गया → गय via ा; जाना → जा via ना)
+        ("गया", "जाना", "गय", "जा"),
+    ],
+    # r5: Bengali — NOMINAL classes only (plural/case clitics +
+    # locative vowel sign), the subset every published Bengali light
+    # stemmer agrees on. Lucene's BengaliStemmer source is not
+    # available in this sandbox for rule-table verification, so
+    # verbal morphology is NOT claimed or measured (documented
+    # boundary, analyzers.py module docstring).
+    "bn": [
+        ("বই", "বইগুলো", "বই"),            # গুলো plural
+        ("ছেলে", "ছেলেদের", "ছেলে"),        # দের genitive plural
+        ("মানুষ", "মানুষের", "মানুষ"),      # ের genitive
+        ("টেবিল", "টেবিলটা", "টেবিল"),      # টা definite
+        ("ছাত্র", "ছাত্ররা", "ছাত্র"),       # রা nominative plural
+        ("কলম", "কলমে", "কলম"),            # ে locative
+    ],
+    # r5: Arabic — offline column = light10 (Larkey et al. 2002, the
+    # algorithm Lucene's ArabicStemmer implements), hand-computed
+    # AFTER arabic_normalization (ة→ه): one prefix strip, then the
+    # ten suffixes in order, >= 2 chars kept.
+    "ar": [
+        ("كتاب", "الكتاب", "كتاب"),        # definite article ال
+        ("معلم", "معلمون", "معلم"),        # sound masc. plural ون
+        ("سيارة", "سيارات", "سيار"),       # ة(→ه) / fem. plural ات
+        ("مكتبة", "مكتبات", "مكتب"),       # same family, distinct word
+        ("قلمها", "قلم", "قلم"),           # possessive ها
+        ("نتيجة", "والنتيجة", "نتيج"),     # وال prefix + ه suffix
+        # broken plural: NO affix stemmer conflates it — honest fail
+        # (مدرسة → مدرس; مدارس unchanged)
+        ("مدرسة", "مدارس", "مدرس", "مدارس"),
+    ],
     # r4: Indonesian — the analyzer chain has NO stem rules today
     # (`_STEM_RULES` has no 'id' entry), so "light" ≡ "none" and this
     # section measures the whole IndonesianStemmer gap directly
@@ -148,7 +195,42 @@ FILLER: dict[str, list[str]] = {
     "fr": ["marché", "rapport", "hier", "village"],
     "de": ["markt", "bericht", "gestern", "dorf"],
     "id": ["pasar", "laporan", "kemarin", "desa"],
+    "hi": ["बाजार", "समाचार", "सप्ताह", "शहर"],
+    "bn": ["বাজার", "খবর", "সপ্তাহ", "শহর"],
+    "ar": ["سوق", "تقرير", "اسبوع", "مدينة"],
 }
+
+# r5 cjk section: the cjk chain has no stemmer to measure — parity
+# cases hand-derived from the documented ES cjk analyzer (cjk_width +
+# lowercase + cjk_bigram + english_stop; Lucene CJKBigramFilter with
+# all four scripts enabled bigrams ACROSS mixed CJK-script runs).
+# `boundary` marks the one documented gap: halfwidth katakana needs
+# 2→1 dakuten composition that a Catalyst translate cannot express,
+# so those runs bigram in halfwidth instead of composed fullwidth
+# (legacy Shift-JIS-era text only; see tokenize_analyzed_cjk).
+CJK_PARITY_CASES: list[tuple] = [
+    ("多語言支持", {"多語", "語言", "言支", "支持"}, False),
+    ("日本語です", {"日本", "本語", "語で", "です"}, False),  # han+kana 1 run
+    ("한국어 텍스트", {"한국", "국어", "텍스", "스트"}, False),
+    ("iPhone充电器", {"iphone", "充电", "电器"}, False),
+    ("一", {"一"}, False),                       # 1-char run → unigram
+    ("价格123元", {"价格", "123", "元"}, False),
+    ("カタカナとひらがな",
+     {"カタ", "タカ", "カナ", "ナと", "とひ", "ひら", "らが", "がな"},
+     False),
+    ("ＳＰＡＲＫ集群４．５", {"spark", "集群", "4.5"}, False),  # cjk_width
+    ("the 数据 to 处理", {"数据", "处理"}, False),             # english_stop
+    ("ｶﾀｶﾅ", {"カタ", "タカ", "カナ"}, True),   # boundary: composition
+]
+
+# near-dup pair recall through the bigram chain (one-clause edits
+# should keep most bigrams; unrelated text should share none)
+CJK_PAIRS: list[tuple[str, str, str, bool]] = [
+    ("zh_0", "香蕉切片的方法", "香蕉切片的好方法", True),
+    ("zh_1", "我喜欢吃苹果", "我喜欢吃青苹果", True),
+    ("ja_0", "日本語のテキスト処理", "日本語のテキスト解析処理", True),
+    ("zh_2", "香蕉切片的方法", "完全不同的内容在这里", False),
+]
 
 
 def build_pairs(lang: str) -> list[tuple[str, str, str]]:
@@ -256,6 +338,45 @@ def main():
                                        - matched["snowball"])
         deltas["snowball_only"] += sorted(matched["snowball"]
                                           - matched["light"])
+    # ---- cjk: token-set parity vs the documented ES cjk analyzer,
+    # plus bigram near-dup pair recall (no stemmer to measure)
+    from alegre_spark.operators.similarity_join import \
+        tokenize_analyzed_cjk
+    cdf = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(CJK_PARITY_CASES)],
+        "i long, t string")
+    got = {r["i"]: set(r["toks"]) for r in cdf.select(
+        "i", tokenize_analyzed_cjk(F.col("t")).alias("toks")).collect()}
+    parity_rows = []
+    n_match = n_boundary = 0
+    for i, (text, want, boundary) in enumerate(CJK_PARITY_CASES):
+        ok = got[i] == want
+        n_match += ok
+        n_boundary += (not ok) and boundary
+        parity_rows.append({"text": text, "match": ok,
+                            "boundary": boundary,
+                            **({} if ok else
+                               {"got": sorted(got[i]),
+                                "want": sorted(want)})})
+    pdf2 = spark.createDataFrame(CJK_PAIRS,
+                                 "pid string, a string, b string, "
+                                 "want boolean")
+    ta = tokenize_analyzed_cjk(F.col("a"))
+    tb = tokenize_analyzed_cjk(F.col("b"))
+    score = (F.size(F.array_intersect(ta, tb)) /
+             F.greatest(F.size(ta), F.lit(1)))
+    pair_rows = pdf2.select("pid", "want",
+                            (score >= threshold).alias("got")).collect()
+    result["cjk"] = {
+        "parity_cases": len(CJK_PARITY_CASES),
+        "parity_matched": n_match,
+        "parity_boundary_misses": n_boundary,
+        "cases": parity_rows,
+        "pair_recall_correct": sum(r["got"] == r["want"]
+                                   for r in pair_rows),
+        "pairs": len(pair_rows),
+    }
+
     result["totals"] = totals
     result["recall"] = {
         m: round(totals[m] / totals["pairs"], 4)
