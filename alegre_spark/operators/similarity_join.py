@@ -115,21 +115,34 @@ def tokenize_analyzed_cjk(col: Column) -> Column:
     cjk_width (r5): full-width ASCII forms (U+FF01-FF5E, ubiquitous in
     zh/ja text: ＡＢＣ１２３) fold to ASCII via ONE translate before
     tokenizing, so ＳＰＡＲＫ and spark analyze identically. The
-    filter's other half — halfwidth katakana composition (ｶﾞ → ガ) —
-    needs 2→1 char composition that `translate` can't express; it is a
-    documented boundary (legacy Shift-JIS-era text only; measured in
-    tools/analyzer_recall_bench.py §cjk). english_stop (r5): the cjk
-    analyzer's fixed 35-word Lucene stop set is removed from the final
-    stream; bigrams are CJK strings that can never equal an English
-    stopword, so one array_except on the token array is exactly the
-    ES filter."""
-    cjk = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]"
+    filter's other half — halfwidth katakana (legacy Shift-JIS-era
+    text) — folds too: the 26 voiced/semi-voiced compositions
+    (ｶﾞ → ガ) are 2→1 so `translate` can't express them; they run as
+    chained LITERAL regexp_replaces, then one translate folds the 1:1
+    remainder (ｱ → ア, stray marks → ゛゜). The whole kana branch is
+    gated behind one rlike on the halfwidth block, so text without it
+    pays a single scan. english_stop (r5): the cjk analyzer's fixed
+    35-word Lucene stop set is removed from the final stream; bigrams
+    are CJK strings that can never equal an English stopword, so one
+    array_except on the token array is exactly the ES filter."""
+    # ー (prolonged sound mark, データベース) is Script=Common so
+    # \p{IsKatakana} misses it, but UAX#29 — what Lucene's standard
+    # tokenizer implements — word-breaks it as Katakana; without it a
+    # run splits at every long vowel (surfaced by the r5 halfwidth
+    # probe ﾃﾞｰﾀﾍﾞｰｽ, but equally true of fullwidth データ).
+    cjk = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}ー]"
     # the letter alternative must EXCLUDE CJK (class intersection),
     # else a Latin-led run greedily swallows adjacent CJK chars
     # ('iPhone充电器' would become one opaque token, never bigrammed)
     latin = (r"[\p{L}&&[^\p{IsHan}\p{IsHiragana}"
              r"\p{IsKatakana}\p{IsHangul}]]+")
     folded = F.translate(col, _CJK_WIDTH_SRC, _CJK_WIDTH_DST)
+    kana = folded
+    for pair, comp in _HW_KANA_COMPOSE:
+        kana = F.regexp_replace(kana, pair, comp)
+    kana = F.translate(kana, _HW_KANA_SRC, _HW_KANA_DST)
+    folded = F.when(folded.rlike("[｡-ﾟ]"),
+                    kana).otherwise(folded)
     runs = F.regexp_extract_all(
         F.lower(folded),
         F.lit(cjk + r"+|" + latin + r"|[\p{N}]+(?:\.[\p{N}]+)?"), 0)
@@ -160,6 +173,29 @@ def tokenize_analyzed_cjk(col: Column) -> Column:
 # ASCII (U+FF01..FF5E → U+0021..007E) + ideographic space → space.
 _CJK_WIDTH_SRC = "".join(chr(0xFF01 + i) for i in range(94)) + "　"
 _CJK_WIDTH_DST = "".join(chr(0x21 + i) for i in range(94)) + " "
+
+# cjk_width, the composition half (halfwidth katakana U+FF61-FF9F):
+# voiced ﾞ / semi-voiced ﾟ pairs compose 2→1 (what Lucene's
+# CJKWidthFilter does) via literal replaces, then the 1:1 remainder
+# translates (block order FF61..FF9F; stray marks → ゛゜ like Lucene).
+_HW_KANA_COMPOSE: tuple[tuple[str, str], ...] = tuple(
+    (base + mark, comp)
+    for mark, table in (
+        ("ﾞ",  # ﾞ dakuten
+         {"ｶ": "ガ", "ｷ": "ギ", "ｸ": "グ", "ｹ": "ゲ", "ｺ": "ゴ",
+          "ｻ": "ザ", "ｼ": "ジ", "ｽ": "ズ", "ｾ": "ゼ", "ｿ": "ゾ",
+          "ﾀ": "ダ", "ﾁ": "ヂ", "ﾂ": "ヅ", "ﾃ": "デ", "ﾄ": "ド",
+          "ﾊ": "バ", "ﾋ": "ビ", "ﾌ": "ブ", "ﾍ": "ベ", "ﾎ": "ボ",
+          "ｳ": "ヴ"}),
+        ("ﾟ",  # ﾟ handakuten
+         {"ﾊ": "パ", "ﾋ": "ピ", "ﾌ": "プ", "ﾍ": "ペ", "ﾎ": "ポ"}),
+    )
+    for base, comp in table.items())
+_HW_KANA_SRC = "".join(chr(c) for c in range(0xFF61, 0xFFA0))
+_HW_KANA_DST = ("。「」、・ヲァィゥェォャュョッー"
+                "アイウエオカキクケコサシスセソ"
+                "タチツテトナニヌネノハヒフヘホ"
+                "マミムメモヤユヨラリルレロワン゛゜")
 
 # the ES cjk analyzer's fixed english_stop list (reference
 # `language_analyzers.py` rebuilt_cjk — Lucene's CJKAnalyzer set,

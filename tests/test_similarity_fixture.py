@@ -274,6 +274,13 @@ def test_cjk_width_and_english_stop(spark):
     # mixed han+hiragana is ONE bigram run (Lucene default: all four
     # CJK scripts buffered together)
     assert t("日本語です") == ["日本", "本語", "語で", "です"]
+    # halfwidth katakana composes (dakuten 2→1) and folds, so legacy
+    # Shift-JIS-era spellings analyze identically to fullwidth —
+    # including the prolonged mark ー (Script=Common, which
+    # \p{IsKatakana} misses but UAX#29 breaks as Katakana)
+    want = ["デー", "ータ", "タベ", "ベー", "ース"]
+    assert t("ﾃﾞｰﾀﾍﾞｰｽ") == want and t("データベース") == want
+    assert t("ﾊﾟｿｺﾝ") == ["パソ", "ソコ", "コン"]
 
 
 def test_language_analyzer_chains(spark):

@@ -204,10 +204,13 @@ FILLER: dict[str, list[str]] = {
 # cases hand-derived from the documented ES cjk analyzer (cjk_width +
 # lowercase + cjk_bigram + english_stop; Lucene CJKBigramFilter with
 # all four scripts enabled bigrams ACROSS mixed CJK-script runs).
-# `boundary` marks the one documented gap: halfwidth katakana needs
-# 2→1 dakuten composition that a Catalyst translate cannot express,
-# so those runs bigram in halfwidth instead of composed fullwidth
-# (legacy Shift-JIS-era text only; see tokenize_analyzed_cjk).
+# The r5 halfwidth-katakana boundary is CLOSED: dakuten composition
+# runs as chained literal replaces + one translate behind an rlike
+# gate (see tokenize_analyzed_cjk); the probe also surfaced that
+# \p{IsKatakana} misses the Script=Common prolonged mark ー, which
+# UAX#29 (Lucene's standard tokenizer) breaks as Katakana — fixed in
+# the run class. `boundary` stays as a field for future honest
+# misses (currently none).
 CJK_PARITY_CASES: list[tuple] = [
     ("多語言支持", {"多語", "語言", "言支", "支持"}, False),
     ("日本語です", {"日本", "本語", "語で", "です"}, False),  # han+kana 1 run
@@ -220,7 +223,9 @@ CJK_PARITY_CASES: list[tuple] = [
      False),
     ("ＳＰＡＲＫ集群４．５", {"spark", "集群", "4.5"}, False),  # cjk_width
     ("the 数据 to 处理", {"数据", "处理"}, False),             # english_stop
-    ("ｶﾀｶﾅ", {"カタ", "タカ", "カナ"}, True),   # boundary: composition
+    ("ｶﾀｶﾅ", {"カタ", "タカ", "カナ"}, False),      # hw composition (r5)
+    ("ﾃﾞｰﾀﾍﾞｰｽ", {"デー", "ータ", "タベ", "ベー", "ース"}, False),
+    ("データベース", {"デー", "ータ", "タベ", "ベー", "ース"}, False),
 ]
 
 # near-dup pair recall through the bigram chain (one-clause edits
