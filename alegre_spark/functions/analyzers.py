@@ -385,8 +385,13 @@ def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
             toks, lambda t: F.translate(
                 F.regexp_replace(t, _INDIC_STRIP, ""),
                 _INDIC_FOLD_SRC, _INDIC_FOLD_DST))
-    stops = F.array(*[F.lit(s) for s in sorted(
-        {_normalize_word_py(s, lang) for s in STOPWORDS[lang]})])
+    # one array literal (lit on a list), not array(lit, lit, ...): the
+    # per-word form costs one py4j round trip per stopword — ~533 calls
+    # across the 12 routed chains, the bulk of the driver's
+    # plan-build time for routed search. Same Catalyst value either
+    # way (constant folding collapses CreateArray of literals).
+    stops = F.lit(sorted(
+        {_normalize_word_py(s, lang) for s in STOPWORDS[lang]}))
     toks = F.array_except(toks, stops)
     if lang in ("ar",):
         # light10 stem after normalization; the ES ar chain has no
@@ -399,16 +404,38 @@ def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
     return F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
 
 
+# Built routed-analyzer expressions, memoized per (JVM gateway,
+# column expr text, lang-column expr text, langs). The CASE-of-12-
+# chains tree is ~2,000 py4j round trips ≈ 0.7 s of pure driver
+# latency per build, and a routed search builds it TWICE (probe +
+# candidate side) with identical inputs — while the tree itself is a
+# pure function of the key. Column objects are immutable expression
+# trees, so sharing one instance across plans is safe; the gateway id
+# invalidates the cache if the JVM is ever relaunched (entries from a
+# dead gateway are unreachable garbage, hence the size valve).
+_ROUTED_EXPR_CACHE: dict = {}
+_ROUTED_EXPR_CACHE_MAX = 64
+
+
 def tokenize_analyzed_routed(col: Column, lang_col: Column,
                              langs: tuple[str, ...] | None = None) -> Column:
     """L7-routed analysis: each row tokenizes with ITS OWN language's
     chain (the Spark form of the reference's per-language indices,
     `language_analyzers.init_indices`). One CASE expression — still
-    whole-stage codegen, no Python."""
+    whole-stage codegen, no Python. Memoized: see _ROUTED_EXPR_CACHE."""
+    from pyspark import SparkContext
+
     from ..operators.similarity_join import tokenize_analyzed
-    langs = ROUTED_LANGS if langs is None else langs
+    langs = ROUTED_LANGS if langs is None else tuple(langs)
+    key = (id(SparkContext._gateway), str(col), str(lang_col), langs)
+    hit = _ROUTED_EXPR_CACHE.get(key)
+    if hit is not None:
+        return hit
     expr = tokenize_analyzed(col)          # default route
     for lg in langs:
         expr = F.when(lang_col == lg,
                       tokenize_analyzed_lang(col, lg)).otherwise(expr)
+    if len(_ROUTED_EXPR_CACHE) >= _ROUTED_EXPR_CACHE_MAX:
+        _ROUTED_EXPR_CACHE.clear()
+    _ROUTED_EXPR_CACHE[key] = expr
     return expr

@@ -100,7 +100,11 @@ def hyperplane_bucket(vec_col, planes: list[list[float]]):
     hyperplanes (deterministic, passed in by the caller)."""
     bits = []
     for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
+        # one array<double> literal per plane (lit on a list), not
+        # array(lit, lit, ...): the per-element form is one py4j round
+        # trip per component — n_planes × dim calls of pure
+        # plan-build latency on the driver
+        arr = F.lit([float(x) for x in p])
         dot = F.aggregate(F.zip_with(vec_col, arr, lambda a, b: a * b),
                           F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))

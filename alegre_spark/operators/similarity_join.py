@@ -165,8 +165,9 @@ def tokenize_analyzed_cjk(col: Column) -> Column:
         return F.when(is_cjk & (n >= 2), bigrams).otherwise(F.array(tok))
 
     out = F.array_distinct(F.flatten(F.transform(runs, expand)))
-    return F.array_except(
-        out, F.array(*[F.lit(s) for s in _CJK_EN_STOPS]))
+    # one array literal, not array(lit, ...) — see analyzers.py: the
+    # per-word form costs a py4j round trip per element at plan-build
+    return F.array_except(out, F.lit(list(_CJK_EN_STOPS)))
 
 
 # cjk_width, the translate-expressible half: full-width ASCII forms →

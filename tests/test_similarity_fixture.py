@@ -510,3 +510,40 @@ def test_en_fr_light_stem_upgrades(spark):
     assert tok1("chevaux", "fr") == tok1("cheval", "fr") == ["cheval"]
     assert tok1("animaux", "fr") == tok1("animal", "fr")
     assert tok1("châteaux", "fr") == ["chateau"]
+
+
+def test_routed_expr_cache_identity_and_isolation(spark):
+    """The routed analyzer tree (~2k py4j calls ≈ 0.7 s of driver
+    latency) is memoized per (gateway, col expr, lang expr, langs):
+    same key returns the SAME Column object; a different key builds a
+    fresh tree; and a cached expression used in two plans still
+    produces the golden routing behavior (Columns are immutable, so
+    sharing is safe)."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.analyzers import (
+        _ROUTED_EXPR_CACHE, tokenize_analyzed_routed)
+
+    _ROUTED_EXPR_CACHE.clear()
+    a = tokenize_analyzed_routed(F.col("content"), F.col("language"))
+    b = tokenize_analyzed_routed(F.col("content"), F.col("language"))
+    assert a is b, "identical key must hit the cache"
+    c = tokenize_analyzed_routed(F.col("other"), F.col("language"))
+    assert c is not a, "different text column must miss"
+    d = tokenize_analyzed_routed(F.col("content"), F.col("language"),
+                                 langs=("en", "fr"))
+    assert d is not a, "different lang set must miss"
+    assert len(_ROUTED_EXPR_CACHE) == 3
+
+    # the cached expression resolves correctly in two separate plans
+    docs = spark.createDataFrame(
+        [(1, "les chevaux galopaient", "fr"),
+         (2, "le cheval galope", "fr"),
+         (3, "the horses were galloping", "en")],
+        "doc_id long, content string, language string")
+    for _ in range(2):  # second pass = all cache hits inside
+        toks = {r["doc_id"]: set(r["t"]) for r in docs.select(
+            "doc_id", a.alias("t")).collect()}
+        # fr light stem conflates chevaux/cheval inside the fr route
+        assert toks[1] & toks[2] >= {"cheval"}
+        assert "cheval" not in toks[3]
