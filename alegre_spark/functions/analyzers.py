@@ -413,6 +413,9 @@ def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
 # trees, so sharing one instance across plans is safe; the gateway id
 # invalidates the cache if the JVM is ever relaunched (entries from a
 # dead gateway are unreachable garbage, hence the size valve).
+# Caveat: the chains also read module-level rule tables (STOPWORDS,
+# _STEM_RULES, ...); those are constants — code that mutates them at
+# runtime (tests, experiments) must clear this cache afterwards.
 _ROUTED_EXPR_CACHE: dict = {}
 _ROUTED_EXPR_CACHE_MAX = 64
 
