@@ -547,3 +547,51 @@ def test_routed_expr_cache_identity_and_isolation(spark):
         # fr light stem conflates chevaux/cheval inside the fr route
         assert toks[1] & toks[2] >= {"cheval"}
         assert "cheval" not in toks[3]
+
+
+def test_cjk_width_fold_matches_nfkc_oracle(spark):
+    """Independent oracle for the r5 width-fold chain: on halfwidth
+    katakana (incl. voiced/semi-voiced composition), halfwidth
+    punctuation, and fullwidth ASCII, Unicode NFKC performs exactly
+    the fold Lucene's CJKWidthFilter does — so for 500 seeded random
+    mixed strings, tokenize_analyzed_cjk(s) must equal
+    tokenize_analyzed_cjk(NFKC(s)). Stray voicing marks are excluded
+    by construction: there NFKC yields the COMBINING mark U+3099/309A
+    while Lucene (and this chain) emits the spacing form U+309B/309C
+    — a documented, intentional divergence."""
+    import random
+    import unicodedata as ud
+
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.similarity_join import \
+        tokenize_analyzed_cjk
+
+    dakuten_bases = "ｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾊﾋﾌﾍﾎｳ"
+    handakuten_bases = "ﾊﾋﾌﾍﾎ"
+    plain_hw = "｡｢｣､･ｦｧｨｩｪｫｬｭｮｯｰｱｲｴｵﾅﾆﾇﾈﾉﾏﾐﾑﾒﾓﾔﾕﾖﾗﾘﾙﾚﾛﾜﾝ"
+    other = ("アイウエオカキクケコ日本語漢字テスト"
+             "ひらがな hello spark 123 ＡＢＣ１２３（）！ ")
+    rng = random.Random(20260818)
+    rows = []
+    for i in range(500):
+        chars = []
+        for _ in range(rng.randint(1, 40)):
+            pick = rng.random()
+            if pick < 0.25:
+                chars.append(rng.choice(dakuten_bases) + "ﾞ")
+            elif pick < 0.35:
+                chars.append(rng.choice(handakuten_bases) + "ﾟ")
+            elif pick < 0.65:
+                chars.append(rng.choice(plain_hw))
+            else:
+                chars.append(rng.choice(other))
+        s = "".join(chars)
+        rows.append((i, s, ud.normalize("NFKC", s)))
+    df = spark.createDataFrame(rows, "i long, raw string, nfkc string")
+    bad = (df.select("i", "raw",
+                     tokenize_analyzed_cjk(F.col("raw")).alias("t_raw"),
+                     tokenize_analyzed_cjk(F.col("nfkc")).alias("t_nfkc"))
+           .filter(F.col("t_raw") != F.col("t_nfkc"))
+           .limit(5).collect())
+    assert not bad, [(r["raw"], r["t_raw"], r["t_nfkc"]) for r in bad]
