@@ -595,3 +595,32 @@ def test_cjk_width_fold_matches_nfkc_oracle(spark):
            .filter(F.col("t_raw") != F.col("t_nfkc"))
            .limit(5).collect())
     assert not bad, [(r["raw"], r["t_raw"], r["t_nfkc"]) for r in bad]
+
+
+def test_indic_nukta_precomposed_decomposed_invariance(spark):
+    """Real corpora mix both spellings of nukta consonants: keyboards
+    emit the precomposed codepoints (hi U+0958-095F, bn
+    U+09DC/DD/DF) while NFC/NFD text carries base + combining nukta
+    (the precomposed forms are composition exclusions, so NFC never
+    restores them). The Indic normalization step must fold both to
+    the same tokens — else the same word indexes under two keys."""
+    import unicodedata as ud
+
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.analyzers import tokenize_analyzed_lang
+
+    cases = [("hi", "क़िला"), ("hi", "ड़ा"), ("hi", "फ़िल्म"),
+             ("bn", "ড়বার"), ("bn", "য়া"), ("bn", "ঢ়াকা")]
+    rows = [(i, lang, w, ud.normalize("NFD", w))
+            for i, (lang, w) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, lang string, pre string, dec string")
+    for lang in ("hi", "bn"):
+        out = (df.filter(F.col("lang") == lang)
+               .select("pre",
+                       tokenize_analyzed_lang(F.col("pre"), lang).alias("a"),
+                       tokenize_analyzed_lang(F.col("dec"), lang).alias("b"))
+               .collect())
+        for r in out:
+            assert r["a"] == r["b"], (lang, r["pre"], r["a"], r["b"])
+            assert r["a"], (lang, r["pre"], "tokens must be non-empty")
