@@ -137,9 +137,26 @@ STOPWORDS: dict[str, list[str]] = {
 # __default__, or vice versa).
 ROUTED_LANGS: tuple[str, ...] = tuple(sorted(STOPWORDS)) + ("zh", "cjk")
 
-# accent fold (asciifolding step, Latin-1/Latin Extended-A head)
-_FOLD_SRC = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿœæ"
-_FOLD_DST = "aaaaaaeeeeiiiiooooouuuucnyyoa"
+# accent fold (Lucene asciifolding, the Latin-1 + Latin Extended-A
+# coverage real multilingual text hits — r5 closed the Ext-A gap: the
+# old table stopped at Latin-1, so š/ł/ő/ğ/č... passed through
+# unfolded and 'Škoda' never matched 'skoda'). Chains run on
+# LOWERCASED tokens, so only lowercase rows are needed. 1:1 folds
+# live in the translate tables; the digraph folds (Lucene: æ→ae,
+# œ→oe, ß→ss, þ→th, ĳ→ij, ŉ→'n) are chained literal replaces —
+# the old table's œ→o / æ→a was a measured parity gap (cœur folded
+# to cour, Lucene gives coeur). ĸ (kra) is left unfolded: its Lucene
+# target is not verifiable in this sandbox and a wrong guess is worse
+# than a pass-through.
+_FOLD_SRC = ("áàâäãåéèêëíìîïóòôöõúùûüçñýÿðø"
+             "āăąćĉċčďēĕėęěĝğġģĥĩīĭįĵķĺļľńņňōŏő"
+             "ŕŗřśŝşšţťũūŭůűųŵŷźżžđħıłŀŋŧſ")
+_FOLD_DST = ("aaaaaaeeeeiiiiooooouuuucnyydo"
+             "aaaccccdeeeeegggghiiiijklllnnnooo"
+             "rrrssssttuuuuuuwyzzzdhillnts")
+_FOLD_MULTI: tuple[tuple[str, str], ...] = (
+    ("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("þ", "th"),
+    ("ĳ", "ij"), ("ŉ", "'n"))
 
 # light-stemmer suffix rules: (regex, replacement), applied in order.
 # Each keeps a >=3-char stem (the .{3,}? guard) like the Lucene light
@@ -338,9 +355,13 @@ def _standard_tokens(col: Column) -> Column:
 
 
 def fold_ascii(tok: Column) -> Column:
-    """asciifolding filter head: accent fold + ß→ss."""
-    return F.translate(F.regexp_replace(tok, "ß", "ss"),
-                       _FOLD_SRC, _FOLD_DST)
+    """asciifolding filter head: digraph folds (ß→ss, æ→ae, œ→oe,
+    ...) as literal replaces, then the 1:1 accent fold as one
+    translate. See _FOLD_SRC/_FOLD_MULTI for coverage notes."""
+    out = tok
+    for src, rep in _FOLD_MULTI:
+        out = F.regexp_replace(out, src, rep)
+    return F.translate(out, _FOLD_SRC, _FOLD_DST)
 
 
 # stem-rule guard: rules run only on tokens this short. No natural-

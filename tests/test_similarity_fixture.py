@@ -624,3 +624,44 @@ def test_indic_nukta_precomposed_decomposed_invariance(spark):
         for r in out:
             assert r["a"] == r["b"], (lang, r["pre"], r["a"], r["b"])
             assert r["a"], (lang, r["pre"], "tokens must be non-empty")
+
+
+def test_fold_ascii_latin_ext_a_and_digraphs(spark):
+    """Lucene-asciifolding parity for the fold step (r5 closed two
+    measured gaps: Latin Extended-A letters passed through unfolded,
+    and æ/œ folded to single letters where Lucene emits ae/oe).
+    Oracle for the 1:1 rows: NFD base extraction — every lowercase
+    Latin-1/Ext-A letter with a canonical ASCII decomposition must
+    fold to that base. Digraphs and the non-decomposable Lucene
+    specials are pinned explicitly; ĸ (kra) stays unfolded by
+    documented choice."""
+    import unicodedata as ud
+
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.analyzers import fold_ascii
+
+    cases = []
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp)
+        if not ch.islower():
+            continue
+        nfd = ud.normalize("NFD", ch)
+        base = "".join(c for c in nfd if not ud.combining(c))
+        if base != ch and base.isascii():
+            cases.append((ch, base))
+    cases += [("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("þ", "th"),
+              ("ð", "d"), ("ø", "o"), ("đ", "d"), ("ħ", "h"),
+              ("ı", "i"), ("ł", "l"), ("ŀ", "l"), ("ŋ", "n"),
+              ("ŧ", "t"), ("ſ", "s"), ("ĳ", "ij"), ("ŉ", "'n"),
+              ("ĸ", "ĸ"),                      # documented pass-through
+              ("cœur", "coeur"), ("œœ", "oeoe"),  # replace-all, not first
+              ("škoda", "skoda"), ("łódź", "lodz"), ("ağrı", "agri")]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)],
+        "i long, ch string, want string")
+    out = df.select("ch", "want",
+                    fold_ascii(F.col("ch")).alias("got")).collect()
+    bad = [(r["ch"], r["want"], r["got"]) for r in out
+           if r["got"] != r["want"]]
+    assert not bad, bad
