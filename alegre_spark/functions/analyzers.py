@@ -32,9 +32,29 @@ whole-stage-codegen, no Python):
   the nominal classes every published Bengali light stemmer agrees
   on are implemented (see tools/analyzer_recall_bench.py).
 - cjk: the bigram chain lives in `similarity_join.tokenize_analyzed_cjk`.
+- fr: the ES french_elision filter (r5) — the standard tokenizer
+  keeps "l'avion" as ONE token (UAX#29 MidLetter apostrophe), so
+  without elision it can never match "avion"; the 13-article list is
+  the reference's, applied once per token before the stop filter.
+- decimal_digit (r5): the hi/bn/ar chains fold Arabic-Indic,
+  extended Arabic-Indic, Devanagari, and Bengali digits to ASCII
+  (the four Nd blocks those languages' text carries; ES's filter
+  folds every Unicode Nd — wider scripts are out of scope here).
 
-Chain order follows ES: lowercase → NORMALIZE (ar/hi/bn) →
-stopwords (lists normalized the same way) → stem → fold → distinct.
+Chain order follows ES: lowercase → elision (fr) → decimal_digit +
+NORMALIZE (ar/hi/bn) → stopwords (lists normalized the same way) →
+stem → fold → distinct.
+
+Documented divergences from the reference chains (both deliberate,
+both recall-positive, both applied identically to probe and
+candidate so within-route matching is unaffected):
+- asciifolding also runs for fr/de/id (the ES rebuilt_fr/de/id
+  chains omit it), so "café" matches "cafe"; de umlauts fold the
+  same way ES german_normalization folds them.
+- ar normalization runs BEFORE the stop filter (ES rebuilt_ar stops
+  first, then normalizes), so variant-alef spellings of stopwords
+  (إلى/الى) are still removed; the stop list is normalized the same
+  way.
 """
 
 from __future__ import annotations
@@ -157,6 +177,28 @@ _FOLD_DST = ("aaaaaaeeeeiiiiooooouuuucnyydo"
 _FOLD_MULTI: tuple[tuple[str, str], ...] = (
     ("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("þ", "th"),
     ("ĳ", "ij"), ("ŉ", "'n"))
+
+# ES french_elision (reference `language_analyzers.py` rebuilt_fr):
+# the 13 articles, stripped ONCE from a token head before the stop
+# filter — the standard tokenizer keeps "l'avion" whole, so without
+# this it can never match "avion". Both apostrophe forms; case is
+# handled by the lowercase-first tokenizer (articles_case: true).
+# Multi-char articles first so "qu'" wins over "u" never matching.
+_FR_ELISION_RE = r"^(?:jusqu|quoiqu|lorsqu|puisqu|qu|[lmtnsjdc])['’]"
+
+# ES decimal_digit for the chains whose text carries non-ASCII
+# digits: Arabic-Indic U+0660-69, extended Arabic-Indic U+06F0-F9,
+# Devanagari U+0966-6F, Bengali U+09E6-EF (ES folds every Unicode
+# Nd; wider scripts are out of these chains' scope).
+_DECIMAL_SRC = ("٠١٢٣٤٥٦٧"
+                "٨٩"
+                "۰۱۲۳۴۵۶۷"
+                "۸۹"
+                "०१२३४५६७"
+                "८९"
+                "০১২৩৪৫৬৭"
+                "৮৯")
+_DECIMAL_DST = "0123456789" * 4
 
 # light-stemmer suffix rules: (regex, replacement), applied in order.
 # Each keeps a >=3-char stem (the .{3,}? guard) like the Lucene light
@@ -321,7 +363,12 @@ _INDIC_FOLD_DST = ("\u0902\u0982"       # anusvara
 # teh marbuta → ه, alef maksura → ي, and tatweel/diacritic strip.
 _AR_NORM_SRC = "\u0623\u0625\u0622\u0671\u0629\u0649"
 _AR_NORM_DST = "\u0627\u0627\u0627\u0627\u0647\u064a"
-_AR_STRIP = "[\u0640\u064b-\u0670\u065f]"   # tatweel + harakat
+# tatweel + harakat/Quranic marks + superscript alef (a documented
+# superset of Lucene ArabicNormalizer's U+064B-0652 harakat). r5 bug
+# fix: the range was mis-typed as 064B-0670, which swallowed the
+# Arabic-Indic DIGITS U+0660-0669 (plus \u066a/\u066c and the letters \u066e/\u066f) \u2014
+# every inline digit in Arabic text was silently deleted.
+_AR_STRIP = "[\u0640\u064b-\u065f\u0670]"
 
 
 def _normalize_word_py(w: str, lang: str) -> str:
@@ -392,20 +439,29 @@ def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
     if lang not in STOPWORDS:
         return tokenize_analyzed(col)
     toks = _standard_tokens(col)
+    if lang == "fr":
+        # french_elision runs before the stop filter: "qu'il" →
+        # "il" → removed as a stopword, exactly the ES pipeline
+        toks = F.transform(
+            toks, lambda t: F.regexp_replace(t, _FR_ELISION_RE, ""))
     # ES chain ORDER: normalization runs BEFORE the stop filter —
     # variant spellings (chandrabindu stopwords, alef-variant Arabic
     # function words, precomposed nukta forms) must normalize INTO the
     # stopword form and then be removed, not survive as content.
+    # (For ar the reference stops first, then normalizes — see the
+    # module docstring's documented-divergence note.)
     if lang == "ar":
         toks = F.transform(
             toks, lambda t: F.translate(
                 F.regexp_replace(t, _AR_STRIP, ""),
-                _AR_NORM_SRC, _AR_NORM_DST))
+                _AR_NORM_SRC + _DECIMAL_SRC,
+                _AR_NORM_DST + _DECIMAL_DST))
     elif lang in ("hi", "bn"):
         toks = F.transform(
             toks, lambda t: F.translate(
                 F.regexp_replace(t, _INDIC_STRIP, ""),
-                _INDIC_FOLD_SRC, _INDIC_FOLD_DST))
+                _INDIC_FOLD_SRC + _DECIMAL_SRC,
+                _INDIC_FOLD_DST + _DECIMAL_DST))
     # one array literal (lit on a list), not array(lit, lit, ...): the
     # per-word form costs one py4j round trip per stopword — ~533 calls
     # across the 12 routed chains, the bulk of the driver's
@@ -418,9 +474,10 @@ def tokenize_analyzed_lang(col: Column, lang: str) -> Column:
         # light10 stem after normalization; the ES ar chain has no
         # asciifolding (reference `language_analyzers.py` rebuilt_ar)
         toks = F.transform(toks, lambda t: _stem(t, lang))
-    elif lang in ("hi", "bn"):
-        toks = F.transform(toks, lambda t: _stem(t, lang))
     else:
+        # every other ES chain ends with asciifolding — for hi/bn a
+        # no-op on Indic script (the fold tables are Latin-only) but
+        # it folds embedded Latin tokens ("café" inside Hindi text)
         toks = F.transform(toks, lambda t: fold_ascii(_stem(t, lang)))
     return F.array_distinct(F.filter(toks, lambda t: t != F.lit("")))
 

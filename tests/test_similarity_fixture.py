@@ -665,3 +665,39 @@ def test_fold_ascii_latin_ext_a_and_digraphs(spark):
     bad = [(r["ch"], r["want"], r["got"]) for r in out
            if r["got"] != r["want"]]
     assert not bad, bad
+
+
+def test_french_elision_and_decimal_digit_parity(spark):
+    """r5 chain-audit additions vs the reference analyzers
+    (`language_analyzers.py` rebuilt_fr / rebuilt_hi / rebuilt_bn /
+    rebuilt_ar): french_elision strips the 13 articles before the
+    stop filter ("l'avion" is ONE standard-tokenizer token — without
+    elision it can never match "avion"), and decimal_digit folds
+    Arabic-Indic / extended Arabic-Indic / Devanagari / Bengali
+    digits to ASCII. Also pins the r5 _AR_STRIP range fix: the old
+    class swallowed U+0660-0669, silently deleting every inline
+    digit from Arabic text."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.analyzers import tokenize_analyzed_lang
+
+    def tok(text, lang):
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(
+            tokenize_analyzed_lang(F.col("text"), lang).alias("t")
+        ).collect()[0]["t"]
+
+    # elision: both apostrophes, multi-char articles, stop interplay
+    assert tok("l'avion", "fr") == ["avion"]
+    assert tok("l’avion", "fr") == ["avion"]          # curly form
+    assert tok("jusqu'à d'accord", "fr") == ["accord"]
+    assert tok("qu'il", "fr") == []                    # il is a stopword
+    assert tok("aujourd'hui", "fr") == ["aujourd'hui"]  # not an article
+    # decimal_digit: all four blocks fold to ASCII
+    assert tok("कमरा १२३", "hi") == ["कमर", "123"]
+    assert tok("বই ৪৫৬", "bn") == ["বই", "456"]
+    assert tok("كتاب ٧٨٩ ۱۲", "ar") == ["كتاب", "789", "12"]
+    # _AR_STRIP fix: harakat still conflate, letters/digits survive
+    assert tok("مُعَلِّم معلم", "ar") == ["معلم"]
+    # hi/bn chains end with asciifolding like ES (embedded Latin)
+    assert "cafe" in tok("कमरा café", "hi")
