@@ -68,7 +68,12 @@ def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity column; 0.0 on zero-norm (NaN->0 parity with
     `similarity_measures.py:11-12`)."""
     denom = norm_col(a) * norm_col(b)
-    raw = dot_col(a, b) / denom
+    # nanvl BEFORE the clamp: component overflow (>~1e154 squared) puts
+    # inf/inf = NaN in `raw`, and Spark's least/greatest order NaN as
+    # the LARGEST double — the clamp alone would silently turn NaN into
+    # 1.0 while the scalar form returns 0.0 (NaN->0 parity). Dispose of
+    # NaN first so both forms agree on every input.
+    raw = F.nanvl(dot_col(a, b) / denom, F.lit(0.0))
     # clamp the denormal-underflow artifact (|cos| <= 1 mathematically)
     clamped = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), raw))
     return F.when(denom > 0, clamped).otherwise(F.lit(0.0))

@@ -109,6 +109,24 @@ def test_cosine_col_denormal_underflow_clamped(spark):
         assert -1.0 <= r["c"] <= 1.0
 
 
+def test_cosine_overflow_nan_disposal_matches_scalar(spark):
+    """Components past ~1e154 square to inf, so denom = inf and
+    raw = inf/inf = NaN. The scalar form maps NaN -> 0.0 (the reference
+    zero-vector convention); the Catalyst form must agree — Spark's
+    least/greatest order NaN as the LARGEST double, so a bare clamp
+    silently turned NaN into 1.0 before the nanvl fix."""
+    from pyspark.sql import functions as F
+    from alegre_spark.functions.measures import cosine_col, cosine_similarity
+    cases = [([1e300, 1e300], [1e300, 1e300]),   # true cos 1, overflow NaN
+             ([1e300, 0.0], [0.0, 1e-300]),      # dot 0, denom inf
+             ([1.7976931348623157e308, 0.0], [1.0, 0.0])]
+    for a, b in cases:
+        assert cosine_similarity(a, b) == 0.0
+    df = spark.createDataFrame(cases, "a array<double>, b array<double>")
+    rows = df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()
+    assert [r["c"] for r in rows] == [0.0, 0.0, 0.0]
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.floats(-1e3, 1e3), min_size=2, max_size=16))
 def test_angular_self_similarity(v):
