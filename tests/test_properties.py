@@ -127,6 +127,57 @@ def test_cosine_overflow_nan_disposal_matches_scalar(spark):
     assert [r["c"] for r in rows] == [0.0, 0.0, 0.0]
 
 
+def test_measures_scalar_catalyst_parity_magnitude_sweep(spark):
+    """One batch job comparing the scalar and Catalyst forms of cosine
+    and angular on 300 seeded vector pairs whose component magnitudes
+    span 1e-300..1e300 (plus denormals, zeros, and sign flips) — the
+    float-edge class where both recorded bugs lived (denormal
+    underflow past the clamp, overflow NaN reordered by least/
+    greatest). Parity must hold bitwise-close everywhere, not just on
+    well-conditioned embeddings."""
+    import random
+    from pyspark.sql import functions as F
+    from alegre_spark.functions.measures import (
+        angular_col, angular_similarity, cosine_col, cosine_similarity)
+    rng = random.Random(20260818)
+    mags = [0.0, 5e-324, 1e-300, 1e-161, 1e-30, 1e-8, 1.0, 1e8, 1e30,
+            1e154, 1e300]
+    def vec():
+        d = rng.choice([2, 3, 8])
+        return [rng.choice([-1.0, 1.0]) * rng.choice(mags) *
+                (1.0 + rng.random()) for _ in range(d)]
+    pairs = []
+    for _ in range(300):
+        a = vec()
+        roll = rng.random()
+        if roll < 0.1:                       # identical (true cos 1)
+            b = list(a)
+        elif roll < 0.3:                     # sign-flipped components
+            b = [x * rng.choice([-1.0, 1.0]) for x in a]
+        else:                                # independent, same dim
+            b = [rng.choice([-1.0, 1.0]) * rng.choice(mags) *
+                 (1.0 + rng.random()) for _ in a]
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a array<double>, b array<double>")
+    rows = (df.select("a", "b",
+                      cosine_col(F.col("a"), F.col("b")).alias("c"),
+                      angular_col(F.col("a"), F.col("b")).alias("g"))
+            .collect())
+    assert len(rows) == 300
+    for r in rows:
+        sc = cosine_similarity(r["a"], r["b"])
+        sg = angular_similarity(r["a"], r["b"])
+        assert abs(r["c"] - sc) < 1e-9, (r["a"], r["b"], r["c"], sc)
+        # angular needs a wider bound than cosine: d/dx acos(x) -> inf
+        # at x=1, so a one-ulp cosine difference between numpy's scaled
+        # BLAS norm and Catalyst's sqrt(sum(x^2)) (observed on identical
+        # ~1e-30 vectors: cos 1.0 vs 1-1e-17) amplifies to
+        # sqrt(2*eps)/pi ~ 7e-9 in angular. Evaluation-order variance,
+        # not semantics.
+        assert abs(r["g"] - sg) < 1e-7, (r["a"], r["b"], r["g"], sg)
+        assert -1.0 <= r["c"] <= 1.0 and 0.0 <= r["g"] <= 1.0
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.floats(-1e3, 1e3), min_size=2, max_size=16))
 def test_angular_self_similarity(v):
