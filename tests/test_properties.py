@@ -215,3 +215,112 @@ def test_langid_total_and_deterministic(text):
     assert 0.0 <= r1["language_confidence"][0] <= 1.0
     if not text.strip():
         assert r1["language"][0] == "und"
+
+
+# -- hamming ------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**64 - 1), st.integers(0, 2**64 - 1))
+def test_hamming64_matches_binary_batch(a, b):
+    """The int64 fast path (`hamming_similarity_64`) and the binary
+    batch kernel (`hamming_binary_batch`) are ONE measure with two
+    physical encodings — packing the same 64 bits big-endian into 8
+    bytes must score identically (the PDQ/audio path and the phash
+    path must never disagree on the same hash)."""
+    from alegre_spark.functions.measures import (hamming_binary_batch,
+                                                 hamming_similarity_64)
+    got = hamming_binary_batch([a.to_bytes(8, "big")],
+                               [b.to_bytes(8, "big")])[0]
+    assert got == hamming_similarity_64(a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=1, max_size=64),
+       st.binary(min_size=1, max_size=64))
+def test_hamming_binary_bounds_symmetry_identity(a, b):
+    """Bounds [0,1], symmetry, self-similarity 1, complement 0, and
+    the length gate (unequal lengths -> 0.0, `manage.py:303-321`
+    compares only equal-width hashes)."""
+    from alegre_spark.functions.measures import hamming_binary_batch
+    s = hamming_binary_batch([a], [b])[0]
+    assert 0.0 <= s <= 1.0
+    assert s == hamming_binary_batch([b], [a])[0]
+    assert hamming_binary_batch([a], [a])[0] == 1.0
+    assert hamming_binary_batch(
+        [a], [bytes(x ^ 0xFF for x in a)])[0] == 0.0
+    if len(a) != len(b):
+        assert s == 0.0
+
+
+# -- winnowing kernel ---------------------------------------------------
+
+_ASCII = st.text(alphabet=st.characters(min_codepoint=32,
+                                        max_codepoint=126))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ASCII.filter(lambda s: len(s) <= 80),
+       _ASCII.filter(lambda s: len(s) <= 80),
+       _ASCII.filter(lambda s: len(s) <= 80),
+       _ASCII.filter(lambda s: len(s) <= 80),
+       st.text(alphabet="abc", min_size=23, max_size=60))
+def test_winnow_guarantee_on_random_docs(p1, s1, p2, s2, shared):
+    """SWA 2003 guarantee, hypothesis-randomized: ANY shared substring
+    of length >= w+k-1 bytes between two documents yields at least one
+    shared fingerprint VALUE. (The shared region contains a full
+    window of w identical k-gram hashes; each doc selects that
+    window's minimum, the same value in both.) The low-entropy "abc"
+    shared alphabet also exercises duplicate-min tie handling."""
+    from alegre_spark.operators.dedup import winnow_minima, winnow_powers
+    k, w = 8, 16
+    powers = winnow_powers(k)
+    fp1 = set(winnow_minima(p1 + shared + s1, k, w, powers)[0].tolist())
+    fp2 = set(winnow_minima(p2 + shared + s2, k, w, powers)[0].tolist())
+    assert fp1 & fp2
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32,
+                                      max_codepoint=126),
+               min_size=5, max_size=120))
+def test_winnow_positions_hash_lockstep_and_density(s):
+    """Pins the kernel's contract surface that `span_repair` depends
+    on: (1) positions are strictly increasing byte offsets in
+    [0, n_kgrams); (2) each returned hash equals an INDEPENDENT
+    recompute of the FNV-prime polynomial over the k-gram at that
+    offset (mod 2^64) — the hash family may never silently change,
+    or persisted fingerprint indexes and positional spans go stale;
+    (3) winnowing density: every window of w consecutive k-gram
+    positions contains a selected position."""
+    from alegre_spark.operators.dedup import winnow_minima, winnow_powers
+    k, w = 5, 4
+    powers = winnow_powers(k)
+    hashes, pos = winnow_minima(s, k, w, powers)
+    b = s.encode("utf-8")
+    n = len(b) - k + 1
+    assert list(pos) == sorted(set(pos.tolist()))
+    prime = 1099511628211
+    for h, p in zip(hashes.tolist(), pos.tolist()):
+        assert 0 <= p < n
+        expect = sum(b[p + i] * prime**i for i in range(k)) % 2**64
+        assert int(h) % 2**64 == expect
+    sel = set(pos.tolist())
+    for j in range(max(0, n - w + 1)):
+        assert any(q in sel for q in range(j, j + w))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_winnow_deterministic_any_unicode(s):
+    """Any unicode input (multi-byte, emoji, empty): deterministic,
+    and documents under k BYTES emit nothing (the empty-doc hot-key
+    rule)."""
+    import numpy as np
+    from alegre_spark.operators.dedup import winnow_minima, winnow_powers
+    k, w = 8, 16
+    powers = winnow_powers(k)
+    h1, p1 = winnow_minima(s, k, w, powers)
+    h2, p2 = winnow_minima(s, k, w, powers)
+    assert np.array_equal(h1, h2) and np.array_equal(p1, p2)
+    if len(s.encode("utf-8")) < k:
+        assert len(h1) == 0
