@@ -46,3 +46,23 @@ def test_hamming64_col(spark):
     df = spark.createDataFrame([(0, 15)], "a long, b long")
     r = df.select(hamming64_col(F.col("a"), F.col("b")).alias("h")).first()
     assert r["h"] == pytest.approx(1.0 - 4 / 64)
+
+
+def test_hamming64_col_matches_scalar_on_signed_longs(spark):
+    """Catalyst `bit_count(a ^ b)` runs on two's-complement LongType
+    while the scalar form masks arbitrary-precision Python ints to 64
+    bits — the negative half of the domain (any hash with the top bit
+    set, half of all xxhash64/phash values) was previously untested.
+    200 seeded pairs + the extremes, one batch job."""
+    import random
+    rng = random.Random(42)
+    lo, hi = -(1 << 63), (1 << 63) - 1
+    pairs = [(lo, lo), (lo, hi), (hi, hi), (-1, 0), (-1, hi), (lo, 0)]
+    pairs += [(rng.randint(lo, hi), rng.randint(lo, hi))
+              for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [r["h"] for r in
+           df.select(hamming64_col(F.col("a"), F.col("b")).alias("h"))
+           .collect()]
+    want = [hamming_similarity_64(a, b) for a, b in pairs]
+    assert got == want
