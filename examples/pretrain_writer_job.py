@@ -1,0 +1,172 @@
+"""Pretraining-data WRITER job: filtered corpus in, packed training
+chunks out — the deployment shape of the beyond-reference curation
+chain (every stage is an existing tested operator; this file only
+composes them):
+
+    dedup (exact + MinHash-LSH near, two-phase)
+      -> decontaminate vs an eval set (GPT-3 13-gram rule, optional)
+      -> per-language token budget (optional)
+      -> BPE subword segmentation (optional) or whitespace tokens
+      -> frequency-ranked vocab + token-id encoding
+      -> deterministic hash shuffle -> concat-and-chunk materialization
+
+    zip -qr alegre_spark.zip alegre_spark
+    spark-submit --master <cluster> --py-files alegre_spark.zip \
+        examples/pretrain_writer_job.py \
+        --input  /path/to/filtered_parquet \
+        --output /path/to/out_dir \
+        [--id-col doc_id] [--text-col content] [--lang-col lang] \
+        [--eval-set /path/to/eval_parquet] [--contam-n 13] \
+        [--token-budget N_PER_LANG] [--salt-buckets 16] \
+        [--bpe-merges 0] [--bpe-max-words 1000000] \
+        [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048]
+
+Reads any parquet with (id, text[, lang]) — e.g. `quality_filter_job`'s
+`<out>/filtered` (a `keep` column, if present, is applied first).
+Writes `<out>/vocab` (token, id, count) and `<out>/chunks`
+(shard, chunk_id, tokens array<long>, chunk_n_tokens), prints one JSON
+summary line. Every stage is a pure function of row content
+(content-addressed sampling, hash shuffle, tie-ordered vocab), so a
+rerun on the same input produces byte-identical chunks — the property
+a resumable 100 TB writer needs so re-emitted shards never differ.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="parquet with at least (id, text) columns")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--lang-col", default="lang",
+                    help="stratum column for --token-budget")
+    ap.add_argument("--eval-set", default=None,
+                    help="parquet with the eval texts to decontaminate "
+                         "against (same --text-col name, or 'text')")
+    ap.add_argument("--contam-n", type=int, default=13)
+    ap.add_argument("--token-budget", type=int, default=0,
+                    help="per-language whitespace-token budget "
+                         "(0 = keep everything)")
+    ap.add_argument("--salt-buckets", type=int, default=16,
+                    help="mega-stratum salting for the budget window")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="learn this many BPE merges and pack subword "
+                         "ids (0 = whitespace tokens)")
+    ap.add_argument("--bpe-max-words", type=int, default=1_000_000)
+    ap.add_argument("--vocab-size", type=int, default=65_536)
+    ap.add_argument("--num-shards", type=int, default=1024,
+                    help="hash-shuffle shards (>= 2-4x executor cores)")
+    ap.add_argument("--seq-len", type=int, default=2048)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.dedup import (decontaminate,
+                                              dedup_corpus_two_phase)
+    from alegre_spark.operators.encoding import build_vocab, encode_tokens
+    from alegre_spark.operators.packing import materialize_chunks
+    from alegre_spark.operators.sampling import (hash_shuffle,
+                                                 stratified_token_budget)
+    from alegre_spark.session import get_spark
+
+    spark = get_spark(app_name="alegre-pretrain-writer")
+    idc, txc = args.id_col, args.text_col
+    df = spark.read.parquet(args.input)
+    missing = [c for c in (idc, txc) if c not in df.columns]
+    if missing:
+        ap.error(f"--input is missing column(s) {missing}; "
+                 f"found {df.columns} (set --id-col/--text-col)")
+    if args.token_budget > 0 and args.lang_col not in df.columns:
+        ap.error(f"--token-budget needs --lang-col {args.lang_col!r}, "
+                 f"not in {df.columns}")
+    if "keep" in df.columns:
+        df = df.filter("keep")
+    rows_in = df.count()
+
+    # 1. two-phase dedup: exact sha groups first, LSH near-dup on the
+    # survivors; keep one representative per near-dup group
+    labels = dedup_corpus_two_phase(df, idc, txc)
+    df = df.join(labels.filter("is_keeper").select(F.col("id").alias(idc)),
+                 idc, "left_semi")
+    keepers = df.count()
+
+    # 2. eval-set decontamination (broadcast gram hashes, no corpus
+    # shuffle)
+    clean = keepers
+    if args.eval_set:
+        ev = spark.read.parquet(args.eval_set)
+        ev_tx = txc if txc in ev.columns else "text"
+        df = (decontaminate(df, ev, idc, txc, eval_text_col=ev_tx,
+                            n=args.contam_n)
+              .filter(~F.col("contaminated"))
+              .drop("contaminated", "contaminated_grams"))
+        clean = df.count()
+
+    # whitespace tokens + counts (the budget unit and the BPE input)
+    toks = F.filter(F.split(F.lower(F.col(txc)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    df = df.withColumn("_toks", toks).withColumn(
+        "_n_tokens", F.size("_toks"))
+
+    # 3. per-language token budget (content-addressed: stable across
+    # resumes and cluster sizes)
+    budgeted = clean
+    if args.token_budget > 0:
+        df = stratified_token_budget(
+            df, [args.lang_col], args.token_budget, "_n_tokens",
+            key_cols=[idc], salt_buckets=args.salt_buckets)
+        budgeted = df.count()
+
+    # 4. optional subword segmentation (driver-side fit on the bounded
+    # word-frequency aggregate; vectorized Arrow apply)
+    tokens_col = "_toks"
+    n_merges = 0
+    if args.bpe_merges > 0:
+        from alegre_spark.operators.bpe import (bpe_segment,
+                                                learn_bpe_merges,
+                                                word_frequency_table)
+        wf = word_frequency_table(
+            df, "_toks", max_words=args.bpe_max_words).toPandas()
+        merges = learn_bpe_merges(
+            list(zip(wf["word"], wf["count"])), args.bpe_merges,
+            min_pair_count=2)
+        n_merges = len(merges)
+        df = bpe_segment(df, "_toks", merges)
+        tokens_col = "subwords"
+
+    # 5. vocab + encoding (TakeOrderedAndProject vocab, broadcast
+    # encode join)
+    vocab = build_vocab(df, tokens_col, vocab_size=args.vocab_size)
+    vocab.write.mode("overwrite").parquet(f"{args.output}/vocab")
+    vocab = spark.read.parquet(f"{args.output}/vocab")
+    enc = encode_tokens(df.select(idc, tokens_col), tokens_col, vocab,
+                        doc_cols=[idc])
+
+    # 6. deterministic shuffle -> fixed-length chunks
+    shuffled = hash_shuffle(enc, [idc], args.num_shards)
+    chunks = materialize_chunks(shuffled, "shard",
+                                ["shuffle_order", idc], "token_ids",
+                                seq_len=args.seq_len)
+    chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")
+
+    out = spark.read.parquet(f"{args.output}/chunks")
+    agg = out.agg(F.count("*").alias("n_chunks"),
+                  F.sum("chunk_n_tokens").alias("n_tokens")).first()
+    print(json.dumps({
+        "rows_in": rows_in, "keepers": keepers, "clean": clean,
+        "budgeted": budgeted, "bpe_merges": n_merges,
+        "vocab_rows": vocab.count(),
+        "n_chunks": agg["n_chunks"] or 0,
+        "n_tokens": int(agg["n_tokens"] or 0),
+        "seq_len": args.seq_len, "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
