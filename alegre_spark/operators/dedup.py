@@ -367,7 +367,8 @@ def dedup_corpus(df: DataFrame, id_col: str, text_col: str,
                  shingle_n: int = 3, verify_n: int | None = None,
                  threshold: float = 0.8,
                  candidate_pairs: DataFrame | None = None,
-                 cc_max_iter: int = 30) -> DataFrame:
+                 cc_max_iter: int = 30,
+                 max_bucket_size: int | None = None) -> DataFrame:
     """THE composed LLM-pipeline dedup workflow, end to end:
 
         minhash_lsh_pairs  (candidate generation, band-bucket join)
@@ -379,7 +380,12 @@ def dedup_corpus(df: DataFrame, id_col: str, text_col: str,
     anywhere, so the plan survives a 100× corpus. Covers EVERY input
     row — singletons keep themselves. `candidate_pairs` overrides the
     LSH stage (e.g. an oracle-reproducible md5 hash family, or exact
-    sha256 groups via star_edges). Returns
+    sha256 groups via star_edges). `max_bucket_size` passes through to
+    `minhash_lsh_pairs`' hot-bucket valve — on template/boilerplate
+    corpora a single band key can hold 10^4+ near-identical survivors
+    and the O(B^2) candidate set dominates the whole job; see that
+    docstring for why capping is label-safe in the two-phase
+    composition. Returns
     (id, keeper_id, is_keeper, group_size) — group_size counts the
     near-dup group including the keeper.
     """
@@ -387,7 +393,8 @@ def dedup_corpus(df: DataFrame, id_col: str, text_col: str,
     verify_n = shingle_n if verify_n is None else verify_n
     cands = (candidate_pairs if candidate_pairs is not None
              else minhash_lsh_pairs(df, id_col, text_col,
-                                    num_hashes, bands, shingle_n))
+                                    num_hashes, bands, shingle_n,
+                                    max_bucket_size=max_bucket_size))
     verified = ngram_jaccard_pairs(df, id_col, text_col, n=verify_n,
                                    threshold=threshold, candidates=cands)
     edges = verified.select(F.col("id_a").alias("src"),
@@ -417,7 +424,8 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
                            shingle_n: int = 3, verify_n: int | None = None,
                            threshold: float = 0.8,
                            cc_max_iter: int = 30,
-                           candidate_pairs_fn=None) -> DataFrame:
+                           candidate_pairs_fn=None,
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Production two-phase dedup: EXACT first (sha256 groups — no
     shingling cost), then NEAR (`dedup_corpus`) over the exact keepers
     only. On web corpora exact dups are commonly 30-50% of rows, so
@@ -447,7 +455,8 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
                         shingle_n, verify_n, threshold,
                         candidate_pairs=(candidate_pairs_fn(keepers)
                                          if candidate_pairs_fn else None),
-                        cc_max_iter=cc_max_iter)
+                        cc_max_iter=cc_max_iter,
+                        max_bucket_size=max_bucket_size)
     labeled = (mapping
                .join(near.select(F.col("id").alias("_ek"),
                                  F.col("keeper_id")), "_ek")

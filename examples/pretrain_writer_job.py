@@ -63,6 +63,20 @@ def main() -> None:
     ap.add_argument("--num-shards", type=int, default=1024,
                     help="hash-shuffle shards (>= 2-4x executor cores)")
     ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--skip-dedup", action="store_true",
+                    help="input is already deduplicated (e.g. a "
+                         "corpus maintained by incremental_ingest_job "
+                         "— full-corpus near-dedup is the job's "
+                         "heaviest stage; never re-pay it per writer "
+                         "run on a stable corpus)")
+    ap.add_argument("--max-bucket-size", type=int, default=0,
+                    help="hot-bucket valve for the near-dedup LSH "
+                         "stage (0 = off): boilerplate/template "
+                         "corpora put 10^4+ near-identical docs in "
+                         "one band bucket and the O(B^2) candidate "
+                         "set dominates the job; label-safe here "
+                         "because the exact phase owns identical "
+                         "bodies (see minhash_lsh_pairs)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -91,10 +105,15 @@ def main() -> None:
 
     # 1. two-phase dedup: exact sha groups first, LSH near-dup on the
     # survivors; keep one representative per near-dup group
-    labels = dedup_corpus_two_phase(df, idc, txc)
-    df = df.join(labels.filter("is_keeper").select(F.col("id").alias(idc)),
-                 idc, "left_semi")
-    keepers = df.count()
+    keepers = rows_in
+    if not args.skip_dedup:
+        labels = dedup_corpus_two_phase(
+            df, idc, txc,
+            max_bucket_size=args.max_bucket_size or None)
+        df = df.join(
+            labels.filter("is_keeper").select(F.col("id").alias(idc)),
+            idc, "left_semi")
+        keepers = df.count()
 
     # 2. eval-set decontamination (broadcast gram hashes, no corpus
     # shuffle)

@@ -120,6 +120,11 @@ def test_minhash_lsh_hot_bucket_valve(spark):
     valved = labels(dedup_corpus_two_phase(
         df, "id", "text", threshold=0.7, candidate_pairs_fn=capped_fn))
     assert plain == valved
+    # r5: the composed forms expose the valve directly — same labels
+    # as routing it through candidate_pairs_fn
+    direct = labels(dedup_corpus_two_phase(
+        df, "id", "text", threshold=0.7, max_bucket_size=5))
+    assert direct == plain
     # and the labels are right: {1..31} one group under keeper 1
     assert (31, 1, False, 31) in plain and (32, 32, True, 1) in plain
 
