@@ -46,10 +46,15 @@ from .operators.dedup import (content_key_index, dedup_incremental,
 class CorpusStore:
     def __init__(self, root: str, id_col: str = "doc_id",
                  text_col: str = "text", num_hashes: int = 16,
-                 bands: int = 4, shingle_n: int = 3):
+                 bands: int = 4, shingle_n: int = 3,
+                 max_bucket_size: int | None = None):
         self.root = root
         self.id_col = id_col
         self.text_col = text_col
+        # hot-bucket valve for the batch-internal dedup phase (see
+        # minhash_lsh_pairs) — a template-heavy batch is the one spot
+        # the incremental path can go quadratic
+        self.max_bucket_size = max_bucket_size
         self.hash_args = dict(num_hashes=num_hashes, bands=bands,
                               shingle_n=shingle_n)
         self.keepers_path = os.path.join(root, "keepers")
@@ -102,7 +107,8 @@ class CorpusStore:
             batch_df, keepers.select(self.id_col, self.text_col),
             self.id_col, self.text_col, threshold=threshold,
             verify_n=verify_n, existing_bands=bands,
-            existing_keys=keys, **self.hash_args)
+            existing_keys=keys, max_bucket_size=self.max_bucket_size,
+            **self.hash_args)
 
     def rollforward(self, batch_df: DataFrame,
                     new_keeper_ids: DataFrame) -> int:

@@ -473,7 +473,8 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
                       existing_keys: DataFrame | None = None,
                       existing_key_bloom=None,
                       existing_band_bloom=None,
-                      cc_max_iter: int = 30) -> DataFrame:
+                      cc_max_iter: int = 30,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Incremental (daily-ingest) dedup: label a NEW batch against an
     EXISTING deduped corpus without recomputing the corpus — the
     production shape at 100 TB, where the corpus is re-labeled never
@@ -520,10 +521,14 @@ def dedup_incremental(new_df: DataFrame, existing: DataFrame,
     from pyspark.sql import Window
     verify_n = shingle_n if verify_n is None else verify_n
 
-    # 1. batch-internal labels (bounded by the batch size)
+    # 1. batch-internal labels (bounded by the batch size; the valve
+    # covers a template-heavy batch — the corpus-side stage-3 join is
+    # bounded per band key by the CORPUS bucket, which compaction
+    # range-clusters, so the batch path's hot spot is this phase)
     internal = dedup_corpus_two_phase(
         new_df, id_col, text_col, num_hashes, bands, shingle_n,
-        verify_n, threshold, cc_max_iter=cc_max_iter)
+        verify_n, threshold, cc_max_iter=cc_max_iter,
+        max_bucket_size=max_bucket_size)
     bk_ids = internal.filter("is_keeper").select(
         F.col("id").alias(id_col))
     batch_keepers = new_df.join(bk_ids, id_col, "left_semi")

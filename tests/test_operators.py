@@ -129,6 +129,32 @@ def test_minhash_lsh_hot_bucket_valve(spark):
     assert (31, 1, False, 31) in plain and (32, 32, True, 1) in plain
 
 
+def test_incremental_valve_labels_identical(spark):
+    """The valve reaches the incremental path's batch-internal phase:
+    a template-degenerate batch labels identically with and without
+    the cap (the exact phase owns identical bodies), and cross-corpus
+    matching is unaffected."""
+    from alegre_spark.operators.dedup import dedup_incremental
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark shuffle parts " * 5
+    batch = spark.createDataFrame(
+        [(i, base) for i in range(100, 130)] + [(131, near), (132, far)],
+        "id long, text string")
+    existing = spark.createDataFrame([(1, far)], "id long, text string")
+
+    def lab(**kw):
+        out = dedup_incremental(batch, existing, "id", "text",
+                                threshold=0.7, **kw)
+        return {(r["id"], r["keeper_id"], r["matched_existing"])
+                for r in out.collect()}
+
+    plain = lab()
+    assert lab(max_bucket_size=5) == plain
+    assert (132, 1, True) in plain       # far matches the corpus
+    assert (131, 100, False) in plain    # near joins the batch group
+
+
 def test_ngram_jaccard(spark):
     from alegre_spark.operators.dedup import ngram_jaccard_pairs
     df = spark.createDataFrame(
