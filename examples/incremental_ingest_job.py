@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--num-hashes", type=int, default=16)
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--shingle-n", type=int, default=3)
+    ap.add_argument("--max-bucket-size", type=int, default=0,
+                    help="hot-bucket valve for the batch-internal "
+                         "dedup phase (0 = off); see "
+                         "minhash_lsh_pairs")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -69,7 +73,8 @@ def main() -> None:
     # documented in corpus_store.py
     store = CorpusStore(args.corpus, "doc_id", "text",
                         num_hashes=args.num_hashes, bands=args.bands,
-                        shingle_n=args.shingle_n)
+                        shingle_n=args.shingle_n,
+                        max_bucket_size=args.max_bucket_size or None)
     bootstrap = store.read_state(spark)[0] is None
     labels = store.label(batch, threshold=args.threshold)
 
