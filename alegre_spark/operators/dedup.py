@@ -620,23 +620,28 @@ def decontaminate(corpus: DataFrame, eval_df: DataFrame,
     whitespace tokens on both sides (the published rule's
     normalization); docs shorter than n tokens cannot be contaminated.
     """
-    eval_id_col = eval_id_col or id_col
     eval_text_col = eval_text_col or text_col
 
     def gram_hashes(df_, idc, txc):
-        toks = (df_.select(F.col(idc).alias("id"),
-                           tokenize_ws(F.col(txc)).alias("_toks"))
+        # idc=None drops the id: the eval side only contributes its
+        # DISTINCT gram hashes, and requiring an id there made a plain
+        # (text)-only eval parquet crash at the deployment surface for
+        # no reason (`eval_id_col` stays in the signature for API
+        # compat; it was never read for anything else).
+        keys = [] if idc is None else [F.col(idc).alias("id")]
+        toks = (df_.select(*keys, tokenize_ws(F.col(txc)).alias("_toks"))
                 # shingles_from_tokens folds a <n-token doc into one
                 # whole-text pseudo-gram (the MinHash semantics) —
                 # here such docs must emit NOTHING, or two identical
                 # 3-token snippets would count as a 13-gram match
                 .filter(F.size("_toks") >= n))
+        head = [] if idc is None else ["id"]
         grams = toks.select(
-            "id", F.explode(shingles_from_tokens(F.col("_toks"), n))
+            *head, F.explode(shingles_from_tokens(F.col("_toks"), n))
             .alias("_g"))
-        return grams.select("id", F.xxhash64("_g").alias("gh"))
+        return grams.select(*head, F.xxhash64("_g").alias("gh"))
 
-    eval_grams = (gram_hashes(eval_df, eval_id_col, eval_text_col)
+    eval_grams = (gram_hashes(eval_df, None, eval_text_col)
                   .select("gh").distinct())
     if broadcast_eval is True:
         eval_grams = F.broadcast(eval_grams)

@@ -103,6 +103,34 @@ def main() -> None:
         df = df.filter("keep")
     rows_in = df.count()
 
+    # Each enabled stage below is PINNED (persist, default
+    # MEMORY_AND_DISK): the job takes several actions over the same
+    # chain (stage counts, the vocab write, the chunks write), and
+    # without a pin each action re-executes every unpinned stage above
+    # it — the CC loop's eager localCheckpoints cover only the
+    # LSH+verify subtree, so the exact phase, the semi-join, and
+    # (worst) the Arrow BPE segment stage were re-paid per action.
+    # Every pin caches a PRUNED projection — persist materializes the
+    # cached plan as-is, so pinning full rows would defeat the column
+    # pruning Catalyst does for each consumer (the chunks writer needs
+    # (id, tokens); caching `content`/`repo`/`path`/`commit` alongside
+    # would multiply the cached bytes for nothing). Pins stay live
+    # until the final write (each stage is a pruned subset of its
+    # parent and MEMORY_AND_DISK spills, so the worst case is a few
+    # token-column copies on executor disk); at the very largest
+    # corpora, swap the dedup pin for a parquet checkpoint of the
+    # deduped corpus (which a resumable writer wants anyway).
+    pinned = []
+
+    def pin(d):
+        d = d.persist()
+        pinned.append(d)
+        return d
+
+    # columns the rest of the chain actually reads
+    carry = [idc, txc] + (
+        [args.lang_col] if args.token_budget > 0 else [])
+
     # 1. two-phase dedup: exact sha groups first, LSH near-dup on the
     # survivors; keep one representative per near-dup group
     keepers = rows_in
@@ -110,9 +138,9 @@ def main() -> None:
         labels = dedup_corpus_two_phase(
             df, idc, txc,
             max_bucket_size=args.max_bucket_size or None)
-        df = df.join(
+        df = pin(df.join(
             labels.filter("is_keeper").select(F.col("id").alias(idc)),
-            idc, "left_semi")
+            idc, "left_semi").select(*carry))
         keepers = df.count()
 
     # 2. eval-set decontamination (broadcast gram hashes, no corpus
@@ -121,10 +149,10 @@ def main() -> None:
     if args.eval_set:
         ev = spark.read.parquet(args.eval_set)
         ev_tx = txc if txc in ev.columns else "text"
-        df = (decontaminate(df, ev, idc, txc, eval_text_col=ev_tx,
-                            n=args.contam_n)
-              .filter(~F.col("contaminated"))
-              .drop("contaminated", "contaminated_grams"))
+        df = pin(decontaminate(df, ev, idc, txc, eval_text_col=ev_tx,
+                               n=args.contam_n)
+                 .filter(~F.col("contaminated"))
+                 .select(*carry))
         clean = df.count()
 
     # whitespace tokens + counts (the budget unit and the BPE input)
@@ -137,9 +165,10 @@ def main() -> None:
     # resumes and cluster sizes)
     budgeted = clean
     if args.token_budget > 0:
-        df = stratified_token_budget(
+        df = pin(stratified_token_budget(
             df, [args.lang_col], args.token_budget, "_n_tokens",
             key_cols=[idc], salt_buckets=args.salt_buckets)
+            .select(idc, "_toks"))
         budgeted = df.count()
 
     # 4. optional subword segmentation (driver-side fit on the bounded
@@ -156,7 +185,11 @@ def main() -> None:
             list(zip(wf["word"], wf["count"])), args.bpe_merges,
             min_pair_count=2)
         n_merges = len(merges)
-        df = bpe_segment(df, "_toks", merges)
+        # pinned: the Arrow segment stage is the chain's most
+        # expensive vectorized stage and BOTH the vocab write and the
+        # encode->chunks write consume it
+        df = pin(bpe_segment(df, "_toks", merges)
+                 .select(idc, "subwords"))
         tokens_col = "subwords"
 
     # 5. vocab + encoding (TakeOrderedAndProject vocab, broadcast
@@ -173,6 +206,8 @@ def main() -> None:
                                 ["shuffle_order", idc], "token_ids",
                                 seq_len=args.seq_len)
     chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")
+    for d in pinned:
+        d.unpersist()
 
     out = spark.read.parquet(f"{args.output}/chunks")
     agg = out.agg(F.count("*").alias("n_chunks"),

@@ -1395,6 +1395,15 @@ def test_decontaminate(spark):
     assert {r["doc_id"]: r["contaminated"] for r in off.collect()} == \
         {k: v[0] for k, v in got.items()}
 
+    # regression (found driving examples/pretrain_writer_job.py
+    # --eval-set end-to-end): an eval parquet is naturally (text)-only
+    # — the eval side must not demand the CORPUS id column, whose only
+    # eval-side use was being dropped by .select("gh").distinct()
+    bare = decontaminate(corpus, eval_df.select("text"),
+                         "doc_id", "text", n=5)
+    assert {r["doc_id"]: (r["contaminated"], r["contaminated_grams"])
+            for r in bare.collect()} == got
+
 
 def test_fuzzy_large_prefix_short_probe_parity(spark):
     """ADVICE r2 (fixed r3): with prefix_length >= 4, a probe token
