@@ -226,15 +226,36 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None,
 
 def partition_metrics(annotated: DataFrame) -> DataFrame:
     """Per-salt-bucket lineage/metrics rows (north rule): input rows,
-    kept, dropped-per-reason map, scrub hit totals. Two hash
-    aggregations (partial+final map-side combine, no collect)."""
+    kept, dropped-per-reason map, scrub hit totals AND per-category
+    scrub counts. Two hash aggregations (partial+final map-side
+    combine, no collect).
+
+    `scrub_by_category` rides the SAME aggregation as the totals: the
+    category set is a compile-time constant (scrub.CATEGORIES), so one
+    bounded sum per category beats the explode+regroup+join shape the
+    drop_reasons map needs for its unbounded key domain."""
+    from .functions.scrub import CATEGORIES
+
+    cat_sums = [
+        F.sum(F.coalesce(F.element_at(F.col("scrub_counts"), F.lit(c)),
+                         F.lit(0)).cast("long")).alias(f"_sc_{c}")
+        for c in CATEGORIES]
     base = (annotated.groupBy("salt_bucket")
             .agg(F.count("*").alias("input_rows"),
                  F.sum(F.col("keep").cast("long")).alias("kept_rows"),
                  F.sum((~F.col("keep")).cast("long")).alias("dropped_rows"),
                  F.sum(F.aggregate(F.map_values("scrub_counts"),
                                    F.lit(0), lambda a, x: a + x))
-                  .alias("scrub_hits")))
+                  .alias("scrub_hits"),
+                 *cat_sums))
+    base = (base.withColumn(
+                "scrub_by_category",
+                F.map_filter(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(c) for c in CATEGORIES]),
+                        F.array(*[F.col(f"_sc_{c}") for c in CATEGORIES])),
+                    lambda _, v: v > 0))
+            .drop(*[f"_sc_{c}" for c in CATEGORIES]))
     reasons = (annotated.filter(~F.col("keep"))
                .groupBy("salt_bucket", "drop_reason")
                .agg(F.count("*").alias("n"))

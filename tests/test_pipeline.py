@@ -74,6 +74,28 @@ def test_metrics_totals(annotated):
     assert tot["n"] == 300 and tot["k"] + tot["d"] == 300
 
 
+def test_metrics_scrub_by_category(annotated):
+    """Per-category lineage counts (north rule 'scrub counts'): the
+    in-aggregation map must equal the exploded ground truth, its values
+    must sum to scrub_hits per bucket, and zero categories are elided."""
+    m = partition_metrics(annotated).collect()
+    truth = {(r["salt_bucket"], r["key"]): r["s"]
+             for r in (annotated
+                       .select("salt_bucket",
+                               F.explode("scrub_counts"))
+                       .groupBy("salt_bucket", "key")
+                       .agg(F.sum("value").alias("s")).collect())}
+    assert any(r["scrub_by_category"] for r in m)  # some PII planted
+    got = {}
+    for r in m:
+        cat_map = dict(r["scrub_by_category"] or {})
+        assert all(v > 0 for v in cat_map.values())
+        assert sum(cat_map.values()) == (r["scrub_hits"] or 0)
+        for k, v in cat_map.items():
+            got[(r["salt_bucket"], k)] = v
+    assert got == {k: v for k, v in truth.items() if v > 0}
+
+
 def test_flagship_stats(annotated):
     stats = language_keep_stats(annotated)
     rows = stats.collect()
