@@ -22,8 +22,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, IntegerType, MapType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, MapType,
+                               StringType, StructField, StructType)
 
 # Category -> (compiled regex, mask). Order matters: credentials before
 # generic patterns so e.g. an AWS key inside a URL masks as credential.
@@ -182,3 +182,105 @@ def with_scrub(df: DataFrame, text_col: str = "content") -> DataFrame:
 
     dirty_scrubbed = dirty.mapInPandas(_map, schema=out_schema)
     return clean.unionByName(dirty_scrubbed)
+
+
+# --- high-entropy string detection (detect-secrets-style) -------------------
+#
+# The regex families above catch KNOWN credential formats; a generic
+# random secret ("API_SECRET = 'f9Gq2...'") has no format to match.
+# The public detect-secrets/gitleaks fallback is Shannon entropy over
+# charset-restricted token runs: base64-alphabet runs >= 20 chars with
+# entropy >= 4.5 bits/char, hex runs >= 20 chars with entropy >= 3.0
+# (the detect-secrets default thresholds). This is a FLAG, not a scrub:
+# high-entropy runs are also legitimately common in code (hashes in
+# lockfiles, minified bundles), so the caller decides drop/mask policy.
+
+_B64_RUN_RE = re.compile(r"[A-Za-z0-9+/=_\-]{20,512}")
+_HEX_RUN_RE = re.compile(r"\b[0-9a-fA-F]{20,512}\b")
+
+
+def shannon_entropy(token: str) -> float:
+    """Bits/char of the token's empirical char distribution."""
+    if not token:
+        return 0.0
+    import math
+    n = len(token)
+    counts: dict[str, int] = {}
+    for ch in token:
+        counts[ch] = counts.get(ch, 0) + 1
+    return -sum((c / n) * math.log2(c / n) for c in counts.values())
+
+
+def entropy_findings(text: str, max_candidates: int = 200,
+                     b64_threshold: float = 4.5,
+                     hex_threshold: float = 3.0) -> list[tuple[str, float]]:
+    """(token, entropy) pairs over threshold. Two independent scans,
+    like the public tools: hex runs at the hex threshold, then wider
+    base64-alphabet runs at the base64 one (skipping pure-hex tokens
+    the first scan already judged). Independent scans matter: a hex
+    secret embedded in a wider b64-charset run ('sha512-<hex>') is
+    invisible to a single-pass scan. Candidate count is capped so a
+    pathological row (giant minified bundle) costs O(max_candidates)
+    entropy computations, each over a <=512-char token."""
+    found: list[tuple[str, float]] = []
+    seen = 0
+    for m in _HEX_RUN_RE.finditer(text):
+        if seen >= max_candidates:
+            return found
+        seen += 1
+        tok = m.group()
+        ent = shannon_entropy(tok)
+        if ent >= hex_threshold:
+            found.append((tok, ent))
+    for m in _B64_RUN_RE.finditer(text):
+        if seen >= max_candidates:
+            break
+        seen += 1
+        tok = m.group()
+        if _HEX_RUN_RE.fullmatch(tok):
+            continue  # first scan owns pure-hex tokens
+        ent = shannon_entropy(tok)
+        if ent >= b64_threshold:
+            found.append((tok, ent))
+    return found
+
+
+def with_entropy_flags(df: DataFrame, text_col: str = "content",
+                       max_candidates: int = 200) -> DataFrame:
+    """Add `entropy_hits` (int), `entropy_max` (double), and
+    `entropy_examples` (array<string>, first 3 offending tokens).
+
+    Plan shape mirrors with_scrub: a JVM rlike pregate on the candidate
+    run shape routes only rows that HAVE a >=20-char charset run
+    through the Arrow stage. The pregate is weaker than the scrub one
+    (long identifier runs are common in code), so this op is opt-in
+    rather than part of the default pipeline."""
+    gate = F.coalesce(
+        F.col(text_col).rlike("[A-Za-z0-9+/=_-]{20,}"), F.lit(False))
+    clean = df.filter(~gate).withColumns({
+        "entropy_hits": F.lit(0),
+        "entropy_max": F.lit(0.0),
+        "entropy_examples": F.array().cast("array<string>"),
+    })
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("entropy_hits", IntegerType()),
+           StructField("entropy_max", DoubleType()),
+           StructField("entropy_examples", ArrayType(StringType()))])
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hits, mx, ex = [], [], []
+            for t in pdf[text_col].fillna(""):
+                found = entropy_findings(t, max_candidates)
+                hits.append(len(found))
+                mx.append(max((e for _, e in found), default=0.0))
+                ex.append([tok for tok, _ in found[:3]])
+            pdf = pdf.copy()
+            pdf["entropy_hits"] = hits
+            pdf["entropy_max"] = mx
+            pdf["entropy_examples"] = ex
+            yield pdf
+
+    flagged = df.filter(gate).mapInPandas(_map, schema=out_schema)
+    return clean.unionByName(flagged)

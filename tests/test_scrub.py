@@ -160,3 +160,56 @@ def test_with_scrub_preserves_null_text_rows(spark):
     assert out.count() == 2
     row = out.filter("id = 1").first()
     assert row["scrubbed_content"] is None and row["scrub_counts"] == {}
+
+
+# --- high-entropy string detection ------------------------------------------
+
+def test_entropy_flags_random_secrets_not_code():
+    from alegre_spark.functions.scrub import entropy_findings
+    # deterministic "random-looking" tokens (fixed, not generated, so
+    # the test never flakes on an unlucky low-entropy draw)
+    hex_secret = "9f2c4ab8e1d7035f6b2a4c8d9e0f1a3b5c7d9e2f"
+    b64_secret = "Qx7Zp2Rv9Lk4Mw8Ny1Jh5Tg3Fd6Sb0VcXa"
+    assert len(entropy_findings(f"key = '{hex_secret}'")) == 1
+    assert len(entropy_findings(f"s = '{b64_secret}'")) == 1
+    # ordinary code identifiers / repeated runs never flag
+    for benign in ("configurationManagerFactoryBuilder = 1",
+                   "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+                   "deadbeefdeadbeefdeadbeef",
+                   "def transform_batch(input_records):"):
+        assert entropy_findings(benign) == [], benign
+
+
+def test_entropy_hex_inside_wider_run():
+    """A hex secret glued to a prefix ('sha512-<hex>') must still flag:
+    the hex scan is independent of the base64-charset scan."""
+    from alegre_spark.functions.scrub import entropy_findings
+    hex_secret = "9f2c4ab8e1d7035f6b2a4c8d9e0f1a3b5c7d9e2f"
+    found = entropy_findings(f"integrity = 'sha512-{hex_secret}'")
+    assert [tok for tok, _ in found] == [hex_secret]
+
+
+def test_entropy_candidate_cap_bounds_work():
+    from alegre_spark.functions.scrub import entropy_findings
+    # 10k candidate runs, cap 200: scan must stop at the cap
+    text = " ".join("9f2c4ab8e1d7035f6b2a" for _ in range(10000))
+    found = entropy_findings(text, max_candidates=200)
+    assert len(found) <= 200
+
+
+def test_with_entropy_flags_stage(spark):
+    from alegre_spark.functions.scrub import with_entropy_flags
+    hex_secret = "9f2c4ab8e1d7035f6b2a4c8d9e0f1a3b5c7d9e2f"
+    rows = [("r1", "short clean"),
+            ("r2", f"API_SECRET = '{hex_secret}'"),
+            ("r3", None),
+            ("r4", "just_a_long_identifier_name_here = 1")]
+    df = spark.createDataFrame(rows, "id string, content string")
+    out = {r["id"]: r for r in with_entropy_flags(df).collect()}
+    assert len(out) == 4  # null + clean rows survive the gate union
+    assert out["r1"]["entropy_hits"] == 0
+    assert out["r2"]["entropy_hits"] == 1
+    assert out["r2"]["entropy_examples"] == [hex_secret]
+    assert out["r2"]["entropy_max"] > 3.0
+    assert out["r3"]["entropy_hits"] == 0
+    assert out["r4"]["entropy_hits"] == 0
