@@ -36,22 +36,30 @@ OUTPUT_COLUMNS = [
 ]
 
 
-def compute_run_id(input_fingerprint: str, cfg: PipelineConfig) -> str:
+def compute_run_id(input_fingerprint: str, cfg: PipelineConfig,
+                   extra_columns: tuple[str, ...] = ()) -> str:
     """Hashes the FULL config: any knob that can change a keep/drop
     decision must change the run_id, or a rerun with new thresholds
-    would see every bucket committed and silently keep stale output."""
+    would see every bucket committed and silently keep stale output.
+    `extra_columns` changes the OUTPUT SHAPE, not decisions, but must
+    still fork the run_id: toggling it against an existing output dir
+    would otherwise skip committed buckets and leave a schema-mixed
+    filtered table. The key is added only when non-empty so every
+    pre-existing run_id stays stable."""
     import dataclasses
     import hashlib
-    payload = json.dumps(
-        {"input": input_fingerprint,
-         "cfg": {"default_threshold": cfg.default_threshold,
-                 "per_rule_threshold": cfg.per_rule_threshold,
-                 "max_perplexity": cfg.max_perplexity,
-                 "salt_buckets": cfg.salt_buckets,
-                 "allowed": list(cfg.allowed_languages),
-                 "require_language": cfg.require_language,
-                 "quality": dataclasses.asdict(cfg.quality)}},
-        sort_keys=True, default=str)
+    payload_dict = {
+        "input": input_fingerprint,
+        "cfg": {"default_threshold": cfg.default_threshold,
+                "per_rule_threshold": cfg.per_rule_threshold,
+                "max_perplexity": cfg.max_perplexity,
+                "salt_buckets": cfg.salt_buckets,
+                "allowed": list(cfg.allowed_languages),
+                "require_language": cfg.require_language,
+                "quality": dataclasses.asdict(cfg.quality)}}
+    if extra_columns:
+        payload_dict["extra_columns"] = list(extra_columns)
+    payload = json.dumps(payload_dict, sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -103,13 +111,14 @@ def committed_buckets(spark: SparkSession, metrics_path: str,
 def _run_with_resume_core(spark: SparkSession, files: DataFrame,
                           cfg: PipelineConfig | None,
                           fail_after_buckets: int | None,
-                          read_done, write_sinks) -> dict:
+                          read_done, write_sinks,
+                          extra_columns: tuple[str, ...] = ()) -> dict:
     """Shared resume protocol (both sinks): compute run_id, skip
     committed buckets, annotate pending rows, write output THEN the
     metrics commit marker. `read_done(run_id) -> set[int]`;
     `write_sinks(out_rows, metrics)` performs step 1 + 2."""
     cfg = cfg or PipelineConfig()
-    run_id = compute_run_id(input_fingerprint(files), cfg)
+    run_id = compute_run_id(input_fingerprint(files), cfg, extra_columns)
 
     done = read_done(run_id)
     annotated = run_pipeline(files, cfg)
@@ -154,19 +163,26 @@ def _run_with_resume_core(spark: SparkSession, files: DataFrame,
 
 def run_with_resume(spark: SparkSession, files: DataFrame, out_dir: str,
                     cfg: PipelineConfig | None = None,
-                    fail_after_buckets: int | None = None) -> dict:
+                    fail_after_buckets: int | None = None,
+                    extra_columns: tuple[str, ...] = ()) -> dict:
     """Run the pipeline idempotently against parquet DIRECTORY sinks
     (`{out_dir}/filtered` partitioned by salt_bucket,
     `{out_dir}/metrics` append-only). Returns summary dict.
 
     `fail_after_buckets` is a test hook: commit only the first K buckets'
     metrics (simulating a crash), leaving the rest uncommitted.
+
+    `extra_columns`: caller-side annotation columns already present on
+    `files` (e.g. with_entropy_flags output) to carry through to the
+    filtered table. The pipeline preserves unknown input columns, so
+    these survive annotation; they fork the run_id (schema knob — see
+    compute_run_id).
     """
     output_path = os.path.join(out_dir, "filtered")
     metrics_path = os.path.join(out_dir, "metrics")
 
     def write_sinks(out_rows, metrics):
-        (out_rows.select(*OUTPUT_COLUMNS)
+        (out_rows.select(*OUTPUT_COLUMNS, *extra_columns)
          .write.partitionBy("salt_bucket").mode("overwrite")
          .parquet(output_path))
         metrics.write.mode("append").parquet(metrics_path)
@@ -174,7 +190,7 @@ def run_with_resume(spark: SparkSession, files: DataFrame, out_dir: str,
     return _run_with_resume_core(
         spark, files, cfg, fail_after_buckets,
         lambda run_id: committed_buckets(spark, metrics_path, run_id),
-        write_sinks)
+        write_sinks, extra_columns=tuple(extra_columns))
 
 
 def committed_buckets_table(spark: SparkSession, metrics_table: str,

@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--require-language", action="store_true",
                     help="drop rows whose language is outside the "
                          "allowed set (default: code corpora keep und)")
+    ap.add_argument("--flag-entropy", action="store_true",
+                    help="annotate rows with detect-secrets-style "
+                         "high-entropy flags (entropy_hits/_max/"
+                         "_examples columns in the filtered output; "
+                         "keep/drop decisions are unaffected)")
     args = ap.parse_args()
 
     from alegre_spark.lineage import run_with_resume
@@ -43,10 +48,18 @@ def main() -> None:
     spark = get_spark(app_name="alegre-quality-filter")
     files = spark.read.parquet(args.input)
 
+    extra_columns: tuple[str, ...] = ()
+    if args.flag_entropy:
+        from alegre_spark.functions.scrub import with_entropy_flags
+        files = with_entropy_flags(files)
+        extra_columns = ("entropy_hits", "entropy_max",
+                         "entropy_examples")
+
     cfg = PipelineConfig(salt_buckets=args.salt_buckets,
                          max_perplexity=args.max_perplexity,
                          require_language=args.require_language)
-    summary = run_with_resume(spark, files, args.output, cfg)
+    summary = run_with_resume(spark, files, args.output, cfg,
+                              extra_columns=extra_columns)
 
     # a vacuous first run (empty input) never writes <out>/filtered —
     # that is still a successful run with kept_total 0, not a crash

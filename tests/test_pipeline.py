@@ -134,6 +134,36 @@ def test_resume_idempotent(spark):
         shutil.rmtree(d2, ignore_errors=True)
 
 
+def test_resume_extra_columns_passthrough(spark):
+    """Caller-side annotation columns (with_entropy_flags) flow through
+    run_with_resume into the filtered table; decisions are unchanged;
+    the extra-columns knob forks the run_id (toggling it must not see
+    the plain run's buckets as committed)."""
+    from alegre_spark.functions.scrub import with_entropy_flags
+
+    files = generate_corpus(spark, 200, partitions=4)
+    cfg = PipelineConfig(salt_buckets=8)
+    d = tempfile.mkdtemp()
+    try:
+        plain = run_with_resume(spark, files, d, cfg)
+        extra = ("entropy_hits", "entropy_max", "entropy_examples")
+        r = run_with_resume(spark, with_entropy_flags(files), d, cfg,
+                            extra_columns=extra)
+        assert r["run_id"] != plain["run_id"]
+        assert r["skipped_buckets"] == 0 and r["processed_rows"] == 200
+        out = spark.read.parquet(f"{d}/filtered")
+        assert set(extra) <= set(out.columns)
+        assert out.count() == 200
+        # hex-dump bad files are high-entropy: some row must flag
+        assert out.filter("entropy_hits > 0").count() > 0
+        # annotation never changes a decision
+        r2 = run_with_resume(spark, with_entropy_flags(files), d, cfg,
+                             extra_columns=extra)
+        assert r2["processed_rows"] == 0  # idempotent under the flag
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_run_id_covers_full_config(spark):
     """Any config knob that changes decisions must change run_id —
     otherwise a rerun with new thresholds resumes into stale output."""
