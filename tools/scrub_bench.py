@@ -1,0 +1,99 @@
+"""Scrub-stage throughput: the PII/credential/toxicity scrubber
+measured in isolation (the north rule's central stage; the pipeline
+bench measures it only fused with langid/quality/perplexity).
+
+Reports, per parallelism level:
+  - pregate selectivity: fraction of rows routed to the Arrow stage
+    (the clean slice never leaves the JVM — the whole point of the
+    two-phase shape);
+  - with_scrub wall + rows/s, driven by ONE action (count over a
+    projection of the scrub outputs, so the Arrow stage cannot be
+    pruned away);
+  - with_entropy_flags wall + rows/s (the opt-in detector, whose
+    pregate is documented as weaker — this quantifies by how much).
+
+Protocol mirrors writer_bench: generate once, write to parquet, read
+back (timed window starts from storage), one 1/10-size warmup, then
+median-of-3 steady timings. Corpus = generate_corpus_distributed
+(~8% rows with planted PII, ~5% low-quality families incl. the
+high-entropy hex dumps).
+
+Usage: python tools/scrub_bench.py [n_files] [cpus]
+       (defaults: 1_000_000 files, 32)
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def _timed(df, project_cols):
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    n = df.select(*[F.col(c) for c in project_cols]).count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from alegre_spark.corpus import generate_corpus_distributed
+    from alegre_spark.functions.scrub import (PREGATE_RLIKE,
+                                              with_entropy_flags,
+                                              with_scrub)
+    from alegre_spark.session import get_spark
+
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    spark = get_spark(app_name="scrub-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="scrub_bench_")
+    generate_corpus_distributed(spark, n_files).write.mode(
+        "overwrite").parquet(tmp)
+    files = spark.read.parquet(tmp)
+
+    dirty = files.filter(
+        F.coalesce(F.col("content").rlike(PREGATE_RLIKE),
+                   F.lit(False))).count()
+
+    # warmup at 1/10 (Python worker + JIT spin-up)
+    small = spark.read.parquet(tmp).limit(max(n_files // 10, 1))
+    _timed(with_scrub(small), ["scrub_counts"])
+    _timed(with_entropy_flags(small), ["entropy_hits"])
+
+    scrub_walls, ent_walls = [], []
+    for _ in range(3):
+        w, n = _timed(with_scrub(files),
+                      ["scrubbed_content", "scrub_counts"])
+        assert n == n_files
+        scrub_walls.append(w)
+        w, n = _timed(with_entropy_flags(files),
+                      ["entropy_hits", "entropy_max"])
+        assert n == n_files
+        ent_walls.append(w)
+
+    scrub_med = statistics.median(scrub_walls)
+    ent_med = statistics.median(ent_walls)
+    print(json.dumps({
+        "n_files": n_files, "cpus": cpus,
+        "pregate_dirty_fraction": round(dirty / n_files, 4),
+        "scrub_wall_s": [round(w, 2) for w in scrub_walls],
+        "scrub_median_s": round(scrub_med, 2),
+        "scrub_rows_per_s": round(n_files / scrub_med),
+        "entropy_wall_s": [round(w, 2) for w in ent_walls],
+        "entropy_median_s": round(ent_med, 2),
+        "entropy_rows_per_s": round(n_files / ent_med),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
