@@ -42,6 +42,51 @@ def test_scrub_masks_any_email(email):
     assert counts.get("email", 0) >= 1
 
 
+# credential-shaped fragments: random generic text rarely contains the
+# trigger prefixes, so plain st.text() barely exercises the credential
+# rules. Build texts by interleaving random filler with near-miss and
+# exact-format credential fragments, then assert the core invariants
+# (idempotence, pregate superset) hold on THAT space.
+_cred_fragment = st.one_of(
+    # exact formats
+    st.just("github_pat_" + "A" * 22 + "_" + "b" * 59),
+    st.text(st.sampled_from("ousr"), min_size=1, max_size=1).map(
+        lambda c: f"gh{c}_" + "x" * 36),
+    st.just("AIza" + "k" * 35),
+    st.just("sk_live_" + "a1" * 12),
+    st.just("npm_" + "q" * 36),
+    st.just("eyJhbGciOiJIUzI1NiJ9.eyJzdWIiOiIxMjM0In0.c2lnX3g5"),
+    st.just("://user:hunter2@"),
+    # near-misses (wrong length / missing segment) — must NOT corrupt
+    st.just("github_pat_short"),
+    st.just("ghq_" + "x" * 36),
+    st.just("AIza_tooshort"),
+    st.just("sk_test_" + "a" * 24),
+    st.just("eyJub3Rhand0"),
+    st.just("://nocolonhere@"),
+)
+_cred_text = st.lists(
+    st.one_of(st.text(max_size=30), _cred_fragment),
+    min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_cred_text)
+def test_scrub_idempotent_on_credential_shaped_text(text):
+    """Idempotence + pregate-superset, concentrated on the credential
+    rules' trigger space (plain random text almost never reaches it)."""
+    from alegre_spark.functions.scrub import PREGATE_RE, scrub_text
+    once, counts = scrub_text(text)
+    twice, counts2 = scrub_text(once)
+    assert twice == once
+    # any row the scrubber modified must have passed the JVM pregate
+    # (PREGATE_RE is the same-language Python spelling)
+    if counts:
+        assert PREGATE_RE.search(text) is not None
+    if not counts:
+        assert once == text
+
+
 def test_scrub_does_not_swallow_urls():
     """Over-redaction regression: only the address itself masks, not
     the URL path/query it sits in."""
