@@ -129,37 +129,119 @@ PREGATE_RE = re.compile(_PREGATE_CORE +
                         "|(?i:" + "|".join(SLUR_LEXICON) + ")")
 
 
-def scrub_text(text: str) -> tuple[str, dict[str, int]]:
-    """Scrub one text; returns (scrubbed, counts-per-category)."""
+# --- broadcast lexicon masking ----------------------------------------------
+#
+# The SLUR_LEXICON placeholder is compiled into a regex alternation,
+# which is fine at 3 words and hopeless at a production 10^4-word
+# curated list (north rule: "broadcast of ... regex/lexicon tables to
+# executors"). The scalable path is set membership per token: O(tokens)
+# per row regardless of lexicon size, the lexicon shipped once per
+# executor in the UDF closure (functionally a broadcast variable).
+
+_MASK_SPAN_RE = re.compile(r"<(?:PII|CRED|TOX):[A-Z_]+>")
+_WORD_RE = re.compile(r"\w+")
+
+
+def prepare_lexicon(words) -> frozenset[str]:
+    """Validate + lowercase a custom lexicon. Words must be single
+    \\w+ tokens (the matcher is token-level; a phrase can't match)."""
+    out = set()
+    for w in words:
+        if not _WORD_RE.fullmatch(w):
+            raise ValueError(
+                f"lexicon entries must be single \\w+ tokens, got {w!r}")
+        out.add(w.lower())
+    return frozenset(out)
+
+
+def lexicon_mask(text: str, lexicon_set: frozenset[str]) -> tuple[str, int]:
+    """Mask every \\w+ token whose lowercase form is in lexicon_set.
+    Tokens inside an existing category mask are skipped, so the pass
+    is idempotent even when the lexicon contains a mask component
+    ('slur', 'tox', ...)."""
+    if not text or not lexicon_set:
+        return text, 0
+    mask_spans = [m.span() for m in _MASK_SPAN_RE.finditer(text)]
+    pieces: list[str] = []
+    last = 0
+    hits = 0
+    si = 0
+    for m in _WORD_RE.finditer(text):
+        s, e = m.span()
+        while si < len(mask_spans) and mask_spans[si][1] <= s:
+            si += 1
+        if (si < len(mask_spans) and mask_spans[si][0] <= s
+                and e <= mask_spans[si][1]):
+            continue
+        if m.group().lower() in lexicon_set:
+            pieces.append(text[last:s])
+            pieces.append("<TOX:SLUR>")
+            last = e
+            hits += 1
+    if not hits:
+        return text, 0
+    pieces.append(text[last:])
+    return "".join(pieces), hits
+
+
+def scrub_text(text: str,
+               lexicon_set: frozenset[str] | None = None
+               ) -> tuple[str, dict[str, int]]:
+    """Scrub one text; returns (scrubbed, counts-per-category).
+    With a custom lexicon_set the placeholder slur regex is replaced
+    by the set-membership token masker (same 'slur' count category)."""
     counts: dict[str, int] = {}
     out = text
     for name, pattern, mask in SCRUB_PATTERNS:
+        if name == "slur" and lexicon_set is not None:
+            continue
         out, n = pattern.subn(mask, out)
         if n:
             counts[name] = n
+    if lexicon_set is not None:
+        out, n = lexicon_mask(out, lexicon_set)
+        if n:
+            counts["slur"] = n
     return out, counts
 
 
-def scrub_batch(texts: pd.Series) -> pd.DataFrame:
+def scrub_batch(texts: pd.Series,
+                lexicon_set: frozenset[str] | None = None) -> pd.DataFrame:
     scrubbed, count_maps = [], []
     for t in texts.fillna(""):
-        s, c = scrub_text(t)
+        s, c = scrub_text(t, lexicon_set)
         scrubbed.append(s)
         count_maps.append(c)
     return pd.DataFrame({"scrubbed_content": scrubbed,
                          "scrub_counts": count_maps})
 
 
-def with_scrub(df: DataFrame, text_col: str = "content") -> DataFrame:
+def with_scrub(df: DataFrame, text_col: str = "content",
+               lexicon: "tuple[str, ...] | None" = None) -> DataFrame:
     """Add `scrubbed_content` + `scrub_counts` (map<string,int>).
 
     Plan shape: Filter(pregate) -> MapInPandas on the dirty slice only,
     union with the clean slice (scrubbed_content = content, empty map).
     Both slices read the same scan; Catalyst reuses the exchange.
+
+    With a custom `lexicon` the placeholder slur regex is replaced by
+    set-membership token masking, and the JVM pregate gains an
+    arrays_overlap clause over (?U)\\W+-split lowered tokens — the
+    Java (?U) flag matches Python's unicode-aware \\w tokenizer, so
+    the pregate stays a superset of the matcher for non-ASCII words.
     """
     # NULL-safe: rlike(NULL) is NULL, which fails BOTH gate and ~gate
     # — null-text rows would vanish from the union entirely
-    gate = F.coalesce(F.col(text_col).rlike(PREGATE_RLIKE), F.lit(False))
+    lex = prepare_lexicon(lexicon) if lexicon is not None else None
+    if lex is None:
+        gate_expr = F.col(text_col).rlike(PREGATE_RLIKE)
+    else:
+        gate_expr = (
+            F.col(text_col).rlike(_PREGATE_CORE)
+            | F.arrays_overlap(
+                F.split(F.lower(F.col(text_col)), r"(?U)\W+"),
+                F.lit(sorted(lex))))
+    gate = F.coalesce(gate_expr, F.lit(False))
     dirty = df.filter(gate)
     clean = df.filter(~gate).withColumns({
         "scrubbed_content": F.col(text_col),
@@ -174,7 +256,7 @@ def with_scrub(df: DataFrame, text_col: str = "content") -> DataFrame:
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = scrub_batch(pdf[text_col])
+            res = scrub_batch(pdf[text_col], lex)
             pdf = pdf.copy()
             pdf["scrubbed_content"] = res["scrubbed_content"].values
             pdf["scrub_counts"] = res["scrub_counts"].values

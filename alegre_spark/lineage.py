@@ -59,6 +59,10 @@ def compute_run_id(input_fingerprint: str, cfg: PipelineConfig,
                 "quality": dataclasses.asdict(cfg.quality)}}
     if extra_columns:
         payload_dict["extra_columns"] = list(extra_columns)
+    if cfg.slur_lexicon is not None:
+        # changes scrubbed OUTPUT (not decisions) — same reasoning as
+        # extra_columns; key only present when set, so old ids hold
+        payload_dict["slur_lexicon"] = sorted(cfg.slur_lexicon)
     payload = json.dumps(payload_dict, sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

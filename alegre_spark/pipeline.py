@@ -84,6 +84,12 @@ class PipelineConfig:
     allowed_languages: tuple[str, ...] = tuple(SUPPORTED_LANGUAGES)
     salt_buckets: int = 64
     require_language: bool = False  # code corpora are mostly 'und'/en
+    # custom toxicity lexicon (replaces the 3-word placeholder regex
+    # with set-membership token masking — O(tokens)/row at any lexicon
+    # size; the set ships to executors in the UDF closure). Forks the
+    # run_id: it changes scrubbed output, so a resume against an old
+    # output dir must reprocess (see lineage.compute_run_id).
+    slur_lexicon: tuple[str, ...] | None = None
 
     def threshold_for(self, key: str) -> float:
         if self.per_rule_threshold and key in self.per_rule_threshold:
@@ -151,7 +157,9 @@ def with_decision(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def annotate_fused(df: DataFrame, text_col: str = "content",
-                   lm: CharNgramLM | None = None) -> DataFrame:
+                   lm: CharNgramLM | None = None,
+                   slur_lexicon: tuple[str, ...] | None = None
+                   ) -> DataFrame:
     """langid + perplexity + scrub in ONE mapInPandas pass.
 
     Why fused: each mapInPandas is a separate Python worker in the task
@@ -167,7 +175,11 @@ def annotate_fused(df: DataFrame, text_col: str = "content",
     recomputed langid+perplexity twice).
     """
     from .functions.langid import langid_batch
-    from .functions.scrub import PREGATE_RE, scrub_text
+    from .functions.scrub import (PREGATE_RE, lexicon_mask,
+                                  prepare_lexicon, scrub_text)
+
+    lex = (prepare_lexicon(slur_lexicon)
+           if slur_lexicon is not None else None)
 
     if lm is None:
         bc = _default_tables_broadcast(df.sparkSession.sparkContext)
@@ -196,7 +208,12 @@ def annotate_fused(df: DataFrame, text_col: str = "content",
             scrubbed, counts = [], []
             for t, dirty in zip(texts, dirty_mask):
                 if dirty:
-                    s, c = scrub_text(t)
+                    s, c = scrub_text(t, lex)
+                elif lex is not None:
+                    # the lexicon pass is a cheap per-token set lookup;
+                    # the regex pregate only spares the 14 subn passes
+                    s, n = lexicon_mask(t, lex)
+                    c = {"slur": n} if n else {}
                 else:
                     s, c = t, {}
                 scrubbed.append(s)
@@ -218,7 +235,7 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None,
     cfg = cfg or PipelineConfig()
     df = with_doc_id(df)
     df = salt_repartition(df, cfg.salt_buckets)
-    df = annotate_fused(df, "content", lm)
+    df = annotate_fused(df, "content", lm, cfg.slur_lexicon)
     df = with_quality(df, "content", cfg.quality)
     df = df.withColumn("scrubbed_sha256", F.sha2("scrubbed_content", 256))
     return with_decision(df, cfg)

@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--require-language", action="store_true",
                     help="drop rows whose language is outside the "
                          "allowed set (default: code corpora keep und)")
+    ap.add_argument("--slur-lexicon", default=None, metavar="FILE",
+                    help="text file, one word per line: replaces the "
+                         "placeholder toxicity lexicon with "
+                         "set-membership token masking (scales to "
+                         "10^4+ words; the set is shipped to "
+                         "executors once)")
     ap.add_argument("--flag-entropy", action="store_true",
                     help="annotate rows with detect-secrets-style "
                          "high-entropy flags (entropy_hits/_max/"
@@ -55,9 +61,15 @@ def main() -> None:
         extra_columns = ("entropy_hits", "entropy_max",
                          "entropy_examples")
 
+    lexicon: tuple[str, ...] | None = None
+    if args.slur_lexicon:
+        with open(args.slur_lexicon) as fh:
+            lexicon = tuple(w.strip() for w in fh if w.strip())
+
     cfg = PipelineConfig(salt_buckets=args.salt_buckets,
                          max_perplexity=args.max_perplexity,
-                         require_language=args.require_language)
+                         require_language=args.require_language,
+                         slur_lexicon=lexicon)
     summary = run_with_resume(spark, files, args.output, cfg,
                               extra_columns=extra_columns)
 

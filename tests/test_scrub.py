@@ -213,3 +213,98 @@ def test_with_entropy_flags_stage(spark):
     assert out["r2"]["entropy_max"] > 3.0
     assert out["r3"]["entropy_hits"] == 0
     assert out["r4"]["entropy_hits"] == 0
+
+
+# --- broadcast lexicon masking ----------------------------------------------
+
+def test_lexicon_mask_basic_and_case():
+    from alegre_spark.functions.scrub import prepare_lexicon, scrub_text
+    lex = prepare_lexicon(["Heck", "darn"])
+    out, counts = scrub_text("oh HECK that darn thing, hecking fine", lex)
+    assert out == "oh <TOX:SLUR> that <TOX:SLUR> thing, hecking fine"
+    assert counts == {"slur": 2}  # 'hecking' is a different token
+
+
+def test_lexicon_replaces_placeholder():
+    from alegre_spark.functions.scrub import prepare_lexicon, scrub_text
+    lex = prepare_lexicon(["darn"])
+    # placeholder word no longer masks once a custom lexicon is set
+    out, counts = scrub_text("said slurword1 and darn", lex)
+    assert out == "said slurword1 and <TOX:SLUR>"
+    assert counts == {"slur": 1}
+
+
+def test_lexicon_idempotent_even_on_mask_components():
+    """A lexicon containing a mask component word ('slur', 'tox') must
+    not re-mask inside already-written masks on a second pass."""
+    from alegre_spark.functions.scrub import prepare_lexicon, scrub_text
+    lex = prepare_lexicon(["slur", "tox", "email"])
+    text = "a slur and b@c.com and tox"
+    once, c1 = scrub_text(text, lex)
+    twice, c2 = scrub_text(once, lex)
+    assert once == "a <TOX:SLUR> and <PII:EMAIL> and <TOX:SLUR>"
+    assert twice == once
+
+
+def test_lexicon_validation():
+    import pytest
+    from alegre_spark.functions.scrub import prepare_lexicon
+    with pytest.raises(ValueError):
+        prepare_lexicon(["two words"])
+    with pytest.raises(ValueError):
+        prepare_lexicon([""])
+
+
+def test_lexicon_scales_by_set_membership():
+    """10k-word lexicon: per-row cost must stay flat (set lookup), not
+    grow with lexicon size (regex alternation would)."""
+    import time
+
+    from alegre_spark.functions.scrub import prepare_lexicon, scrub_text
+    lex = prepare_lexicon([f"badword{i}" for i in range(10_000)])
+    text = ("def f(x):\n    return x + 1  # badword7777 here\n" * 50)
+    t0 = time.time()
+    for _ in range(20):
+        out, counts = scrub_text(text, lex)
+    assert time.time() - t0 < 2.0
+    assert counts == {"slur": 50}
+
+
+def test_with_scrub_custom_lexicon_stage(spark):
+    from alegre_spark.functions.scrub import with_scrub
+    rows = [("r1", "totally clean code"),
+            ("r2", "this Darn thing"),          # lexicon-only row
+            ("r3", "mail user@example.com"),    # regex-only row
+            ("r4", "café row"),            # accented lexicon word
+            ("r5", None)]
+    df = spark.createDataFrame(rows, "id string, content string")
+    out = {r["id"]: r for r in
+           with_scrub(df, lexicon=("darn", "café")).collect()}
+    assert len(out) == 5
+    assert out["r1"]["scrub_counts"] == {}
+    # r2 passes ONLY via the arrays_overlap pregate clause
+    assert out["r2"]["scrubbed_content"] == "this <TOX:SLUR> thing"
+    assert out["r3"]["scrubbed_content"] == "mail <PII:EMAIL>"
+    # unicode word: Java (?U)\W+ split must agree with Python \w+
+    assert out["r4"]["scrubbed_content"] == "<TOX:SLUR> row"
+    assert out["r5"]["scrub_counts"] == {}
+
+
+def test_pipeline_with_custom_lexicon(spark):
+    """End-to-end: cfg.slur_lexicon reaches the fused stage; decisions
+    are unchanged vs the default config (scrub never drops rows)."""
+    from alegre_spark.corpus import generate_corpus
+    from alegre_spark.pipeline import PipelineConfig, run_pipeline
+
+    files = generate_corpus(spark, 120, partitions=4)
+    base = run_pipeline(files, PipelineConfig(salt_buckets=8))
+    lexed = run_pipeline(files, PipelineConfig(
+        salt_buckets=8, slur_lexicon=("transform",)))  # a template word
+    a = {r["doc_id"]: r["keep"] for r in base.collect()}
+    b = {r["doc_id"]: r["keep"] for r in lexed.collect()}
+    assert a == b  # lexicon masking never changes a decision
+    hit = lexed.filter("scrub_counts['slur'] > 0")
+    assert hit.count() > 0
+    row = hit.first()
+    assert "<TOX:SLUR>" in row["scrubbed_content"]
+    assert "transform" not in row["scrubbed_content"]
