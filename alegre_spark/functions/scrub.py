@@ -224,39 +224,62 @@ def with_scrub(df: DataFrame, text_col: str = "content",
     union with the clean slice (scrubbed_content = content, empty map).
     Both slices read the same scan; Catalyst reuses the exchange.
 
-    With a custom `lexicon` the placeholder slur regex is replaced by
-    set-membership token masking, and the JVM pregate gains an
-    arrays_overlap clause over (?U)\\W+-split lowered tokens — the
-    Java (?U) flag matches Python's unicode-aware \\w tokenizer, so
-    the pregate stays a superset of the matcher for non-ASCII words.
+    With a custom `lexicon` every token of every row must be inspected
+    somewhere, so the JVM pregate cannot save the Python hop. A JVM
+    gate was A/B-measured and REJECTED: arrays_overlap(split(lower(
+    content)), <10k-word literal>) cost ~11x the all-rows Arrow route
+    at 100k rows (splitting whole documents into token arrays
+    JVM-side dwarfs the saving). The lexicon path therefore routes ALL
+    rows through one mapInPandas (the fused-pipeline shape): an
+    in-batch vectorized str.contains pregate still spares clean rows
+    the 14 regex passes, and the lexicon pass itself is a per-token
+    set lookup.
     """
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("scrubbed_content", StringType()),
+           StructField("scrub_counts", MapType(StringType(), IntegerType()))]
+    )
+    lex = prepare_lexicon(lexicon) if lexicon is not None else None
+
+    if lex is not None:
+        def _map_all(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                na = pdf[text_col].isna()
+                texts = pdf[text_col].fillna("")
+                dirty_mask = texts.str.contains(PREGATE_RE, regex=True)
+                scrubbed, counts = [], []
+                for t, d in zip(texts, dirty_mask):
+                    if d:
+                        s, c = scrub_text(t, lex)
+                    else:
+                        s, n = lexicon_mask(t, lex)
+                        c = {"slur": n} if n else {}
+                    scrubbed.append(s)
+                    counts.append(c)
+                pdf = pdf.copy()
+                # NULL text stays NULL (parity with the default path)
+                pdf["scrubbed_content"] = [
+                    None if is_na else s
+                    for s, is_na in zip(scrubbed, na)]
+                pdf["scrub_counts"] = counts
+                yield pdf
+
+        return df.mapInPandas(_map_all, schema=out_schema)
+
     # NULL-safe: rlike(NULL) is NULL, which fails BOTH gate and ~gate
     # — null-text rows would vanish from the union entirely
-    lex = prepare_lexicon(lexicon) if lexicon is not None else None
-    if lex is None:
-        gate_expr = F.col(text_col).rlike(PREGATE_RLIKE)
-    else:
-        gate_expr = (
-            F.col(text_col).rlike(_PREGATE_CORE)
-            | F.arrays_overlap(
-                F.split(F.lower(F.col(text_col)), r"(?U)\W+"),
-                F.lit(sorted(lex))))
-    gate = F.coalesce(gate_expr, F.lit(False))
+    gate = F.coalesce(F.col(text_col).rlike(PREGATE_RLIKE), F.lit(False))
     dirty = df.filter(gate)
     clean = df.filter(~gate).withColumns({
         "scrubbed_content": F.col(text_col),
         "scrub_counts": F.create_map().cast("map<string,int>"),
     })
 
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField("scrubbed_content", StringType()),
-           StructField("scrub_counts", MapType(StringType(), IntegerType()))]
-    )
-
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = scrub_batch(pdf[text_col], lex)
+            res = scrub_batch(pdf[text_col])
             pdf = pdf.copy()
             pdf["scrubbed_content"] = res["scrubbed_content"].values
             pdf["scrub_counts"] = res["scrub_counts"].values

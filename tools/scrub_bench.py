@@ -69,7 +69,11 @@ def main() -> None:
     _timed(with_scrub(small), ["scrub_counts"])
     _timed(with_entropy_flags(small), ["entropy_hits"])
 
-    scrub_walls, ent_walls = [], []
+    # 10k-word custom lexicon: the set-membership path must stay flat
+    # vs the placeholder-regex run (a regex alternation would not)
+    lexicon = tuple(f"badword{i}" for i in range(10_000))
+
+    scrub_walls, ent_walls, lex_walls = [], [], []
     for _ in range(3):
         w, n = _timed(with_scrub(files),
                       ["scrubbed_content", "scrub_counts"])
@@ -79,9 +83,14 @@ def main() -> None:
                       ["entropy_hits", "entropy_max"])
         assert n == n_files
         ent_walls.append(w)
+        w, n = _timed(with_scrub(files, lexicon=lexicon),
+                      ["scrubbed_content", "scrub_counts"])
+        assert n == n_files
+        lex_walls.append(w)
 
     scrub_med = statistics.median(scrub_walls)
     ent_med = statistics.median(ent_walls)
+    lex_med = statistics.median(lex_walls)
     print(json.dumps({
         "n_files": n_files, "cpus": cpus,
         "pregate_dirty_fraction": round(dirty / n_files, 4),
@@ -91,6 +100,9 @@ def main() -> None:
         "entropy_wall_s": [round(w, 2) for w in ent_walls],
         "entropy_median_s": round(ent_med, 2),
         "entropy_rows_per_s": round(n_files / ent_med),
+        "lexicon10k_wall_s": [round(w, 2) for w in lex_walls],
+        "lexicon10k_median_s": round(lex_med, 2),
+        "lexicon10k_rows_per_s": round(n_files / lex_med),
     }))
     spark.stop()
 
