@@ -282,10 +282,12 @@ def test_with_scrub_custom_lexicon_stage(spark):
            with_scrub(df, lexicon=("darn", "café")).collect()}
     assert len(out) == 5
     assert out["r1"]["scrub_counts"] == {}
-    # r2 passes ONLY via the arrays_overlap pregate clause
+    # r2 has no regex-family hit: only the per-token set lookup in the
+    # all-rows Arrow route can mask it (the in-batch str.contains
+    # pregate routes it to the lexicon-only branch)
     assert out["r2"]["scrubbed_content"] == "this <TOX:SLUR> thing"
     assert out["r3"]["scrubbed_content"] == "mail <PII:EMAIL>"
-    # unicode word: Java (?U)\W+ split must agree with Python \w+
+    # unicode word: the Python \w+ tokenizer must see accented words
     assert out["r4"]["scrubbed_content"] == "<TOX:SLUR> row"
     assert out["r5"]["scrub_counts"] == {}
 
