@@ -1,0 +1,181 @@
+"""Learned quality classifier — model-based filtering of the
+GPT-3 / CCNet lineage (Brown et al. 2020, Appendix A; Wenzek et al.
+2019). The rule gates in `quality.py` catch structural junk; the
+classifier RANKS everything else by similarity to a trusted corpus,
+which is how production web-scale pipelines pick the keep set.
+
+Beyond-reference by design: the reference has no learned filter
+(its model stages are similarity encoders, `SURVEY.md §2.9`); this
+is the standard companion the tier's real users add next to the
+rules.
+
+Spark-first shape — the three stages have three different budgets:
+
+- **featurize**: the existing `quality_features` Catalyst
+  expressions. Zero Python, whole-stage codegen, shared with the
+  rule gates so the classifier sees exactly the signals the rules
+  see.
+- **fit**: `pyspark.ml` LogisticRegression over those features —
+  distributed LBFGS, one pass infrastructure Spark already ships.
+  Training happens once per corpus; the OUTPUT is a plain dict of
+  floats (feature names -> coefficients + intercept), not a model
+  object: JSON-serializable, versionable, and scoring does not
+  import pyspark.ml at all.
+- **score**: pure Catalyst — `sigmoid(b + sum w_i * x_i)` with the
+  weights inlined as literals in the plan. No broadcast, no Python
+  worker, codegen-eligible; at 100 TB the classifier costs the same
+  as one more rule column.
+
+Keep rule: GPT-3 kept a document iff
+`np.random.pareto(alpha) > 1 - score`. `pareto_keep` reproduces the
+same marginal keep probability DETERMINISTICALLY: the Pareto draw is
+inverse-transformed from a content-addressed uniform
+(`u^(-1/alpha) - 1` with u = xxhash64(keys, seed) mapped to [0,1)),
+so reruns, retries and resumed shards make byte-identical decisions
+— the same contract every sampling decision in this repo honors
+(`operators/sampling.py`).
+
+NULL text scores NULL (the feature expressions are NULL on NULL
+input) and `pareto_keep` treats NULL score as keep=False — callers
+routing NULL rows should gate them before the classifier, as the
+pipeline does.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alegre_spark.functions.quality import quality_features
+from alegre_spark.operators.sampling import _unit_interval
+
+#: feature order is part of the artifact: fit and score must agree.
+DEFAULT_FEATURES = (
+    "n_chars", "n_lines", "n_tokens", "max_line_len", "mean_line_len",
+    "dup_line_fraction", "alnum_ratio", "digit_ratio", "longest_token",
+    "hex_like_fraction",
+)
+
+
+def fit_quality_classifier(df: DataFrame, label_col: str,
+                           text_col: str = "content",
+                           features: tuple = DEFAULT_FEATURES,
+                           reg_param: float = 0.0,
+                           max_iter: int = 100) -> dict:
+    """Train on (text, 0/1 label) rows; return the portable artifact
+    `{"intercept": float, "weights": {feature: float}, "features":
+    [...]}`.
+
+    Labels: 1 = trusted/keep, 0 = junk/drop. The classic recipe
+    contrasts a trusted corpus (positives) against raw crawl
+    (negatives); distilling the rule gates' own decisions into a
+    smooth score also works and is what the tests do.
+
+    pyspark.ml's LBFGS runs with `standardization=True` internally
+    but reports coefficients in the ORIGINAL feature space, so the
+    artifact needs no scaler moments. Fitting is distributed
+    (treeAggregate gradient passes); only the (n_features+1) floats
+    ever reach the driver.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = quality_features(text_col)
+    unknown = [f for f in features if f not in feats]
+    if unknown:
+        raise ValueError(f"unknown quality features: {unknown} "
+                         f"(known: {sorted(feats)})")
+    train = df.withColumns(
+        {f: feats[f].cast("double") for f in features}
+    ).select(F.col(label_col).cast("double").alias("label"), *features)
+    assembled = VectorAssembler(
+        inputCols=list(features), outputCol="_fx",
+        handleInvalid="error").transform(train)
+    model = LogisticRegression(
+        featuresCol="_fx", labelCol="label", regParam=reg_param,
+        maxIter=max_iter, family="binomial").fit(assembled)
+    coef = model.coefficients.toArray()
+    return {
+        "intercept": float(model.intercept),
+        "weights": {f: float(w) for f, w in zip(features, coef)},
+        "features": list(features),
+    }
+
+
+def quality_score_col(model: dict, text_col: str = "content") -> Column:
+    """`sigmoid(b + sum w_i * x_i)` as one Catalyst expression — the
+    whole classifier inlined into the plan as literals."""
+    feats = quality_features(text_col)
+    z = F.lit(float(model["intercept"]))
+    for name in model["features"]:
+        z = z + F.lit(float(model["weights"][name])) * \
+            feats[name].cast("double")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def score_quality_model(df: DataFrame, model: dict,
+                        text_col: str = "content",
+                        out_col: str = "quality_prob") -> DataFrame:
+    return df.withColumn(out_col, quality_score_col(model, text_col))
+
+
+def pareto_keep(df: DataFrame, key_cols: list, alpha: float = 9.0,
+                score_col: str = "quality_prob", seed: int = 0,
+                out_col: str = "keep_model") -> DataFrame:
+    """GPT-3's stochastic keep rule, content-addressed: keep iff
+    `pareto(alpha) > 1 - score` with the Pareto draw
+    `u^(-1/alpha) - 1` inverse-transformed from the row's hash
+    uniform. High scores are (almost) always kept; low scores
+    survive with probability `(2 - score)^(-alpha)` — the same
+    marginal as `np.random.pareto`, but a rerun anywhere in the
+    cluster reproduces every decision. alpha=9 is the published
+    constant; larger alpha = sharper cutoff.
+
+    u=0 (hash landing exactly on a bucket boundary) would make
+    `u^(-1/alpha)` infinite — which is the CORRECT limit (an
+    infinite Pareto draw keeps the row), and `power(0, -x)` in Spark
+    returns +Infinity, so the expression needs no special case.
+    NULL score -> keep=False (comparison with NULL), documented.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    u = _unit_interval(key_cols, seed)
+    draw = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    keep = F.coalesce(draw > (F.lit(1.0) - F.col(score_col)),
+                      F.lit(False))
+    return df.withColumn(out_col, keep)
+
+
+def expected_keep_fraction(score: float, alpha: float = 9.0) -> float:
+    """Marginal keep probability for a given score under
+    `pareto_keep` — P[pareto(alpha) > 1 - s] = (2 - s)^(-alpha)
+    for s in [0, 1]. Useful for budgeting the filtered corpus size."""
+    return float((2.0 - score) ** (-alpha))
+
+
+def auc(df: DataFrame, label_col: str,
+        score_col: str = "quality_prob") -> float:
+    """Exact ROC AUC via the rank-sum identity — one window-free
+    pass: AUC = (sum of positive ranks - n_pos*(n_pos+1)/2) /
+    (n_pos*n_neg), with ranks from a global sort only over the
+    (score, label) projection (two tiny columns, not the corpus).
+    Ties get average ranks (the standard Mann-Whitney treatment)."""
+    ranked = (df.select(F.col(score_col).alias("s"),
+                        F.col(label_col).cast("double").alias("y"))
+              .groupBy("s")
+              .agg(F.count("*").alias("n"), F.sum("y").alias("npos")))
+    from pyspark.sql import Window
+    w = Window.orderBy("s")
+    ranked = ranked.withColumn("cum_n", F.sum("n").over(w))
+    row = ranked.agg(
+        F.sum(F.col("npos") *
+              (F.col("cum_n") - (F.col("n") - 1) / 2.0)).alias("rank_pos"),
+        F.sum("npos").alias("n_pos"),
+        F.sum(F.col("n") - F.col("npos")).alias("n_neg")).first()
+    n_pos, n_neg = row["n_pos"], row["n_neg"]
+    if not n_pos or not n_neg:
+        raise ValueError("AUC needs both classes present")
+    return float((row["rank_pos"] - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg))

@@ -7,6 +7,8 @@
         --input  /path/to/files_table_parquet \
         --output /path/to/out_dir \
         [--salt-buckets 4096] [--max-perplexity 1e4] [--require-language]
+        [--slur-lexicon words.txt] [--flag-entropy]
+        [--quality-model model.json [--model-keep-alpha 9]]
 
 Reads a files table (repo, path, commit, lang, content), runs the
 quality-filter pipeline idempotently (resume from the last committed
@@ -43,7 +45,23 @@ def main() -> None:
                          "high-entropy flags (entropy_hits/_max/"
                          "_examples columns in the filtered output; "
                          "keep/drop decisions are unaffected)")
+    ap.add_argument("--quality-model", default=None, metavar="JSON",
+                    help="learned quality classifier artifact (the "
+                         "dict fit_quality_classifier returns): "
+                         "annotates every row with quality_prob, "
+                         "scored as one Catalyst sigmoid. Rule "
+                         "decisions are unaffected — downstream "
+                         "filters on the annotation")
+    ap.add_argument("--model-keep-alpha", type=float, default=None,
+                    metavar="ALPHA",
+                    help="with --quality-model: also annotate the "
+                         "GPT-3 Pareto keep decision (keep_model "
+                         "column), content-addressed so reruns "
+                         "decide identically; alpha=9 is the "
+                         "published constant")
     args = ap.parse_args()
+    if args.model_keep_alpha is not None and not args.quality_model:
+        ap.error("--model-keep-alpha requires --quality-model")
 
     from alegre_spark.lineage import run_with_resume
     from alegre_spark.pipeline import PipelineConfig
@@ -60,6 +78,20 @@ def main() -> None:
         files = with_entropy_flags(files)
         extra_columns = ("entropy_hits", "entropy_max",
                          "entropy_examples")
+
+    if args.quality_model:
+        from alegre_spark.functions.quality_model import (pareto_keep,
+                                                          score_quality_model)
+        with open(args.quality_model) as fh:
+            artifact = json.load(fh)
+        files = score_quality_model(files, artifact)
+        extra_columns += ("quality_prob",)
+        if args.model_keep_alpha is not None:
+            # content-addressed draw: the same document decides the
+            # same way on any rerun, shard, or resumed bucket
+            files = pareto_keep(files, ["content"],
+                                alpha=args.model_keep_alpha)
+            extra_columns += ("keep_model",)
 
     lexicon: tuple[str, ...] | None = None
     if args.slur_lexicon:

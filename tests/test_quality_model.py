@@ -1,0 +1,131 @@
+"""Learned quality classifier: fit/score parity with pyspark.ml,
+separation on the synthetic corpus, exact AUC, and the deterministic
+Pareto keep rule."""
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.functions.quality_model import (
+    DEFAULT_FEATURES, auc, expected_keep_fraction,
+    fit_quality_classifier, pareto_keep, score_quality_model)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    """Synthetic corpus labeled by the rule gates — the distillation
+    setup (the classifier learns a smooth version of the rules)."""
+    from alegre_spark.corpus import generate_corpus
+    from alegre_spark.functions.quality import with_quality
+    files = generate_corpus(spark, 3000, partitions=8)
+    return (with_quality(files)
+            .select("repo", "path", "content",
+                    F.col("quality_pass").cast("int").alias("label"))
+            .localCheckpoint(eager=True))
+
+
+@pytest.fixture(scope="module")
+def model(labeled):
+    return fit_quality_classifier(labeled, "label", reg_param=0.01)
+
+
+def test_artifact_is_portable_json(model):
+    rt = json.loads(json.dumps(model))
+    assert rt["features"] == list(DEFAULT_FEATURES)
+    assert set(rt["weights"]) == set(DEFAULT_FEATURES)
+    assert all(math.isfinite(w) for w in rt["weights"].values())
+    assert math.isfinite(rt["intercept"])
+
+
+def test_score_parity_with_artifact_formula(labeled, model):
+    """The Catalyst sigmoid must equal an independent float64
+    evaluation of the artifact over the SAME feature expressions —
+    proves the plan implements exactly sigmoid(b + sum w_i*x_i) and
+    that the portable dict carries everything scoring needs."""
+    import numpy as np
+
+    from alegre_spark.functions.quality import quality_features
+
+    feats = quality_features("content")
+    rows = (score_quality_model(labeled, model)
+            .withColumns({f"_{f}": feats[f].cast("double")
+                          for f in DEFAULT_FEATURES})
+            .select("quality_prob",
+                    *[f"_{f}" for f in DEFAULT_FEATURES]).collect())
+    assert len(rows) == 3000
+    for r in rows:
+        z = model["intercept"]
+        for f in model["features"]:   # same accumulation order
+            z += model["weights"][f] * r[f"_{f}"]
+        ref = 1.0 / (1.0 + np.exp(-z))
+        assert abs(float(ref) - r["quality_prob"]) < 1e-12
+
+
+def test_classifier_separates_rule_labels(labeled, model):
+    scored = score_quality_model(labeled, model)
+    assert auc(scored, "label") > 0.97
+
+
+def test_scoring_is_pure_catalyst(labeled, model):
+    plan = (score_quality_model(labeled, model)
+            ._jdf.queryExecution().executedPlan().toString())
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_auc_exact_with_ties(spark):
+    # hand-checkable: scores/labels with a tie spanning both classes
+    rows = [(0.1, 0), (0.4, 0), (0.4, 1), (0.8, 1)]
+    df = spark.createDataFrame(rows, "quality_prob double, label int")
+    # pairs: (0.1,0)x(0.4,1)=1, (0.1,0)x(0.8,1)=1,
+    #        (0.4,0)x(0.4,1)=0.5, (0.4,0)x(0.8,1)=1  -> 3.5/4
+    assert abs(auc(df, "label") - 3.5 / 4) < 1e-12
+
+
+def test_auc_requires_both_classes(spark):
+    df = spark.createDataFrame([(0.5, 1), (0.9, 1)],
+                               "quality_prob double, label int")
+    with pytest.raises(ValueError, match="both classes"):
+        auc(df, "label")
+
+
+def test_fit_rejects_unknown_feature(labeled):
+    with pytest.raises(ValueError, match="unknown quality features"):
+        fit_quality_classifier(labeled, "label",
+                               features=("n_chars", "nope"))
+
+
+def test_pareto_keep_deterministic_and_monotone(spark):
+    n = 20_000
+    df = spark.range(n).select(
+        F.concat(F.lit("id"), F.col("id")).alias("doc_id"))
+    lo = pareto_keep(df.withColumn("quality_prob", F.lit(0.2)),
+                     ["doc_id"])
+    hi = pareto_keep(df.withColumn("quality_prob", F.lit(0.9)),
+                     ["doc_id"])
+    lo_keep = {r["doc_id"] for r in lo.filter("keep_model").collect()}
+    lo_keep2 = {r["doc_id"] for r in lo.filter("keep_model").collect()}
+    hi_keep = {r["doc_id"] for r in hi.filter("keep_model").collect()}
+    assert lo_keep == lo_keep2          # rerun = identical decisions
+    assert lo_keep <= hi_keep           # per-row monotone in score
+    # marginal rate matches the closed form (binomial 4-sigma band)
+    for keep, s in ((lo_keep, 0.2), (hi_keep, 0.9)):
+        p = expected_keep_fraction(s)
+        assert abs(len(keep) / n - p) < 4 * math.sqrt(p * (1 - p) / n)
+
+
+def test_pareto_keep_null_score_drops(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", 0.99)], "doc_id string, quality_prob double")
+    out = {r["doc_id"]: r["keep_model"]
+           for r in pareto_keep(df, ["doc_id"]).collect()}
+    assert out["a"] is False
+
+
+def test_pareto_keep_validates_alpha(spark):
+    df = spark.createDataFrame([("a", 0.5)],
+                               "doc_id string, quality_prob double")
+    with pytest.raises(ValueError, match="alpha"):
+        pareto_keep(df, ["doc_id"], alpha=0.0)

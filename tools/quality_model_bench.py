@@ -1,0 +1,96 @@
+"""Learned quality classifier: fit cost, separation, and scoring
+throughput — plus the fit recipe in executable form.
+
+Protocol mirrors scrub_bench: generate the corpus once to parquet,
+read back, label with the rule gates (the distillation setup), fit
+pyspark.ml LBFGS, then time the pure-Catalyst scoring pass
+(median-of-3, one count action over a projection of the score so the
+expression cannot be pruned). Reports AUC on a held-out hash split
+(content-addressed, so the split is reproducible) and the Pareto
+keep fraction at the published alpha=9.
+
+Usage: python tools/quality_model_bench.py [n_files] [cpus]
+       (defaults: 1_000_000 files, 32)
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from alegre_spark.corpus import generate_corpus_distributed
+    from alegre_spark.functions.quality import with_quality
+    from alegre_spark.functions.quality_model import (
+        auc, fit_quality_classifier, pareto_keep, score_quality_model)
+    from alegre_spark.operators.sampling import hash_split
+    from alegre_spark.session import get_spark
+
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    spark = get_spark(app_name="quality-model-bench",
+                      master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="qmodel_bench_")
+    generate_corpus_distributed(spark, n_files).write.mode(
+        "overwrite").parquet(tmp)
+    files = spark.read.parquet(tmp)
+
+    labeled = (with_quality(files)
+               .select("repo", "path", "content",
+                       F.col("quality_pass").cast("int").alias("label")))
+    splits = hash_split(labeled, {"train": 0.9, "test": 0.1},
+                        ["content"])
+    train = splits.filter("split = 'train'").drop("split")
+    test = splits.filter("split = 'test'").drop("split")
+
+    t0 = time.time()
+    model = fit_quality_classifier(train, "label", reg_param=0.01)
+    fit_wall = time.time() - t0
+
+    test_auc = auc(score_quality_model(test, model), "label")
+
+    # scoring throughput: pure Catalyst, timed over the full corpus.
+    # NOT a count over a projection — for a pure-Catalyst column,
+    # count() prunes the expression entirely (the scrub bench gets
+    # away with it only because its Python stage blocks pruning); an
+    # avg over the score forces every row's sigmoid to evaluate.
+    walls = []
+    scored = score_quality_model(files, model)
+    scored.agg(F.avg("quality_prob")).collect()  # warmup
+    for _ in range(3):
+        t0 = time.time()
+        mean_prob = scored.agg(
+            F.avg("quality_prob").alias("m")).first()["m"]
+        walls.append(time.time() - t0)
+        assert 0.0 < mean_prob < 1.0
+    score_med = statistics.median(walls)
+
+    kept = (pareto_keep(scored, ["content"], alpha=9.0)
+            .filter("keep_model").count())
+
+    print(json.dumps({
+        "n_files": n_files, "cpus": cpus,
+        "fit_wall_s": round(fit_wall, 2),
+        "test_auc": round(test_auc, 4),
+        "score_wall_s": [round(w, 2) for w in walls],
+        "score_median_s": round(score_med, 2),
+        "score_rows_per_s": round(n_files / score_med),
+        "pareto_keep_fraction_alpha9": round(kept / n_files, 4),
+        "weights": {k: round(v, 6) for k, v in model["weights"].items()},
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
