@@ -1,0 +1,198 @@
+"""Data Selection with Importance Resampling (DSIR — Xie et al. 2023,
+arXiv:2302.03169): pick raw-corpus documents whose hashed n-gram
+distribution resembles a small TARGET corpus, by importance weight
+`w(x) = p_target(x) / p_raw(x)` under hashed bag-of-ngrams unigram
+models, then sample without replacement proportionally to w.
+
+This completes the data-selection triad next to the rule gates
+(`quality.py`) and the learned classifier (`quality_model.py`):
+rules catch structural junk, the classifier needs LABELS, DSIR needs
+only a target CORPUS — the common case ("make my crawl look like
+Wikipedia/my eval set") where nobody labeled anything.
+
+Spark-first shape, every stage bounded:
+
+- **featurize**: lowercased whitespace unigrams + bigrams hashed to
+  `pmod(xxhash64(gram), buckets)` — one explode, JVM-side, multiset
+  counts (NOT the dedup family's distinct shingles: DSIR's unigram
+  LM needs occurrence counts).
+- **fit**: two groupBy-count passes (target, raw) → a ≤`buckets`-row
+  log-ratio table with Laplace smoothing. The table is the ONLY
+  artifact (10k rows by default — broadcast-join fodder); the driver
+  holds two scalar totals, never a distribution.
+- **weight**: explode → broadcast join the ratio table → per-doc sum
+  of log ratios. One shuffle (the per-doc groupBy).
+- **select**: Gumbel top-k — `log w + Gumbel(content-hash uniform)`
+  ranked by `TakeOrderedAndProject` is EXACTLY sampling-without-
+  replacement proportional to w (the Gumbel-max trick), and the
+  content-addressed noise makes the draw deterministic: reruns,
+  retries and resumed shards select the identical set, the same
+  contract as `sampling.py`/`quality_model.pareto_keep`.
+
+The paper resamples ~1-2% of a web crawl; at that shape the ratio
+table broadcast is a few hundred KB and the only corpus-scale costs
+are one explode and one aggregation — nothing here holds state in
+the driver or shuffles more than once.
+
+WHAT DSIR IS NOT (measured, BENCH §dsir): it is not a quality
+filter. A doc made ENTIRELY of target-common vocabulary — templated
+boilerplate, repeated common lines — outscores genuine target docs,
+because genuine docs also carry their own rare identifiers (negative
+ratios) while boilerplate carries none; on the synthetic corpus a
+quality-pass target sample yielded a selection LESS clean than the
+base rate (0.95 → 0.70), and binarizing gram counts or
+length-normalizing the weight does not fix it (0.70/0.72 — measured
+and rejected as knobs). This matches the paper's own pipeline order:
+dedup + rule filters FIRST, DSIR after, for domain/distribution
+matching only — where it measurably works (target = one template
+family: base 24% → 82% of the selected set).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.dedup import tokenize_ws
+
+#: hash-noise resolution for the Gumbel draw (u in (0,1), never 0/1)
+_GUMBEL_BUCKETS = 1 << 30
+
+
+def _ngram_multiset(toks: Column, n: int) -> Column:
+    """All n-grams WITH multiplicity (array<string>); docs shorter
+    than n contribute no n-grams (the unigram LM just has fewer
+    observations — the paper's convention, unlike the dedup
+    shingles' whole-doc fallback)."""
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(F.size(toks) >= n,
+                  F.transform(idx, lambda i: F.array_join(
+                      F.slice(toks, i + 1, n), " "))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+def hashed_ngram_buckets(toks_col: Column, buckets: int = 10_000,
+                         ngrams: tuple = (1, 2)) -> Column:
+    """array<int> of hashed feature buckets, one entry per n-gram
+    occurrence, from an ALREADY-MATERIALIZED token-array column.
+    Same contract as `shingles_from_tokens`: bind `tokenize_ws(...)`
+    in the caller's own projection first — Catalyst does not
+    eliminate common subexpressions inside higher-order-function
+    lambdas, so passing a tokenize() expression here would re-split
+    the document once per n-gram (the measured O(T^2) trap,
+    `dedup.py:84-92`)."""
+    parts = [_ngram_multiset(toks_col, n) for n in ngrams]
+    grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return F.transform(
+        grams, lambda g: F.pmod(F.xxhash64(g),
+                                F.lit(buckets)).cast("int"))
+
+
+def _exploded_buckets(df: DataFrame, text_col: str, buckets: int,
+                      ngrams: tuple, *keep_names: str) -> DataFrame:
+    """(…keep_names, bucket) — tokens bound in their own projection
+    first (the HOF-lambda CSE rule above); `keep_names` are existing
+    column NAMES carried through both projections."""
+    return (df.select(*keep_names,
+                      tokenize_ws(F.col(text_col)).alias("_toks"))
+            .select(*keep_names,
+                    F.explode(hashed_ngram_buckets(
+                        F.col("_toks"), buckets, ngrams))
+                    .alias("bucket")))
+
+
+def _bucket_counts(df: DataFrame, text_col: str, buckets: int,
+                   ngrams: tuple) -> DataFrame:
+    return (_exploded_buckets(df, text_col, buckets, ngrams)
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+def fit_dsir(target: DataFrame, raw: DataFrame,
+             text_col: str = "content", buckets: int = 10_000,
+             ngrams: tuple = (1, 2), smoothing: float = 1.0) -> dict:
+    """Returns `{"ratios": DataFrame(bucket, log_ratio),
+    "default_log_ratio": float, "buckets": B, "ngrams": (...)}`.
+
+    log_ratio[b] = log p_target(b) - log p_raw(b) with Laplace
+    smoothing `(count + a) / (total + a*B)`, so every bucket —
+    including ones observed in neither corpus — has a finite value;
+    `default_log_ratio` is that all-unseen constant, applied at
+    scoring time to buckets absent from the table. `raw` can (and
+    per the paper, should) be a hash-sample of the full crawl —
+    the unigram LM only needs enough mass per bucket."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    t = _bucket_counts(target, text_col, buckets, ngrams)
+    r = _bucket_counts(raw, text_col, buckets, ngrams)
+    t_total = t.agg(F.sum("n")).first()[0] or 0
+    r_total = r.agg(F.sum("n")).first()[0] or 0
+    if not t_total or not r_total:
+        raise ValueError("fit_dsir needs non-empty target and raw "
+                         f"corpora (totals: target={t_total}, "
+                         f"raw={r_total})")
+    a = float(smoothing)
+    t_denom = math.log(t_total + a * buckets)
+    r_denom = math.log(r_total + a * buckets)
+    ratios = (t.withColumnRenamed("n", "nt")
+              .join(r.withColumnRenamed("n", "nr"), "bucket", "full")
+              .select(
+                  "bucket",
+                  (F.log(F.coalesce(F.col("nt").cast("double"),
+                                    F.lit(0.0)) + F.lit(a))
+                   - F.lit(t_denom)
+                   - F.log(F.coalesce(F.col("nr").cast("double"),
+                                      F.lit(0.0)) + F.lit(a))
+                   + F.lit(r_denom)).alias("log_ratio")))
+    default = (math.log(a) - t_denom) - (math.log(a) - r_denom)
+    return {"ratios": ratios, "default_log_ratio": float(default),
+            "buckets": buckets, "ngrams": tuple(ngrams)}
+
+
+def importance_weights(df: DataFrame, model: dict, id_col: str,
+                       text_col: str = "content",
+                       out_col: str = "log_w") -> DataFrame:
+    """Adds `log w(x) = sum over n-gram occurrences of
+    log_ratio[bucket]`. Docs with no features (empty/whitespace text)
+    get log_w = 0 (weight 1). One explode + one broadcast join + one
+    groupBy on `id_col` + one join back (by construction `id_col`
+    must be unique)."""
+    renamed = df.select(F.col(id_col).alias("_id"),
+                        F.col(text_col))
+    feats = (_exploded_buckets(renamed, text_col, model["buckets"],
+                               model["ngrams"], "_id")
+             .join(F.broadcast(model["ratios"]), "bucket", "left")
+             .groupBy("_id")
+             .agg(F.sum(F.coalesce(
+                 F.col("log_ratio"),
+                 F.lit(model["default_log_ratio"]))).alias(out_col)))
+    return (df.join(feats, df[id_col] == feats["_id"], "left")
+            .drop("_id")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0))))
+
+
+def dsir_select(df: DataFrame, model: dict, k: int, id_col: str,
+                text_col: str = "content", seed: int = 0) -> DataFrame:
+    """The Gumbel-max draw: rows ranked by `log_w + g` where
+    `g = -log(-log(u))` and u is the row's content-hash uniform in
+    (0,1) — the top k under this ranking are EXACTLY a without-
+    replacement sample proportional to w (Gumbel top-k), and the
+    ranking is a pure function of (id, seed), so the selected set is
+    identical on every rerun. Global top-k compiles to
+    TakeOrderedAndProject — per-partition partial top-k, only k rows
+    ever cross the wire."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    u = ((F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                 F.lit(_GUMBEL_BUCKETS)) + F.lit(0.5))
+         / F.lit(float(_GUMBEL_BUCKETS)))
+    weighted = importance_weights(df, model, id_col, text_col)
+    return (weighted
+            .withColumn("_gumbel_key",
+                        F.col("log_w") - F.log(-F.log(u)))
+            .orderBy(F.col("_gumbel_key").desc())
+            .limit(k)
+            .drop("_gumbel_key"))

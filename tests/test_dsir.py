@@ -1,0 +1,131 @@
+"""DSIR importance resampling: ratio fit vs an independent Python
+recount, weight parity, deterministic Gumbel selection, and the
+end-to-end property (selected docs look like the target)."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.dsir import (dsir_select, fit_dsir,
+                                         importance_weights)
+
+
+def _py_buckets(text, buckets, spark):
+    """Independent featurizer: same tokens/grams/hash, computed by
+    driving xxhash64 through a literal (the hash is Spark-defined, so
+    parity uses Spark for the hash and Python for everything else)."""
+    toks = text.lower().split()
+    grams = list(toks)
+    grams += [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+    if not grams:
+        return []
+    row = spark.range(1).select(
+        *[F.pmod(F.xxhash64(F.lit(g)), F.lit(buckets)).cast("int")
+          .alias(f"b{i}") for i, g in enumerate(grams)]).first()
+    return [row[f"b{i}"] for i in range(len(grams))]
+
+
+TARGET = ["the quick brown fox", "the lazy dog sleeps",
+          "quick foxes jump high"]
+RAW = ["the quick brown fox", "stack overflow error trace",
+       "null pointer exception thrown", "segfault core dumped now"]
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    t = spark.createDataFrame([(s,) for s in TARGET], "content string")
+    r = spark.createDataFrame([(s,) for s in RAW], "content string")
+    return fit_dsir(t, r, buckets=64, smoothing=1.0)
+
+
+def test_fit_matches_python_recount(spark, model):
+    """Every table row equals the Laplace log-ratio recomputed from
+    scratch in Python over the same hashed features."""
+    b = model["buckets"]
+    tc = Counter(x for s in TARGET for x in _py_buckets(s, b, spark))
+    rc = Counter(x for s in RAW for x in _py_buckets(s, b, spark))
+    tt, rt = sum(tc.values()), sum(rc.values())
+
+    def expect(bucket):
+        return (math.log(tc.get(bucket, 0) + 1.0) -
+                math.log(tt + b) -
+                math.log(rc.get(bucket, 0) + 1.0) +
+                math.log(rt + b))
+
+    rows = model["ratios"].collect()
+    assert set(r["bucket"] for r in rows) == set(tc) | set(rc)
+    for r in rows:
+        assert abs(r["log_ratio"] - expect(r["bucket"])) < 1e-12
+    assert abs(model["default_log_ratio"]
+               - (-math.log(tt + b) + math.log(rt + b))) < 1e-12
+
+
+def test_weights_match_python_sum(spark, model):
+    docs = [("d1", "the quick brown fox"),      # in both corpora
+            ("d2", "null pointer exception thrown"),   # raw-only
+            ("d3", ""),                          # featureless
+            ("d4", "zzz unseen wordzz")]         # unseen grams
+    df = spark.createDataFrame(docs, "doc_id string, content string")
+    got = {r["doc_id"]: r["log_w"] for r in
+           importance_weights(df, model, "doc_id").collect()}
+    table = {r["bucket"]: r["log_ratio"]
+             for r in model["ratios"].collect()}
+    for doc_id, text in docs:
+        want = sum(table.get(x, model["default_log_ratio"])
+                   for x in _py_buckets(text, model["buckets"], spark))
+        assert abs(got[doc_id] - want) < 1e-10, doc_id
+    # target-looking doc outweighs the junk doc
+    assert got["d1"] > got["d2"]
+    assert got["d3"] == 0.0
+
+
+def test_select_is_deterministic_and_proportional(spark):
+    """200 target-like + 200 junk docs, select 100: reruns pick the
+    identical set, and the overwhelming majority is target-like."""
+    target = spark.createDataFrame(
+        [(f"wikipedia article about history topic {i}",)
+         for i in range(50)], "content string")
+    rows = ([(f"t{i}", f"wikipedia article about history topic {i}")
+             for i in range(200)] +
+            [(f"j{i}", f"0xDEAD{i:04x} stack trace segfault core {i}")
+             for i in range(200)])
+    raw = spark.createDataFrame(rows, "doc_id string, content string")
+    m = fit_dsir(target, raw, buckets=1024)
+    pick1 = {r["doc_id"] for r in
+             dsir_select(raw, m, 100, "doc_id").collect()}
+    pick2 = {r["doc_id"] for r in
+             dsir_select(raw, m, 100, "doc_id").collect()}
+    assert pick1 == pick2 and len(pick1) == 100
+    n_target_like = sum(1 for d in pick1 if d.startswith("t"))
+    assert n_target_like >= 95
+    # a different seed reshuffles the draw but keeps the bias
+    pick3 = {r["doc_id"] for r in
+             dsir_select(raw, m, 100, "doc_id", seed=7).collect()}
+    assert pick3 != pick1
+    assert sum(1 for d in pick3 if d.startswith("t")) >= 95
+
+
+def test_select_plan_is_top_k(spark, model):
+    df = spark.createDataFrame(
+        [(f"d{i}", f"text number {i}") for i in range(50)],
+        "doc_id string, content string")
+    plan = (dsir_select(df, model, 5, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_fit_validation(spark, model):
+    empty = spark.createDataFrame([], "content string")
+    full = spark.createDataFrame([("hi there",)], "content string")
+    with pytest.raises(ValueError, match="non-empty"):
+        fit_dsir(empty, full)
+    with pytest.raises(ValueError, match="smoothing"):
+        fit_dsir(full, full, smoothing=0.0)
+    df = spark.createDataFrame([("a", "x")],
+                               "doc_id string, content string")
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_select(df, model, 0, "doc_id")
