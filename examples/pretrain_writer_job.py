@@ -5,6 +5,9 @@ composes them):
 
     dedup (exact + MinHash-LSH near, two-phase)
       -> decontaminate vs an eval set (GPT-3 13-gram rule, optional)
+      -> DSIR domain selection vs a target corpus (optional —
+         deliberately AFTER dedup: DSIR upranks templated text,
+         see operators/dsir.py)
       -> per-language token budget (optional)
       -> BPE subword segmentation (optional) or whitespace tokens
       -> frequency-ranked vocab + token-id encoding
@@ -17,6 +20,7 @@ composes them):
         --output /path/to/out_dir \
         [--id-col doc_id] [--text-col content] [--lang-col lang] \
         [--eval-set /path/to/eval_parquet] [--contam-n 13] \
+        [--dsir-target /path/to/target_parquet --dsir-keep K] \
         [--token-budget N_PER_LANG] [--salt-buckets 16] \
         [--bpe-merges 0] [--bpe-max-words 1000000] \
         [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048]
@@ -50,6 +54,18 @@ def main() -> None:
                     help="parquet with the eval texts to decontaminate "
                          "against (same --text-col name, or 'text')")
     ap.add_argument("--contam-n", type=int, default=13)
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of target-domain texts (same "
+                         "--text-col name, or 'text'): DSIR-select "
+                         "--dsir-keep docs whose hashed n-gram "
+                         "distribution matches it (runs after "
+                         "dedup + decontamination — the required "
+                         "order; DSIR upranks templated text on "
+                         "un-deduped input)")
+    ap.add_argument("--dsir-keep", type=int, default=0,
+                    help="how many docs the DSIR Gumbel top-k keeps "
+                         "(0 = stage off)")
+    ap.add_argument("--dsir-buckets", type=int, default=10_000)
     ap.add_argument("--token-budget", type=int, default=0,
                     help="per-language whitespace-token budget "
                          "(0 = keep everything)")
@@ -78,6 +94,8 @@ def main() -> None:
                          "because the exact phase owns identical "
                          "bodies (see minhash_lsh_pairs)")
     args = ap.parse_args()
+    if bool(args.dsir_target) != bool(args.dsir_keep > 0):
+        ap.error("--dsir-target and --dsir-keep go together")
 
     from pyspark.sql import functions as F
 
@@ -155,6 +173,22 @@ def main() -> None:
                  .select(*carry))
         clean = df.count()
 
+    # 2.5. DSIR domain selection (fit = two bounded count passes;
+    # select = one broadcast join + one agg + global top-k). Runs on
+    # the deduped, decontaminated text — the paper's order, and the
+    # measured requirement (operators/dsir.py ledger).
+    selected = clean
+    if args.dsir_keep > 0:
+        from alegre_spark.operators.dsir import dsir_select, fit_dsir
+        tgt = spark.read.parquet(args.dsir_target)
+        tgt_tx = txc if txc in tgt.columns else "text"
+        model = fit_dsir(tgt.select(F.col(tgt_tx).alias(txc)),
+                         df.select(txc), text_col=txc,
+                         buckets=args.dsir_buckets)
+        df = pin(dsir_select(df, model, args.dsir_keep, idc,
+                             text_col=txc).select(*carry))
+        selected = df.count()
+
     # whitespace tokens + counts (the budget unit and the BPE input)
     toks = F.filter(F.split(F.lower(F.col(txc)), r"\s+"),
                     lambda x: x != F.lit(""))
@@ -163,7 +197,7 @@ def main() -> None:
 
     # 3. per-language token budget (content-addressed: stable across
     # resumes and cluster sizes)
-    budgeted = clean
+    budgeted = selected
     if args.token_budget > 0:
         df = pin(stratified_token_budget(
             df, [args.lang_col], args.token_budget, "_n_tokens",
@@ -214,7 +248,8 @@ def main() -> None:
                   F.sum("chunk_n_tokens").alias("n_tokens")).first()
     print(json.dumps({
         "rows_in": rows_in, "keepers": keepers, "clean": clean,
-        "budgeted": budgeted, "bpe_merges": n_merges,
+        "dsir_selected": selected, "budgeted": budgeted,
+        "bpe_merges": n_merges,
         "vocab_rows": vocab.count(),
         "n_chunks": agg["n_chunks"] or 0,
         "n_tokens": int(agg["n_tokens"] or 0),
