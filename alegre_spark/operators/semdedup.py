@@ -1,0 +1,151 @@
+"""SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+deduplication over an embedding column — k-means cluster the
+embeddings, then inside each cluster group examples whose pairwise
+cosine similarity exceeds a threshold and keep ONE per group: the
+member with the LOWEST cosine similarity to the cluster centroid
+(the paper's winning "low" strategy — the kept example is the
+group's least-redundant representative).
+
+This is the embedding-space sibling of the lexical near-dedup
+family (`dedup.py`): MinHash sees shared shingles, SemDeDup sees
+paraphrases and re-encodings that share no surface text.
+
+Spark-first shape:
+
+- **cluster**: reuses the IVF machinery (`ann.py`) — centroids fit
+  on a bounded deterministic sample (driver holds k×d floats, O(1)
+  in corpus size), assignment is one broadcast + one vectorized
+  Arrow stage. Clustering is WHAT MAKES THE METHOD SCALE: the O(n²)
+  similarity matrix becomes per-cluster O(c²), and k is chosen so
+  clusters fit one task (the paper runs 110k clusters over 5B
+  LAION embeddings).
+- **within-cluster dedup**: one `applyInPandas` over
+  `groupBy(centroid_id)` — NumPy blocked matmul for the thresholded
+  adjacency (peak memory O(c·block + c·d), never the full c×c
+  matrix) feeding an incremental union-find, so a 100k-row cluster
+  needs ~100 MB, not 40 GB. Everything after the groupBy shuffle is
+  vectorized batch work.
+- **determinism**: the centroid fit seeds from a linspace over the
+  deterministic sample, the keep rule breaks ties by id — the same
+  corpus labels identically on every run and cluster size.
+
+`max_cluster_size` is the hot-cluster valve (same contract as
+`minhash_lsh_pairs`): a cluster larger than the cap passes through
+with every member kept and a WARN count — at that size the right
+fix is more centroids, and silently O(c²)-scanning a mega-cluster
+is the failure mode the valve exists to surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.ann import ivf_assign, ivf_fit_centroids
+
+
+def _dup_groups(V: np.ndarray, threshold: float,
+                block: int) -> np.ndarray:
+    """Union-find roots for rows of L2-normalized V under
+    `cos > threshold` connectivity, via blocked matmul."""
+    n = len(V)
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        sims = V @ V[lo:hi].T                    # (n, hi-lo)
+        rows, cols = np.nonzero(sims > threshold)
+        cols = cols + lo
+        for i, j in zip(rows.tolist(), cols.tolist()):
+            if i >= j:                           # upper triangle only
+                continue
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    return np.array([find(i) for i in range(n)])
+
+
+def semdedup_labels(df: DataFrame, id_col: str, vec_col: str,
+                    threshold: float = 0.95, n_centroids: int = 64,
+                    sample: int = 8192, iters: int = 10,
+                    max_cluster_size: int | None = None,
+                    block: int = 1024) -> DataFrame:
+    """(id, cluster_id, group_size, is_keeper) — `is_keeper` false
+    only for the pruned members of a semantic-duplicate group.
+    Zero-norm vectors are their own keepers (cos undefined → never
+    similar to anything, matching `cosine_col`'s 0.0 convention)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    centroids = ivf_fit_centroids(df, id_col, vec_col,
+                                  n_centroids, sample, iters)
+    # unit-normalize once so nearest-centroid = max dot
+    c_norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    assigned = ivf_assign(df, id_col, vec_col, centroids, nprobe=1)
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(c_norm)
+    id_dt = [f.dataType.simpleString() for f in df.schema.fields
+             if f.name == id_col][0]
+    out_schema = (f"id {id_dt}, cluster_id int, group_size int, "
+                  f"is_keeper boolean")
+
+    def _dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["centroid_id"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        V = np.stack([np.asarray(v, np.float64) for v in pdf["vec"]])
+        norms = np.linalg.norm(V, axis=1)
+        ok = norms > 0
+        keeper = np.ones(len(pdf), dtype=bool)
+        group_size = np.ones(len(pdf), dtype=np.int64)
+        if (max_cluster_size is not None
+                and len(pdf) > max_cluster_size):
+            import logging
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster %d has %d members > "
+                "max_cluster_size=%d; kept whole (add centroids)",
+                cid, len(pdf), max_cluster_size)
+        elif ok.sum() > 1:
+            Vn = V[ok] / norms[ok, None]
+            roots = _dup_groups(Vn, threshold, block)
+            cen_sim = Vn @ bc.value[cid]
+            sub_ids = ids[ok]
+            dup_keep = np.ones(len(Vn), dtype=bool)
+            sub_sizes = np.ones(len(Vn), dtype=np.int64)
+            for r in np.unique(roots):
+                members = np.nonzero(roots == r)[0]
+                sub_sizes[members] = len(members)
+                if len(members) < 2:
+                    continue
+                # keep the member LEAST similar to the centroid
+                # (paper's "low" strategy); ties break on min id
+                order = sorted(members.tolist(),
+                               key=lambda m: (cen_sim[m], sub_ids[m]))
+                dup_keep[members] = False
+                dup_keep[order[0]] = True
+            keeper[ok] = dup_keep
+            group_size[ok] = sub_sizes
+        return pd.DataFrame({"id": ids, "cluster_id": cid,
+                             "group_size": group_size,
+                             "is_keeper": keeper})
+
+    return (assigned.groupBy("centroid_id")
+            .applyInPandas(_dedup_cluster, schema=out_schema))
+
+
+def semdedup(df: DataFrame, id_col: str, vec_col: str,
+             **kwargs) -> DataFrame:
+    """The filtering form: input rows minus pruned semantic dups
+    (one left-semi join against the keeper labels)."""
+    labels = semdedup_labels(df, id_col, vec_col, **kwargs)
+    return df.join(labels.filter("is_keeper")
+                   .select(F.col("id").alias(id_col)),
+                   id_col, "left_semi")

@@ -1,0 +1,139 @@
+"""SemDeDup: planted paraphrase groups, the keep-lowest-centroid-sim
+rule, chained-pair connectivity, blocked-matmul equivalence,
+determinism, and the hot-cluster valve."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.semdedup import (_dup_groups, semdedup,
+                                             semdedup_labels)
+
+
+def _corpus(spark, seed=7, n_base=40, dups_per=3, dim=16):
+    """n_base well-separated base vectors; the first 10 get
+    `dups_per` jittered near-copies (cos > 0.999)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, truth = [], {}
+    for i, v in enumerate(base):
+        rows.append((f"b{i:03d}", v.tolist()))
+        truth[f"b{i:03d}"] = i
+        if i < 10:
+            for j in range(dups_per):
+                w = v + rng.normal(scale=1e-3, size=dim)
+                rows.append((f"d{i:03d}_{j}", w.tolist()))
+                truth[f"d{i:03d}_{j}"] = i
+    df = spark.createDataFrame(rows, "doc_id string, emb array<double>")
+    return df, truth
+
+
+def test_planted_groups_one_keeper_each(spark):
+    df, truth = _corpus(spark)
+    labels = semdedup_labels(df, "doc_id", "emb", threshold=0.99,
+                             n_centroids=8).collect()
+    by_id = {r["id"]: r for r in labels}
+    assert len(by_id) == df.count()
+    for base in range(10):
+        members = [i for i, g in truth.items() if g == base]
+        keepers = [i for i in members if by_id[i]["is_keeper"]]
+        assert len(keepers) == 1, (base, keepers)
+        assert all(by_id[i]["group_size"] == 4 for i in members)
+    # undup'd bases survive untouched
+    for base in range(10, 40):
+        assert by_id[f"b{base:03d}"]["is_keeper"]
+        assert by_id[f"b{base:03d}"]["group_size"] == 1
+    kept = semdedup(df, "doc_id", "emb", threshold=0.99,
+                    n_centroids=8)
+    assert kept.count() == 40  # 10 groups collapse to 1 + 30 singles
+
+
+def test_keeper_is_least_centroid_similar(spark):
+    """Recompute the paper's rule independently: within each planted
+    group the keeper must minimize cos(v, centroid of its cluster)."""
+    df, truth = _corpus(spark)
+    labels = semdedup_labels(df, "doc_id", "emb", threshold=0.99,
+                             n_centroids=8)
+    joined = (labels.join(df, labels["id"] == df["doc_id"])
+              .select("id", "cluster_id", "is_keeper", "emb").collect())
+    from alegre_spark.operators.ann import ivf_fit_centroids
+    cents = ivf_fit_centroids(df, "doc_id", "emb", 8, 8192, 10)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = {r["id"]: r for r in joined}
+    for base in range(10):
+        members = [i for i, g in truth.items() if g == base]
+        sims = {}
+        for m in members:
+            v = np.asarray(rows[m]["emb"])
+            v = v / np.linalg.norm(v)
+            sims[m] = float(v @ cents[rows[m]["cluster_id"]])
+        keeper = [m for m in members if rows[m]["is_keeper"]][0]
+        assert keeper == min(members, key=lambda m: (sims[m], m))
+
+
+def test_chained_pairs_form_one_group():
+    """a~b and b~c above threshold but a~c below: connected-component
+    semantics put all three in ONE group (checked on the union-find
+    kernel directly with a hand-built geometry)."""
+    t = np.pi / 8
+    V = np.array([[1.0, 0.0],
+                  [np.cos(t), np.sin(t)],
+                  [np.cos(2 * t), np.sin(2 * t)]])
+    thr = float(np.cos(t)) - 1e-6          # neighbors pass, a~c fails
+    assert V[0] @ V[2] < thr
+    roots = _dup_groups(V, thr, block=1024)
+    assert len(set(roots.tolist())) == 1
+
+
+def test_blocked_matmul_equals_full():
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(97, 8))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    full = _dup_groups(V, 0.9, block=1024)
+    tiny = _dup_groups(V, 0.9, block=3)
+    # same partition of indices (root labels may differ)
+    groups_a = {}
+    groups_b = {}
+    for i, (ra, rb) in enumerate(zip(full.tolist(), tiny.tolist())):
+        groups_a.setdefault(ra, set()).add(i)
+        groups_b.setdefault(rb, set()).add(i)
+    assert sorted(map(sorted, groups_a.values())) == \
+        sorted(map(sorted, groups_b.values()))
+
+
+def test_deterministic_across_runs(spark):
+    df, _ = _corpus(spark, seed=11)
+    a = sorted((r["id"], r["is_keeper"]) for r in
+               semdedup_labels(df, "doc_id", "emb",
+                               threshold=0.99).collect())
+    b = sorted((r["id"], r["is_keeper"]) for r in
+               semdedup_labels(df, "doc_id", "emb",
+                               threshold=0.99).collect())
+    assert a == b
+
+
+def test_hot_cluster_valve_keeps_everything(spark):
+    df, _ = _corpus(spark, seed=5)
+    labels = semdedup_labels(df, "doc_id", "emb", threshold=0.99,
+                             n_centroids=1, max_cluster_size=10)
+    assert labels.filter("NOT is_keeper").count() == 0
+
+
+def test_zero_norm_vector_is_own_keeper(spark):
+    df = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [1.0, 0.0]), ("c", [1.0, 1e-5])],
+        "doc_id string, emb array<double>")
+    labels = {r["id"]: r["is_keeper"] for r in
+              semdedup_labels(df, "doc_id", "emb", threshold=0.99,
+                              n_centroids=1).collect()}
+    assert labels["a"] is True
+    assert sorted(v for k, v in labels.items() if k != "a") == \
+        [False, True]
+
+
+def test_threshold_validation(spark):
+    df = spark.createDataFrame([("a", [1.0])],
+                               "doc_id string, emb array<double>")
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup_labels(df, "doc_id", "emb", threshold=1.5)

@@ -1,0 +1,96 @@
+"""SemDeDup at corpus scale: wall, pruned fraction, and the
+cluster-size profile that governs the per-task O(c·block) memory.
+
+Corpus: synthetic embeddings with planted paraphrase mass — 64-dim
+unit vectors drawn around `n_modes` modes (the clustered shape real
+encoders produce), with 20% of rows near-copies (jitter 1e-3) of
+earlier rows. Deterministic (hash-seeded per row, generated
+distributed). Reports fit+assign+dedup wall, rows/s, pruned
+fraction (expect ≈ the planted 20% minus mode-collision slack), and
+the max cluster size actually hit.
+
+Usage: python tools/semdedup_bench.py [n_rows] [cpus] [n_centroids]
+       (defaults: 1_000_000, 32, 256)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.semdedup import semdedup_labels
+    from alegre_spark.session import get_spark
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n_cent = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+
+    spark = get_spark(app_name="semdedup-bench",
+                      master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dim, n_modes = 64, 1000
+
+    def gen(it):
+        import pandas as pd
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(12345)
+            modes = rng.normal(size=(n_modes, dim))
+            modes /= np.linalg.norm(modes, axis=1, keepdims=True)
+            out_vecs = np.empty((len(ids), dim))
+            for row, i in enumerate(ids):
+                r = np.random.default_rng(i)
+                if i % 5 == 0 and i > 0:
+                    # near-copy of row i-1 (same mode, tiny jitter)
+                    base_r = np.random.default_rng(i - 1)
+                    m = modes[int(base_r.integers(n_modes))]
+                    v = m + base_r.normal(scale=0.05, size=dim)
+                    v = v / np.linalg.norm(v)
+                    v = v + r.normal(scale=1e-3, size=dim)
+                else:
+                    m = modes[int(r.integers(n_modes))]
+                    v = m + r.normal(scale=0.05, size=dim)
+                out_vecs[row] = v / np.linalg.norm(v)
+            yield pd.DataFrame({"vec_id": ids,
+                                "emb": list(out_vecs)})
+
+    df = (spark.range(n_rows, numPartitions=cpus * 2)
+          .mapInPandas(gen, schema="vec_id long, emb array<double>")
+          .localCheckpoint(eager=True))
+
+    t0 = time.time()
+    labels = semdedup_labels(df, "vec_id", "emb", threshold=0.99,
+                             n_centroids=n_cent,
+                             sample=32 * n_cent).localCheckpoint(
+                                 eager=True)
+    stats = labels.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0))
+        .alias("pruned")).first()
+    wall = time.time() - t0
+    clus = (labels.groupBy("cluster_id").count()
+            .agg(F.max("count"), F.expr("percentile(count, 0.99)"))
+            .first())
+
+    assert stats["n"] == n_rows
+    print(json.dumps({
+        "n_rows": n_rows, "cpus": cpus, "n_centroids": n_cent,
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(n_rows / wall),
+        "pruned_fraction": round(stats["pruned"] / n_rows, 4),
+        "max_cluster": clus[0], "p99_cluster": clus[1],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
