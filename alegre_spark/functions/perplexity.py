@@ -187,3 +187,48 @@ def with_perplexity(df: DataFrame, text_col: str = "content",
             yield pdf
 
     return df.mapInPandas(_map, schema=out_schema)
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "content",
+                  lang_col: str | None = None,
+                  model: CharNgramLM | None = None,
+                  cutoffs: tuple = (1 / 3, 2 / 3),
+                  ppl_col: str = "perplexity",
+                  bucket_col: str = "ppl_bucket",
+                  accuracy: int = 10_000) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359): label each document head / middle / tail by
+    its PER-LANGUAGE perplexity percentile — the paper's insight is
+    that absolute perplexity is not comparable across languages, so
+    the thresholds are each language's own `cutoffs` quantiles.
+
+    Spark shape: if `ppl_col` is absent, one `with_perplexity` Arrow
+    pass adds it; the cutoffs are ONE partial-aggregated
+    `percentile_approx` over (lang) — a per-language sketch that
+    merges map-side, so a skewed language costs one sketch, not a
+    shuffle of its rows — and come back via a broadcast join (the
+    cutoff table has one row per language). Rows with NULL
+    perplexity (NULL text) get a NULL bucket.
+
+    Buckets are the paper's coarse quality signal, not a filter:
+    downstream mixes sample head-heavy (e.g. 70/25/5) rather than
+    dropping the tail outright.
+    """
+    from pyspark.sql import functions as F
+
+    lo, hi = cutoffs
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"cutoffs must satisfy 0 < lo < hi < 1, "
+                         f"got {cutoffs}")
+    if ppl_col not in df.columns:
+        df = with_perplexity(df, text_col, model)
+    grp = F.col(lang_col) if lang_col else F.lit("__all__")
+    cuts = (df.groupBy(grp.alias("_lang"))
+            .agg(F.percentile_approx(ppl_col, [lo, hi], accuracy)
+                 .alias("_cuts")))
+    joined = df.join(F.broadcast(cuts), grp == F.col("_lang"), "left")
+    bucket = (F.when(F.col(ppl_col) <= F.col("_cuts")[0], "head")
+              .when(F.col(ppl_col) <= F.col("_cuts")[1], "middle")
+              .when(F.col(ppl_col).isNotNull(), "tail"))
+    return (joined.withColumn(bucket_col, bucket)
+            .drop("_lang", "_cuts"))

@@ -1,0 +1,76 @@
+"""CCNet perplexity bucketing: per-language tertiles, monotonicity,
+cross-language independence, NULL handling, and the end-to-end LM
+path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.functions.perplexity import ccnet_buckets
+
+
+def _df(spark):
+    # lang A: perplexities 1..90; lang B: 1001..1090 — a value that
+    # would be deep head in B's range is tail in A's and vice versa
+    rows = ([("A", f"a{i:03d}", float(i)) for i in range(1, 91)] +
+            [("B", f"b{i:03d}", float(1000 + i)) for i in range(1, 91)])
+    return spark.createDataFrame(
+        rows, "lang string, doc_id string, perplexity double")
+
+
+def test_per_language_tertiles(spark):
+    out = ccnet_buckets(_df(spark), lang_col="lang").collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["lang"], r["ppl_bucket"]), []).append(
+            r["perplexity"])
+    for lang in ("A", "B"):
+        counts = {b: len(by.get((lang, b), [])) for b in
+                  ("head", "middle", "tail")}
+        # percentile_approx returns an element: tertiles within +-1
+        assert all(abs(c - 30) <= 1 for c in counts.values()), counts
+        # monotone: max(head) < min(middle) < ... within the language
+        assert max(by[(lang, "head")]) < min(by[(lang, "middle")])
+        assert max(by[(lang, "middle")]) < min(by[(lang, "tail")])
+    # cross-language independence: every B perplexity exceeds every A
+    # perplexity, yet B still has its own head
+    assert min(by[("B", "head")]) > max(by[("A", "tail")])
+
+
+def test_global_bucket_without_lang(spark):
+    out = ccnet_buckets(_df(spark)).collect()
+    heads = [r["perplexity"] for r in out if r["ppl_bucket"] == "head"]
+    # global tertile: all of lang A's low range, none of B's
+    assert max(heads) < 1000
+
+
+def test_null_perplexity_gets_null_bucket(spark):
+    df = spark.createDataFrame(
+        [("A", "x", None), ("A", "y", 5.0), ("A", "z", 6.0)],
+        "lang string, doc_id string, perplexity double")
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in ccnet_buckets(df, lang_col="lang").collect()}
+    assert out["x"] is None
+    assert out["y"] == "head"
+
+
+def test_end_to_end_with_lm(spark):
+    """No precomputed column: the LM pass runs, and template text
+    (LM-familiar) lands in an earlier bucket than random hex."""
+    from alegre_spark.corpus import generate_corpus
+    files = generate_corpus(spark, 300, partitions=4)
+    out = ccnet_buckets(files, text_col="content")
+    assert out.filter("ppl_bucket IS NULL").count() == 0
+    ranks = {"head": 0, "middle": 1, "tail": 2}
+    rows = out.select("ppl_bucket", "perplexity").collect()
+    # buckets must be consistent with the perplexity ordering
+    bounds = {}
+    for r in rows:
+        bounds.setdefault(r["ppl_bucket"], []).append(r["perplexity"])
+    order = sorted(bounds, key=lambda b: ranks[b])
+    for a, b in zip(order, order[1:]):
+        assert max(bounds[a]) <= min(bounds[b])
+
+
+def test_cutoff_validation(spark):
+    with pytest.raises(ValueError, match="cutoffs"):
+        ccnet_buckets(_df(spark), cutoffs=(0.7, 0.3))
