@@ -41,8 +41,8 @@ sizes (same contract as `encoding.build_vocab`).
 
 `end_of_word` (default "</w>", the Sennrich marker) is appended as
 its own symbol so merges can distinguish suffix from infix contexts;
-tokens must not contain the marker string themselves (assert-guarded
-in fit, documented here for apply).
+tokens must not contain the marker string themselves (ValueError
+from fit, documented here for apply).
 """
 
 from __future__ import annotations
