@@ -226,7 +226,11 @@ def ccnet_buckets(df: DataFrame, text_col: str = "content",
     cuts = (df.groupBy(grp.alias("_lang"))
             .agg(F.percentile_approx(ppl_col, [lo, hi], accuracy)
                  .alias("_cuts")))
-    joined = df.join(F.broadcast(cuts), grp == F.col("_lang"), "left")
+    # eqNullSafe: a NULL lang forms its own stratum in the groupBy, so
+    # the join back must match it too — a plain == would orphan those
+    # rows from their own cutoffs and silently label them "tail".
+    joined = df.join(F.broadcast(cuts), grp.eqNullSafe(F.col("_lang")),
+                     "left")
     bucket = (F.when(F.col(ppl_col) <= F.col("_cuts")[0], "head")
               .when(F.col(ppl_col) <= F.col("_cuts")[1], "middle")
               .when(F.col(ppl_col).isNotNull(), "tail"))

@@ -74,3 +74,22 @@ def test_end_to_end_with_lm(spark):
 def test_cutoff_validation(spark):
     with pytest.raises(ValueError, match="cutoffs"):
         ccnet_buckets(_df(spark), cutoffs=(0.7, 0.3))
+
+
+def test_null_lang_forms_its_own_stratum(spark):
+    """A NULL lang is a real stratum (the groupBy computes its
+    cutoffs); the join back must be null-safe or those rows silently
+    fall through to 'tail'. Pinned on the eqNullSafe fix."""
+    rows = ([(None, f"n{i:03d}", float(i)) for i in range(1, 91)] +
+            [("B", f"b{i:03d}", float(1000 + i)) for i in range(1, 91)])
+    df = spark.createDataFrame(
+        rows, "lang string, doc_id string, perplexity double")
+    out = ccnet_buckets(df, lang_col="lang").collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["lang"], r["ppl_bucket"]), []).append(
+            r["perplexity"])
+    counts = {b: len(by.get((None, b), [])) for b in
+              ("head", "middle", "tail")}
+    assert all(abs(c - 30) <= 1 for c in counts.values()), counts
+    assert max(by[(None, "head")]) < min(by[(None, "middle")])
