@@ -140,11 +140,17 @@ def _fit_sample(df: DataFrame, id_col: str, vec_col: str,
                 sample: int) -> np.ndarray:
     """The bounded deterministic fit sample (first `sample` rows by
     id) shared by `ivf_fit_centroids` and `choose_ann_route` — O(1)
-    in table size by construction."""
-    rows = (df.select(id_col, vec_col).orderBy(id_col)
+    in table size by construction. NULL vectors are excluded BEFORE
+    the limit (they cannot contribute to centroids, and one NULL in
+    the window would crash the np.array; `ivf_assign` drops them at
+    assignment for the same reason)."""
+    rows = (df.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .orderBy(id_col)
             .limit(sample).collect())
     if not rows:
-        raise ValueError("cannot fit IVF centroids on an empty input")
+        raise ValueError("cannot fit IVF centroids on an empty input "
+                         "(no non-NULL vectors)")
     return np.array([r[1] for r in rows], dtype=np.float64)
 
 

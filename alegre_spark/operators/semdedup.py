@@ -81,7 +81,9 @@ def semdedup_labels(df: DataFrame, id_col: str, vec_col: str,
     """(id, cluster_id, group_size, is_keeper) — `is_keeper` false
     only for the pruned members of a semantic-duplicate group.
     Zero-norm vectors are their own keepers (cos undefined → never
-    similar to anything, matching `cosine_col`'s 0.0 convention)."""
+    similar to anything, matching `cosine_col`'s 0.0 convention).
+    NULL vectors are ABSENT from the labels (`ivf_assign` drops
+    unassignable rows); the filtering form below keeps them."""
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0,1), got {threshold}")
     centroids = ivf_fit_centroids(df, id_col, vec_col,
@@ -144,8 +146,16 @@ def semdedup_labels(df: DataFrame, id_col: str, vec_col: str,
 def semdedup(df: DataFrame, id_col: str, vec_col: str,
              **kwargs) -> DataFrame:
     """The filtering form: input rows minus pruned semantic dups
-    (one left-semi join against the keeper labels)."""
+    (one left-semi join against the keeper labels).
+
+    NULL-vector rows are KEPT: they are absent from the labels
+    (`ivf_assign` cannot assign them), and an un-embeddable row is
+    not a semantic duplicate of anything — same convention as the
+    zero-norm keeper rule above and the NULL handling in
+    `ann.embedding_dedup_corpus`."""
     labels = semdedup_labels(df, id_col, vec_col, **kwargs)
-    return df.join(labels.filter("is_keeper")
-                   .select(F.col("id").alias(id_col)),
-                   id_col, "left_semi")
+    keepers = (labels.filter("is_keeper")
+               .select(F.col("id").alias(id_col)))
+    return (df.filter(F.col(vec_col).isNotNull())
+            .join(keepers, id_col, "left_semi")
+            .unionByName(df.filter(F.col(vec_col).isNull())))

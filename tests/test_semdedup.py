@@ -137,3 +137,19 @@ def test_threshold_validation(spark):
                                "doc_id string, emb array<double>")
     with pytest.raises(ValueError, match="threshold"):
         semdedup_labels(df, "doc_id", "emb", threshold=1.5)
+
+
+def test_null_vector_rows_survive_filtering_form(spark):
+    """ivf_assign cannot assign a NULL vector, so it is absent from
+    the labels — the filtering form must still keep the row (an
+    un-embeddable row is not a duplicate), same convention as
+    embedding_dedup_corpus. Pinned on the isNull-union fix."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 1e-6]), ("c", None)],
+        "doc_id string, emb array<double>")
+    kept = {r["doc_id"] for r in
+            semdedup(df, "doc_id", "emb", threshold=0.99,
+                     n_centroids=1).collect()}
+    assert "c" in kept
+    # the near-identical pair still collapses to one keeper
+    assert len(kept & {"a", "b"}) == 1
