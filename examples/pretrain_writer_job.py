@@ -25,6 +25,10 @@ composes them):
         [--bpe-merges 0] [--bpe-max-words 1000000] \
         [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048]
 
+For local-mode spark-submit pass `--driver-memory` explicitly
+(local[N] runs every task in the driver JVM; the 1g default OOMs
+around 10^6 rows — see quality_filter_job.py for the measurement).
+
 Reads any parquet with (id, text[, lang]) — e.g. `quality_filter_job`'s
 `<out>/filtered` (a `keep` column, if present, is applied first).
 Writes `<out>/vocab` (token, id, count) and `<out>/chunks`
