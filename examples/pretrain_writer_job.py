@@ -23,7 +23,19 @@ composes them):
         [--dsir-target /path/to/target_parquet --dsir-keep K] \
         [--token-budget N_PER_LANG] [--salt-buckets 16] \
         [--bpe-merges 0] [--bpe-max-words 1000000] \
-        [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048]
+        [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048] \
+        [--minhash-hashes 16 --minhash-bands 4] [--max-bucket-size B]
+
+The id column's REPRESENTATION is a first-order cost in the dedup
+stage: every candidate pair carries two ids through ~6 shuffles and
+sorts, so key bytes multiply across the heaviest stages. Measured on
+the same 950k-file corpus and identical candidate volume (54.3M
+pairs): bigint ids 156 s, 16-char string ids 503 s, 64-char sha-hex
+ids 906 s (BENCH §id-width). Prefer numeric/binary ids into this job;
+if the upstream table keys by content sha256 hex (as
+quality_filter_job's output does — its resume contract needs it),
+budget the dedup stage accordingly or pre-map ids to a join-back
+surrogate OUTSIDE the label contract.
 
 For local-mode spark-submit pass `--driver-memory` explicitly
 (local[N] runs every task in the driver JVM; the 1g default OOMs
@@ -89,6 +101,20 @@ def main() -> None:
                          "— full-corpus near-dedup is the job's "
                          "heaviest stage; never re-pay it per writer "
                          "run on a stable corpus)")
+    ap.add_argument("--minhash-hashes", type=int, default=16,
+                    help="MinHash family size for the near-dedup LSH "
+                         "stage (with --minhash-bands, the "
+                         "candidate-volume dial: rows-per-band = "
+                         "hashes/bands; template-heavy corpora at "
+                         "moderate cross-similarity flood 4-row bands "
+                         "with candidates that the jaccard verify "
+                         "then rejects — e.g. j=0.5 collides a 4-row "
+                         "band 6.2% of the time but an 8-row band "
+                         "0.4%. Raising rows-per-band trades recall "
+                         "at the 0.8 threshold (4 rows x 4 bands = "
+                         "88%, 8 x 4 = 52%) for an order of "
+                         "magnitude fewer candidate pairs")
+    ap.add_argument("--minhash-bands", type=int, default=4)
     ap.add_argument("--max-bucket-size", type=int, default=0,
                     help="hot-bucket valve for the near-dedup LSH "
                          "stage (0 = off): boilerplate/template "
@@ -159,6 +185,7 @@ def main() -> None:
     if not args.skip_dedup:
         labels = dedup_corpus_two_phase(
             df, idc, txc,
+            num_hashes=args.minhash_hashes, bands=args.minhash_bands,
             max_bucket_size=args.max_bucket_size or None)
         df = pin(df.join(
             labels.filter("is_keeper").select(F.col("id").alias(idc)),
