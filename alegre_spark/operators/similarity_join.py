@@ -521,11 +521,22 @@ def token_overlap_join_prefix(
              .join(c_post, "token")
              .select("probe_id", "cand_id").distinct())
 
+    # verification arrays ride as xxhash64 longs (same rationale as
+    # ngram_jaccard_pairs' candidate path: the cand_id join re-shuffles
+    # every candidate pair with the probe's token array attached, and
+    # 8-byte longs cut that payload ~3-4x vs token strings; `overlap`
+    # counts are unchanged modulo a per-pair 64-bit collision). The
+    # candidate-GENERATION side above keeps strings — its join key is
+    # the single exploded token, not an array payload.
+    hashed = lambda col: F.transform(col, lambda t: F.xxhash64(t))  # noqa: E731
     verified = (pairs
-                .join(_probe_side(p.select("probe_id", "probe_tokens",
-                                           "_ptoks"), broadcast_probes),
-                      "probe_id")
-                .join(c, "cand_id")
+                .join(_probe_side(
+                    p.select("probe_id", "probe_tokens",
+                             hashed("_ptoks").alias("_ptoks")),
+                    broadcast_probes), "probe_id")
+                .join(c.select("cand_id",
+                               hashed("_ctoks").alias("_ctoks")),
+                      "cand_id")
                 .withColumn("overlap",
                             F.size(F.array_intersect("_ptoks", "_ctoks"))))
     return (verified
