@@ -1434,3 +1434,47 @@ def test_fuzzy_large_prefix_short_probe_parity(spark):
             assert got == {10, 11, 13}
         else:
             assert got == {10, 11}, got
+
+
+def test_dedup_labels_invariant_to_id_representation(spark):
+    """The group PARTITION (which docs share a near-dup group) must
+    not depend on how the id column is represented — bigint vs
+    sha-hex-64 string ids produce the same groups over the same texts
+    (the keeper WITHIN a group legitimately differs: it is min(id)
+    under each representation's ordering). Pins the invariance the
+    r5 id-width investigation relied on (BENCH §id-width): id
+    representation is a COST dial, never a semantics dial."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.dedup import dedup_corpus_two_phase
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    texts = (
+        [(i, base) for i in range(1, 6)]                      # exact dups
+        + [(6, base.replace("gamma", "iota", 1))]             # near dup
+        + [(i, f"unique doc {i} with its own words "
+               f"{'x' * i} {'y' * (40 - i)}") for i in range(7, 40)])
+
+    df_int = spark.createDataFrame(texts, "id long, text string")
+    hexmap = {i: hashlib.sha256(str(i).encode()).hexdigest()
+              for i, _ in texts}
+    df_hex = spark.createDataFrame(
+        [(hexmap[i], t) for i, t in texts], "id string, text string")
+
+    def groups(out, back=None):
+        rows = out.collect()
+        bykeeper = {}
+        for r in rows:
+            i = back[r["id"]] if back else r["id"]
+            bykeeper.setdefault(r["keeper_id"], set()).add(i)
+        return {frozenset(v) for v in bykeeper.values()}
+
+    g_int = groups(dedup_corpus_two_phase(df_int, "id", "text",
+                                          threshold=0.7))
+    back = {v: k for k, v in hexmap.items()}
+    g_hex = groups(dedup_corpus_two_phase(df_hex, "id", "text",
+                                          threshold=0.7), back)
+    assert g_int == g_hex
+    assert any(len(g) >= 5 for g in g_int)  # the planted dup family
