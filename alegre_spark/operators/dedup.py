@@ -460,8 +460,18 @@ def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
     query to swap the xxhash64 MinHash family for the
     DuckDB-reproducible md5 family).
     """
-    keyed = df.select(F.col(id_col).alias("id"),
-                      content_key(F.col(text_col)).alias("_ck"))
+    # the exact-phase key rides INTERNALLY as unhex binary(32) — half
+    # the key bytes of the 64-char hex through the groupBy and the
+    # mapping join, with identical equality semantics (unhex is
+    # injective on the sha2 hex alphabet; the NULL sentinel is not
+    # hex, so it unhexes to NULL — restore it so NULL-text rows keep
+    # grouping together instead of never equi-joining). The PERSISTED
+    # artifact (`content_key_index`) and every contract output keep
+    # the hex form — this never leaves the function.
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.unhex(content_key(F.col(text_col))),
+                   F.lit(b"__null_content__")).alias("_ck"))
     exact_min = keyed.groupBy("_ck").agg(F.min("id").alias("_ek"))
     mapping = keyed.join(exact_min, "_ck").select("id", "_ek")
     keepers = (df.join(exact_min.select(F.col("_ek").alias(id_col)),
