@@ -146,9 +146,78 @@ class CharNgramLM:
                 lp[miss2] = np.where(np.isnan(lp1), self._floor, lp1)
         return float(math.exp(-lp.mean()))
 
+    _CHUNK_CHAR_BUDGET = 1 << 18  # ~2 MiB of int64 codes per chunk.
+    # Chunking matters in BOTH directions: one whole-Arrow-batch call
+    # (20k rows, ~40 MB of gram temporaries) measured 2x SLOWER than
+    # the per-row scalar loop when pinned to 4 cores — the temporaries
+    # stream through memory bandwidth that 32 concurrent workers
+    # share — while per-row calls pay ~15 small NumPy-call overheads
+    # per 250-char row. The pinned interleaved A/B knee is flat across
+    # 130-520k chars per chunk (~3x the scalar loop); 256k keeps the
+    # working set cache-resident with 16k-char MAX_CHARS rows too.
+
     def perplexity_batch(self, texts: pd.Series) -> np.ndarray:
-        return np.array([self.perplexity(t) for t in texts.fillna("")],
-                        dtype=np.float64)
+        """Chunk-vectorized twin of `perplexity`: trigram lookups run
+        one searchsorted per table per ~256k-char chunk instead of per
+        row. Each text's mean is still taken over its own contiguous
+        gram slice, so the float summation order — and therefore every
+        returned value — is BIT-IDENTICAL to the scalar form (pinned
+        by test_perplexity.py's batch/scalar equality tests)."""
+        padded = [" " + _normalize(t[: self.MAX_CHARS]) + " "
+                  for t in texts.fillna("")]
+        out = np.empty(len(padded), dtype=np.float64)
+        i, n = 0, len(padded)
+        while i < n:
+            j, chars = i + 1, len(padded[i])
+            while j < n and chars < self._CHUNK_CHAR_BUDGET:
+                chars += len(padded[j])
+                j += 1
+            out[i:j] = self._perplexity_chunk(padded[i:j])
+            i = j
+        return out
+
+    def _perplexity_chunk(self, padded: list[str]) -> np.ndarray:
+        """One vectorized pass over a list of already-normalized,
+        space-padded texts; returns exp(-mean logprob) per text."""
+        n = len(padded)
+        out = np.full(n, float(math.exp(-self._floor)), dtype=np.float64)
+        lens = np.fromiter((len(t) for t in padded), dtype=np.int64,
+                           count=n)
+        codes = np.frombuffer("".join(padded).encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.int64)
+        if len(codes) < 3:
+            return out
+        K = self._K
+        (c3, v3), (c2, v2), (c1, v1) = self._tables_np()
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # gram at global position p spans codes[p:p+3]; cut the two
+        # positions per junction whose span crosses a text boundary so
+        # each text keeps exactly max(len-2, 0) grams, contiguous and
+        # in scalar order (every text is >= 2 chars after padding, so
+        # junction-2 never reaches into an earlier text's gram range).
+        valid = np.ones(len(codes) - 2, dtype=bool)
+        if n > 1:
+            cut = np.concatenate([starts[1:] - 1, starts[1:] - 2])
+            valid[cut[cut < len(valid)]] = False
+        g3 = ((codes[:-2] * K + codes[1:-1]) * K + codes[2:])[valid]
+        lp = self._lookup(c3, v3, g3)
+        miss = np.isnan(lp)
+        if miss.any():
+            g2 = (codes[1:-1] * K + codes[2:])[valid]
+            lp[miss] = self._log_backoff + self._lookup(c2, v2, g2[miss])
+            miss2 = np.isnan(lp)
+            if miss2.any():
+                lp1 = 2 * self._log_backoff + self._lookup(
+                    c1, v1, codes[2:][valid][miss2])
+                lp[miss2] = np.where(np.isnan(lp1), self._floor, lp1)
+        counts = np.maximum(lens - 2, 0)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        for i in range(n):
+            if counts[i]:
+                out[i] = math.exp(-float(lp[offs[i]:offs[i + 1]].mean()))
+        return out
 
     # -- (de)serialization for broadcast -----------------------------------
     def to_tables(self):

@@ -32,6 +32,56 @@ def test_roundtrip_tables():
     assert lm.perplexity("roundtrip") == lm2.perplexity("roundtrip")
 
 
+def test_batch_bit_identical_to_scalar():
+    """perplexity_batch is a cross-batch vectorized rewrite of
+    `perplexity` (one searchsorted per table for the whole batch); its
+    contract is BIT-identical output — each text's mean is taken over
+    its own contiguous gram slice in the scalar's summation order.
+    Covers the junction-gram cuts (adjacent texts must not leak grams
+    into each other), empty/short/whitespace texts, astral codepoints,
+    the MAX_CHARS truncation, and the empty batch."""
+    import numpy as np
+    import pandas as pd
+
+    lm = default_model()
+    texts = pd.Series([
+        "", None, "a", "ab", "abc", " \t ", "\n\n", "é" * 5,
+        "\U00010348x\U00010348" * 3, "x" * 20000,
+        "def main(args): return parse(args)",
+        "the quick brown fox", "9f8a7b6c5d4e3f2a",
+        "hello world " * 50, " ab", "ZZ  top", "ñandú über",
+    ])
+    scalar = np.array([lm.perplexity(t) for t in texts.fillna("")],
+                      dtype=np.float64)
+    batch = lm.perplexity_batch(texts)
+    assert np.array_equal(scalar, batch)
+    # single-row batches hit the no-junction path
+    for t in texts.fillna(""):
+        assert np.array_equal(lm.perplexity_batch(pd.Series([t])),
+                              np.array([lm.perplexity(t)]))
+    assert len(lm.perplexity_batch(pd.Series([], dtype=object))) == 0
+
+
+def test_batch_bit_identical_random():
+    """Randomized cross-check on mixed-script strings (seeded)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(20260819)
+    alphabet = ("abcdefghij _\t\n(){}:=.0123456789"
+                "éñ世界\U00010348")
+    texts = pd.Series(
+        ["".join(rng.choice(alphabet)
+                 for _ in range(rng.randrange(0, 400)))
+         for _ in range(300)])
+    lm = default_model()
+    scalar = np.array([lm.perplexity(t) for t in texts],
+                      dtype=np.float64)
+    assert np.array_equal(scalar, lm.perplexity_batch(texts))
+
+
 def test_spark_stage(spark):
     lm = default_model()
     df = spark.createDataFrame(
