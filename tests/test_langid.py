@@ -86,3 +86,40 @@ def test_with_language_spark_stage(spark):
     got = {r["content"]: r["language"] for r in out}
     for text, expected in GOLDEN:
         assert got[text] == expected
+
+
+def test_trigram_chunked_batch_identical_to_per_text():
+    """trigram_langid_batch chunks texts and scores each chunk with one
+    lexsort + one profile lookup; its contract is BIT-identical output
+    (language AND confidence float) to the per-text `_trigram_one`
+    form. Covers junction cuts between adjacent texts, NUL fallback,
+    empty/whitespace/short texts, astral codepoints, and chunk
+    boundaries (the list below exceeds one 16k-char chunk)."""
+    from alegre_spark.functions.langid import (_trigram_one,
+                                               trigram_langid_batch)
+
+    texts = [
+        "", None, "a", "\n\n", " \t ", "the quick brown fox",
+        "x\x00y the fox jumps", "\x00", "é" * 5,
+        "\U00010348 x \U00010348", "los perros corren en el parque",
+        "a" * 5000, "der hund ist gross und laeuft schnell",
+        "  padded   whitespace   runs  ", "o cachorro corre no parque",
+    ] * 80  # ~90k chars: forces multiple chunks + junction reuse
+    per_text = [_trigram_one((t or "").replace("\n", " "))
+                for t in texts]
+    assert trigram_langid_batch(texts) == per_text
+
+
+def test_trigram_chunked_batch_identical_random():
+    """Seeded mixed-script fuzz of the chunked trigram batch."""
+    import random
+
+    from alegre_spark.functions.langid import (_trigram_one,
+                                               trigram_langid_batch)
+
+    rng = random.Random(20260819)
+    alphabet = "abcdefghij _\t(){}:=.0123456789éñ世界\U00010348"
+    texts = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randrange(0, 300)))
+             for _ in range(400)]
+    assert trigram_langid_batch(texts) == [_trigram_one(t) for t in texts]
