@@ -1,0 +1,175 @@
+"""Per-text vs chunk-vectorized model-kernel A/B (the r5-continuation
+optimization evidence; BENCH §chunk-vectorized).
+
+Measures the two hottest Python-side kernels in isolation, OUTSIDE
+Spark, so the comparison is not masked by Arrow transfer or co-tenant
+JVM work:
+
+  - `CharNgramLM.perplexity_batch` (chunked, ~256k-char budget) vs the
+    per-text scalar loop it replaced;
+  - `trigram_langid_batch` (chunked, ~16k-char budget) vs the per-text
+    `_trigram_one` loop it replaced.
+
+Two modes:
+  - single process (default): tightly interleaved best-of-5 medians —
+    the controlled relative measurement;
+  - `--workers N`: N child processes, each taskset-pinned to its own
+    core, all running the same kernel simultaneously — the concurrency
+    regime the fused mapInPandas stage actually runs in at local[N].
+    This is the measurement that killed the no-chunking rewrite: its
+    whole-batch temporaries (40 MB at 20k rows) are memory-bandwidth-
+    bound under concurrent workers and measured 2x SLOWER than the
+    per-text loop, while the chunked forms hold a ~1.9x win at 8 and
+    32 workers.
+
+Bit-identity of chunked vs per-text outputs is asserted before any
+timing (the same contract test_perplexity / test_langid pin).
+
+Usage: python tools/model_stage_bench.py [n_rows] [--workers N]
+       (defaults: 20_000 rows, single process)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_PINNED = shutil.which("taskset") is not None
+
+_CHILD = r"""
+import pickle, sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np, pandas as pd
+texts = pickle.load(open({pkl!r}, "rb"))
+ser = pd.Series(texts)
+import alegre_spark.functions.langid as lid
+from alegre_spark.functions.perplexity import default_model
+lm = default_model()
+mode = sys.argv[1]
+
+def run_old():
+    lid_out = [lid._trigram_one(t) for t in texts]
+    ppx = np.array([lm.perplexity(t) for t in ser.fillna("")])
+
+def run_new():
+    lid_out = lid.trigram_langid_batch(texts)
+    ppx = lm.perplexity_batch(ser)
+
+fn = run_old if mode == "old" else run_new
+fn()
+t0 = time.perf_counter()
+for _ in range(3):
+    fn()
+print(int(3 * len(texts) / (time.perf_counter() - t0)))
+"""
+
+
+def _corpus(n: int) -> list[str]:
+    from alegre_spark.corpus import generate_corpus
+    from alegre_spark.session import get_spark
+    spark = get_spark(app_name="model-stage-bench", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    texts = (generate_corpus(spark, n, partitions=8)
+             .toPandas()["content"].fillna("").tolist())
+    spark.stop()
+    return texts
+
+
+def _assert_identity(texts: list[str]) -> None:
+    import numpy as np
+    import pandas as pd
+
+    import alegre_spark.functions.langid as lid
+    from alegre_spark.functions.perplexity import default_model
+    lm = default_model()
+    ser = pd.Series(texts[:2000])
+    scalar = np.array([lm.perplexity(t) for t in ser], dtype=np.float64)
+    assert np.array_equal(scalar, lm.perplexity_batch(ser)), \
+        "perplexity chunked != scalar"
+    per_text = [lid._trigram_one(t) for t in texts[:2000]]
+    assert lid.trigram_langid_batch(texts[:2000]) == per_text, \
+        "trigram chunked != per-text"
+
+
+def _single_process(texts: list[str]) -> dict:
+    import numpy as np
+    import pandas as pd
+
+    import alegre_spark.functions.langid as lid
+    from alegre_spark.functions.perplexity import default_model
+    lm = default_model()
+    ser = pd.Series(texts)
+    n = len(texts)
+
+    cases = {
+        "ppx_per_text": lambda: np.array(
+            [lm.perplexity(t) for t in ser.fillna("")]),
+        "ppx_chunked": lambda: lm.perplexity_batch(ser),
+        "tri_per_text": lambda: [lid._trigram_one(t) for t in texts],
+        "tri_chunked": lambda: lid.trigram_langid_batch(texts),
+    }
+    for fn in cases.values():
+        fn()  # warm
+    walls: dict[str, list[float]] = {k: [] for k in cases}
+    for _ in range(5):  # tightly interleaved rounds
+        for name, fn in cases.items():
+            t0 = time.perf_counter()
+            fn()
+            walls[name].append(time.perf_counter() - t0)
+    out = {name: round(n / sorted(ts)[2], 1) for name, ts in walls.items()}
+    out["ppx_speedup"] = round(out["ppx_chunked"] / out["ppx_per_text"], 2)
+    out["tri_speedup"] = round(out["tri_chunked"] / out["tri_per_text"], 2)
+    return out
+
+
+def _workers(texts: list[str], n_workers: int) -> dict:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        pkl = os.path.join(tmp, "texts.pkl")
+        with open(pkl, "wb") as f:
+            pickle.dump(texts, f)
+        child = _CHILD.format(repo=repo, pkl=pkl)
+        result = {}
+        for mode in ("old", "new"):
+            procs = []
+            for i in range(n_workers):
+                cmd = [sys.executable, "-c", child, mode]
+                if _PINNED:
+                    cmd = ["taskset", "-c", str(i)] + cmd
+                procs.append(subprocess.Popen(
+                    cmd, stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL, text=True))
+            total = sum(int(p.communicate()[0].strip()) for p in procs)
+            result[mode] = total
+        result["speedup"] = round(result["new"] / result["old"], 2)
+        result["pinned"] = _PINNED
+        return result
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 20_000
+    workers = 0
+    if "--workers" in sys.argv:
+        workers = int(sys.argv[sys.argv.index("--workers") + 1])
+    texts = _corpus(n)
+    _assert_identity(texts)
+    out: dict = {"n_rows": n, "identity": "ok", "unit": "rows/sec"}
+    if workers:
+        out["workers"] = workers
+        out.update(_workers(texts, workers))
+    else:
+        out.update(_single_process(texts))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
