@@ -103,7 +103,7 @@ _SLUR_RE = re.compile(
     re.IGNORECASE)
 SCRUB_PATTERNS.append(("slur", _SLUR_RE, "<TOX:SLUR>"))
 
-CATEGORIES = [name for name, _, _ in SCRUB_PATTERNS]
+CATEGORIES = [name for name, _, _ in SCRUB_PATTERNS] + ["ipv6"]
 
 # Cheap JVM pregate (java regex): any row NOT matching this cannot match
 # any scrub pattern, so it skips Python entirely.
@@ -128,6 +128,101 @@ PREGATE_RLIKE = (_PREGATE_CORE +
 PREGATE_RE = re.compile(_PREGATE_CORE +
                         "|(?i:" + "|".join(SLUR_LEXICON) + ")")
 
+# Pregate variants for the opt-in IPv6 pass (see the ipv6 section
+# below): a compressed address needs '::', a full uncompressed one has
+# 7 colons so 4 consecutive hex:group repeats are a superset witness.
+# '::' routes every C-family scope-resolution row into Python — that
+# cost is WHY ipv6 is opt-in rather than default (the candidate check
+# inside the batch is still vectorized, and non-candidate rows skip the
+# per-category subn passes via the in-batch dirty mask).
+_IPV6_PRE_CORE = "(?:[0-9A-Fa-f]{1,4}:){4}|::"
+PREGATE_RLIKE_IPV6 = (_PREGATE_CORE + "|" + _IPV6_PRE_CORE +
+                      "|(?i)(" + "|".join(SLUR_LEXICON) + ")")
+PREGATE_IPV6_RE = re.compile(_PREGATE_CORE + "|" + _IPV6_PRE_CORE +
+                             "|(?i:" + "|".join(SLUR_LEXICON) + ")")
+
+
+# --- optional IPv6 masking (opt-in) ------------------------------------------
+#
+# The Stack / StarCoder PII pipelines (Kocetkov 2022, Allal 2023) scrub
+# IP addresses v4 AND v6; v4 is default-on above. v6 is OPT-IN here
+# because its textual shape collides with source-code tokens: 'a::b'
+# and 'cafe1::beef2' are simultaneously valid IPv6 addresses and valid
+# C++/Rust scope paths, and 'arr[1::2]' / 'arr[::2]' are Python/NumPy
+# slices. The masker is therefore candidate-regex + EXACT validation
+# (ipaddress.IPv6Address — no regex approximation of group counts)
+# plus a documented acceptance heuristic:
+#
+#   accept iff  the run parses as IPv6
+#          and  it contains a digit            (kills 'fe::ff' paths)
+#          and  it is not '::' or '::1'        (bind-all / localhost
+#                                               are code idioms)
+#          and  (it has >= 3 colons            (slices max out at 2;
+#                                               scope chains with two
+#                                               '::' fail the parser)
+#                or, at exactly 2 colons, some group of len >= 2 mixes
+#                letters AND digits            ('fe80::1', '2a02::7'
+#                                               yes; '1::2', '10::2',
+#                                               'abcd::1' no))
+#
+# Accepted losses, pinned in tests: '2001::' / 'abcd::1' style
+# short-compressed addresses with no mixed group are NOT masked
+# (vanishingly rare spelling), and hex-looking mixed identifiers in a
+# 2-colon scope path ('a1::b2') ARE masked when the flag is on.
+# IPv4-mapped forms ('::ffff:192.0.2.1') mask as ONE <PII:IPV6> token:
+# the pass runs BEFORE the regex families so the embedded dotted quad
+# is not first shredded by the ipv4 rule.
+
+_IPV6_CAND_RE = re.compile(
+    r"(?<![0-9A-Za-z_:])"
+    r"[0-9A-Fa-f:]{2,45}(?:\.[0-9]{1,3}(?:\.[0-9]{1,3}){2})?"
+    r"(?![0-9A-Za-z_:])")
+
+
+def _ipv6_accept(run: str) -> bool:
+    import ipaddress
+    if run in ("::", "::1"):
+        return False
+    if not any(c.isdigit() for c in run):
+        return False
+    n = run.count(":")
+    if "::" not in run:
+        if n != 7:
+            return False
+    elif n == 2:
+        groups = [g for g in run.split(":") if g and "." not in g]
+        if not any(len(g) >= 2
+                   and any(c.isdigit() for c in g)
+                   and any(c.isalpha() for c in g) for g in groups):
+            return False
+    try:
+        ipaddress.IPv6Address(run)
+    except ValueError:
+        return False
+    return True
+
+
+def ipv6_mask(text: str) -> tuple[str, int]:
+    """Mask accepted IPv6 runs with <PII:IPV6>; returns (text, hits).
+    The mask token contains no two adjacent hex chars at a non-word
+    boundary, so the pass is idempotent (pinned in tests)."""
+    if ":" not in text:
+        return text, 0
+    pieces: list[str] = []
+    last = 0
+    hits = 0
+    for m in _IPV6_CAND_RE.finditer(text):
+        if not _ipv6_accept(m.group()):
+            continue
+        pieces.append(text[last:m.start()])
+        pieces.append("<PII:IPV6>")
+        last = m.end()
+        hits += 1
+    if not hits:
+        return text, 0
+    pieces.append(text[last:])
+    return "".join(pieces), hits
+
 
 # --- broadcast lexicon masking ----------------------------------------------
 #
@@ -138,7 +233,11 @@ PREGATE_RE = re.compile(_PREGATE_CORE +
 # per row regardless of lexicon size, the lexicon shipped once per
 # executor in the UDF closure (functionally a broadcast variable).
 
-_MASK_SPAN_RE = re.compile(r"<(?:PII|CRED|TOX):[A-Z_]+>")
+# [A-Z0-9_] not [A-Z_]: category names can carry digits (IPV4, IPV6);
+# the narrower class let lexicon_mask re-match words INSIDE an
+# <PII:IPV4> mask (e.g. a lexicon containing 'pii'), breaking the
+# combined-pass idempotence invariant.
+_MASK_SPAN_RE = re.compile(r"<(?:PII|CRED|TOX):[A-Z0-9_]+>")
 _WORD_RE = re.compile(r"\w+")
 
 
@@ -185,13 +284,20 @@ def lexicon_mask(text: str, lexicon_set: frozenset[str]) -> tuple[str, int]:
 
 
 def scrub_text(text: str,
-               lexicon_set: frozenset[str] | None = None
+               lexicon_set: frozenset[str] | None = None,
+               scrub_ipv6: bool = False
                ) -> tuple[str, dict[str, int]]:
     """Scrub one text; returns (scrubbed, counts-per-category).
     With a custom lexicon_set the placeholder slur regex is replaced
-    by the set-membership token masker (same 'slur' count category)."""
+    by the set-membership token masker (same 'slur' count category).
+    scrub_ipv6 enables the opt-in IPv6 pass, which runs FIRST so
+    IPv4-mapped addresses mask whole (see the ipv6 section above)."""
     counts: dict[str, int] = {}
     out = text
+    if scrub_ipv6:
+        out, n = ipv6_mask(out)
+        if n:
+            counts["ipv6"] = n
     for name, pattern, mask in SCRUB_PATTERNS:
         if name == "slur" and lexicon_set is not None:
             continue
@@ -206,10 +312,11 @@ def scrub_text(text: str,
 
 
 def scrub_batch(texts: pd.Series,
-                lexicon_set: frozenset[str] | None = None) -> pd.DataFrame:
+                lexicon_set: frozenset[str] | None = None,
+                scrub_ipv6: bool = False) -> pd.DataFrame:
     scrubbed, count_maps = [], []
     for t in texts.fillna(""):
-        s, c = scrub_text(t, lexicon_set)
+        s, c = scrub_text(t, lexicon_set, scrub_ipv6)
         scrubbed.append(s)
         count_maps.append(c)
     return pd.DataFrame({"scrubbed_content": scrubbed,
@@ -217,7 +324,8 @@ def scrub_batch(texts: pd.Series,
 
 
 def with_scrub(df: DataFrame, text_col: str = "content",
-               lexicon: "tuple[str, ...] | None" = None) -> DataFrame:
+               lexicon: "tuple[str, ...] | None" = None,
+               scrub_ipv6: bool = False) -> DataFrame:
     """Add `scrubbed_content` + `scrub_counts` (map<string,int>).
 
     Plan shape: Filter(pregate) -> MapInPandas on the dirty slice only,
@@ -241,6 +349,8 @@ def with_scrub(df: DataFrame, text_col: str = "content",
            StructField("scrub_counts", MapType(StringType(), IntegerType()))]
     )
     lex = prepare_lexicon(lexicon) if lexicon is not None else None
+    pre_re = PREGATE_IPV6_RE if scrub_ipv6 else PREGATE_RE
+    pre_rlike = PREGATE_RLIKE_IPV6 if scrub_ipv6 else PREGATE_RLIKE
 
     if lex is not None:
         def _map_all(batches: Iterator[pd.DataFrame]
@@ -248,11 +358,11 @@ def with_scrub(df: DataFrame, text_col: str = "content",
             for pdf in batches:
                 na = pdf[text_col].isna()
                 texts = pdf[text_col].fillna("")
-                dirty_mask = texts.str.contains(PREGATE_RE, regex=True)
+                dirty_mask = texts.str.contains(pre_re, regex=True)
                 scrubbed, counts = [], []
                 for t, d in zip(texts, dirty_mask):
                     if d:
-                        s, c = scrub_text(t, lex)
+                        s, c = scrub_text(t, lex, scrub_ipv6)
                     else:
                         s, n = lexicon_mask(t, lex)
                         c = {"slur": n} if n else {}
@@ -270,7 +380,7 @@ def with_scrub(df: DataFrame, text_col: str = "content",
 
     # NULL-safe: rlike(NULL) is NULL, which fails BOTH gate and ~gate
     # — null-text rows would vanish from the union entirely
-    gate = F.coalesce(F.col(text_col).rlike(PREGATE_RLIKE), F.lit(False))
+    gate = F.coalesce(F.col(text_col).rlike(pre_rlike), F.lit(False))
     dirty = df.filter(gate)
     clean = df.filter(~gate).withColumns({
         "scrubbed_content": F.col(text_col),
@@ -279,7 +389,7 @@ def with_scrub(df: DataFrame, text_col: str = "content",
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = scrub_batch(pdf[text_col])
+            res = scrub_batch(pdf[text_col], scrub_ipv6=scrub_ipv6)
             pdf = pdf.copy()
             pdf["scrubbed_content"] = res["scrubbed_content"].values
             pdf["scrub_counts"] = res["scrub_counts"].values

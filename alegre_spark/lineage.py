@@ -63,6 +63,10 @@ def compute_run_id(input_fingerprint: str, cfg: PipelineConfig,
         # changes scrubbed OUTPUT (not decisions) — same reasoning as
         # extra_columns; key only present when set, so old ids hold
         payload_dict["slur_lexicon"] = sorted(cfg.slur_lexicon)
+    if getattr(cfg, "scrub_ipv6", False):
+        # same contract: scrubbed output changes, decisions don't;
+        # key only present when enabled so pre-existing ids hold
+        payload_dict["scrub_ipv6"] = True
     payload = json.dumps(payload_dict, sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

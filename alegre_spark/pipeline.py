@@ -90,6 +90,11 @@ class PipelineConfig:
     # run_id: it changes scrubbed output, so a resume against an old
     # output dir must reprocess (see lineage.compute_run_id).
     slur_lexicon: tuple[str, ...] | None = None
+    # opt-in IPv6 masking (scrub.py ipv6 section: candidate regex +
+    # exact ipaddress validation + the documented code-token heuristic).
+    # Off by default — '::' is a scope-resolution token in C-family
+    # code. Forks the run_id when enabled (changes scrubbed output).
+    scrub_ipv6: bool = False
 
     def threshold_for(self, key: str) -> float:
         if self.per_rule_threshold and key in self.per_rule_threshold:
@@ -158,7 +163,8 @@ def with_decision(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def annotate_fused(df: DataFrame, text_col: str = "content",
                    lm: CharNgramLM | None = None,
-                   slur_lexicon: tuple[str, ...] | None = None
+                   slur_lexicon: tuple[str, ...] | None = None,
+                   scrub_ipv6: bool = False
                    ) -> DataFrame:
     """langid + perplexity + scrub in ONE mapInPandas pass.
 
@@ -175,8 +181,9 @@ def annotate_fused(df: DataFrame, text_col: str = "content",
     recomputed langid+perplexity twice).
     """
     from .functions.langid import langid_batch
-    from .functions.scrub import (PREGATE_RE, lexicon_mask,
-                                  prepare_lexicon, scrub_text)
+    from .functions.scrub import (PREGATE_IPV6_RE, PREGATE_RE,
+                                  lexicon_mask, prepare_lexicon,
+                                  scrub_text)
 
     lex = (prepare_lexicon(slur_lexicon)
            if slur_lexicon is not None else None)
@@ -192,7 +199,7 @@ def annotate_fused(df: DataFrame, text_col: str = "content",
         + ["language string", "language_confidence double",
            "langid_provider string", "perplexity double",
            "scrubbed_content string", "scrub_counts map<string,int>"])
-    pregate = PREGATE_RE
+    pregate = PREGATE_IPV6_RE if scrub_ipv6 else PREGATE_RE
 
     def _map(batches):
         model = _cached_lm(bc, bc_id)
@@ -208,7 +215,7 @@ def annotate_fused(df: DataFrame, text_col: str = "content",
             scrubbed, counts = [], []
             for t, dirty in zip(texts, dirty_mask):
                 if dirty:
-                    s, c = scrub_text(t, lex)
+                    s, c = scrub_text(t, lex, scrub_ipv6)
                 elif lex is not None:
                     # the lexicon pass is a cheap per-token set lookup;
                     # the regex pregate only spares the 14 subn passes
@@ -235,7 +242,8 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None,
     cfg = cfg or PipelineConfig()
     df = with_doc_id(df)
     df = salt_repartition(df, cfg.salt_buckets)
-    df = annotate_fused(df, "content", lm, cfg.slur_lexicon)
+    df = annotate_fused(df, "content", lm, cfg.slur_lexicon,
+                        cfg.scrub_ipv6)
     df = with_quality(df, "content", cfg.quality)
     df = df.withColumn("scrubbed_sha256", F.sha2("scrubbed_content", 256))
     return with_decision(df, cfg)

@@ -7,7 +7,7 @@
         --input  /path/to/files_table_parquet \
         --output /path/to/out_dir \
         [--salt-buckets 4096] [--max-perplexity 1e4] [--require-language]
-        [--slur-lexicon words.txt] [--flag-entropy]
+        [--slur-lexicon words.txt] [--flag-entropy] [--scrub-ipv6]
         [--quality-model model.json [--model-keep-alpha 9]]
 
 Under spark-submit pass `--driver-memory` explicitly for local-mode
@@ -48,6 +48,12 @@ def main() -> None:
                          "set-membership token masking (scales to "
                          "10^4+ words; the set is shipped to "
                          "executors once)")
+    ap.add_argument("--scrub-ipv6", action="store_true",
+                    help="also mask IPv6 addresses (<PII:IPV6>). "
+                         "Opt-in: '::' is a scope token in C-family "
+                         "code — see scrub.py's documented acceptance "
+                         "heuristic. Forks the run_id (changes "
+                         "scrubbed output, not decisions)")
     ap.add_argument("--flag-entropy", action="store_true",
                     help="annotate rows with detect-secrets-style "
                          "high-entropy flags (entropy_hits/_max/"
@@ -109,7 +115,8 @@ def main() -> None:
     cfg = PipelineConfig(salt_buckets=args.salt_buckets,
                          max_perplexity=args.max_perplexity,
                          require_language=args.require_language,
-                         slur_lexicon=lexicon)
+                         slur_lexicon=lexicon,
+                         scrub_ipv6=args.scrub_ipv6)
     summary = run_with_resume(spark, files, args.output, cfg,
                               extra_columns=extra_columns)
 

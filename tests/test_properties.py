@@ -87,6 +87,47 @@ def test_scrub_idempotent_on_credential_shaped_text(text):
         assert once == text
 
 
+# ipv6-shaped fragments: random text rarely contains colon-hex runs,
+# so build texts from address-like and near-miss fragments (the same
+# concentration trick as the credential campaign above) and assert the
+# opt-in pass's invariants on THAT space.
+_hex_group = st.text(st.sampled_from("0123456789abcdefABCDEF"),
+                     min_size=1, max_size=4)
+_ipv6_fragment = st.one_of(
+    # well-formed compressed / full / mapped
+    st.lists(_hex_group, min_size=2, max_size=4).map(
+        lambda g: "2001:" + ":".join(g) + "::1"),
+    st.lists(_hex_group, min_size=8, max_size=8).map(":".join),
+    st.just("::ffff:192.0.2.1"),
+    st.just("fe80::1"),
+    # near-misses and code tokens — must never corrupt
+    st.just("std::vector"), st.just("a::b"), st.just("arr[1::2]"),
+    st.just("x[::2]"), st.just("12:34:56"), st.just("aa:bb:cc:dd:ee:ff"),
+    st.just("::"), st.just("::1"), st.just("1::xs"),
+    st.lists(_hex_group, min_size=2, max_size=9).map(":".join),
+)
+_ipv6_text = st.lists(
+    st.one_of(st.text(max_size=25), _ipv6_fragment),
+    min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ipv6_text)
+def test_scrub_ipv6_idempotent_and_pregate_superset(text):
+    """With the opt-in flag: idempotence, pregate-superset, and
+    default-path indifference (flag off -> ipv6 never counted)."""
+    from alegre_spark.functions.scrub import PREGATE_IPV6_RE, scrub_text
+    once, counts = scrub_text(text, scrub_ipv6=True)
+    twice, counts2 = scrub_text(once, scrub_ipv6=True)
+    assert twice == once
+    if counts:
+        assert PREGATE_IPV6_RE.search(text) is not None
+    else:
+        assert once == text
+    _, off_counts = scrub_text(text)
+    assert "ipv6" not in off_counts
+
+
 def test_scrub_does_not_swallow_urls():
     """Over-redaction regression: only the address itself masks, not
     the URL path/query it sits in."""

@@ -310,3 +310,140 @@ def test_pipeline_with_custom_lexicon(spark):
     row = hit.first()
     assert "<TOX:SLUR>" in row["scrubbed_content"]
     assert "transform" not in row["scrubbed_content"]
+
+
+# --- opt-in IPv6 masking -----------------------------------------------------
+
+def test_ipv6_decision_table():
+    """The documented acceptance heuristic, pinned case by case
+    (scrub.py ipv6 section): exact validation + digit + colon/mixed
+    rules, '::'/'::1' skip-list, IPv4-mapped masks whole."""
+    from alegre_spark.functions.scrub import ipv6_mask
+    masked = [
+        "addr 2001:db8::1 end",
+        "full 2001:0db8:85a3:0000:0000:8a2e:0370:7334 here",
+        "upper 2001:DB8::1 x",
+        "mapped ::ffff:192.0.2.1 y",        # ONE mask, not v6+v4 split
+        "url http://[2001:db8::1]:8080/p",  # bracketed URL host
+        "linklocal fe80::1 done",
+        "short mixed group 2a02::7 ok",
+        "sentence-final 2001:db8::1.",
+    ]
+    unmasked = [
+        "cpp std::vector<int> v; a::b; Vec::<u8>::new()",
+        "slices arr[1::2] arr[::2] arr[2::] arr[10::2]",
+        "time 12:34:56 duration 1:23:45:678",
+        "mac aa:bb:cc:dd:ee:ff",
+        "idioms :: and ::1 and ::= here",
+        "cons 1::xs and x :: xs",
+        "no digit anywhere cafe::beef fe::ff",
+        # accepted losses (documented): no mixed letters+digits group
+        # at exactly two colons
+        "rare spellings abcd::1 and 2001:: stay",
+    ]
+    for text in masked:
+        out, n = ipv6_mask(text)
+        assert n >= 1 and "<PII:IPV6>" in out, text
+    for text in unmasked:
+        out, n = ipv6_mask(text)
+        assert (out, n) == (text, 0), text
+
+
+def test_ipv6_documented_fp_class():
+    """Hex-looking mixed identifiers in a 2-colon scope path DO mask
+    when the flag is on — the documented false-positive class that
+    keeps ipv6 opt-in."""
+    from alegre_spark.functions.scrub import ipv6_mask
+    out, n = ipv6_mask("ns a1::b2 call")
+    assert n == 1 and out == "ns <PII:IPV6> call"
+
+
+def test_ipv6_off_by_default():
+    text = "v6 2001:db8::1 v4 10.0.0.1"
+    out, counts = scrub_text(text)
+    assert "2001:db8::1" in out and "ipv6" not in counts
+    out6, counts6 = scrub_text(text, scrub_ipv6=True)
+    assert out6 == "v6 <PII:IPV6> v4 <PII:IPV4>"
+    assert counts6 == {"ipv6": 1, "ipv4": 1}
+
+
+def test_ipv6_runs_before_ipv4_on_mapped_form():
+    out, counts = scrub_text("x ::ffff:192.0.2.1 y", scrub_ipv6=True)
+    assert out == "x <PII:IPV6> y"
+    assert counts == {"ipv6": 1}
+    # default path: v4 tail masks, hex prefix stays (pre-existing
+    # behavior, unchanged by the flag's existence)
+    out, counts = scrub_text("x ::ffff:192.0.2.1 y")
+    assert out == "x ::ffff:<PII:IPV4> y"
+    assert counts == {"ipv4": 1}
+
+
+def test_ipv6_idempotent_and_pregate_superset():
+    from alegre_spark.functions.scrub import PREGATE_IPV6_RE, scrub_text
+    texts = ["a 2001:db8::1 b", "full 1:2:3:4:5:6:7:8",
+             "mapped ::ffff:192.0.2.1", "mix a1::b2 user@example.com"]
+    for t in texts:
+        once, c = scrub_text(t, scrub_ipv6=True)
+        twice, _ = scrub_text(once, scrub_ipv6=True)
+        assert twice == once, t
+        assert c.get("ipv6", 0) >= 1, t
+        assert PREGATE_IPV6_RE.search(t), t  # python pregate superset
+
+
+def test_with_scrub_ipv6_stage(spark):
+    """Spark path: JVM ipv6 pregate routes candidate rows, NULL rows
+    survive, counts carry the ipv6 category."""
+    from alegre_spark.functions.scrub import with_scrub
+    rows = [(1, "conn to 2001:db8::1 ok"),
+            (2, "plain code, no candidates"),
+            (3, "cpp std::vector stays"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "id long, content string")
+    out = {r["id"]: r for r in with_scrub(df, scrub_ipv6=True).collect()}
+    assert out[1]["scrubbed_content"] == "conn to <PII:IPV6> ok"
+    assert out[1]["scrub_counts"] == {"ipv6": 1}
+    assert out[2]["scrubbed_content"] == rows[1][1]
+    assert out[3]["scrubbed_content"] == rows[2][1]  # routed, untouched
+    assert out[4]["scrubbed_content"] is None
+
+
+def test_pipeline_scrub_ipv6_decisions_unchanged(spark):
+    """cfg.scrub_ipv6 reaches the fused stage; keep/drop decisions are
+    bit-identical to the default config (scrub never drops rows), and
+    the run_id forks so a resume cannot mix outputs."""
+    from pyspark.sql import functions as F
+
+    from alegre_spark.corpus import generate_corpus
+    from alegre_spark.lineage import compute_run_id
+    from alegre_spark.pipeline import PipelineConfig, run_pipeline
+
+    files = generate_corpus(spark, 80, partitions=4).withColumn(
+        "content", F.concat(F.col("content"),
+                            F.lit("\n# peer 2001:db8::1\n")))
+    base_cfg = PipelineConfig(salt_buckets=8)
+    v6_cfg = PipelineConfig(salt_buckets=8, scrub_ipv6=True)
+    base = run_pipeline(files, base_cfg)
+    v6 = run_pipeline(files, v6_cfg)
+    a = {r["doc_id"]: r["keep"] for r in base.collect()}
+    b = {r["doc_id"]: r["keep"] for r in v6.collect()}
+    assert a == b
+    hit = v6.filter("scrub_counts['ipv6'] > 0")
+    assert hit.count() == v6.count()  # planted on every row
+    assert "2001:db8::1" not in hit.first()["scrubbed_content"]
+    assert (compute_run_id("i", base_cfg) != compute_run_id("i", v6_cfg))
+    # flag off -> pre-existing run_ids unchanged (resume stability)
+    assert compute_run_id("i", base_cfg) == compute_run_id(
+        "i", PipelineConfig(salt_buckets=8, scrub_ipv6=False))
+
+
+def test_mask_span_re_covers_digit_categories():
+    """Regression: _MASK_SPAN_RE used [A-Z_]+ which missed <PII:IPV4>/
+    <PII:IPV6>, letting a lexicon containing a mask component word
+    ('pii', 'ipv4') re-mask INSIDE an existing mask."""
+    from alegre_spark.functions.scrub import prepare_lexicon, scrub_text
+    lex = prepare_lexicon(["pii", "ipv4", "ipv6"])
+    text = "host 10.0.0.1 and 2001:db8::1"
+    once, _ = scrub_text(text, lex, scrub_ipv6=True)
+    twice, _ = scrub_text(once, lex, scrub_ipv6=True)
+    assert once == "host <PII:IPV4> and <PII:IPV6>"
+    assert twice == once
