@@ -106,6 +106,86 @@ def token_shingles(col, n: int = 3):
     return shingles_from_tokens(tokenize_ws(col), n)
 
 
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """P(a pair with Jaccard s shares >= 1 of `bands` bands of `rows`
+    minhashes each) = 1 - (1 - s^rows)^bands — the LSH S-curve
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets, ch. 3)."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def tune_lsh(threshold: float, max_hashes: int = 64,
+             fp_weight: float = 1.0, fn_weight: float = 1.0,
+             grid: int = 500) -> dict:
+    """Pick (num_hashes, bands, rows-per-band) for a target Jaccard
+    `threshold` under a signature budget of `max_hashes`.
+
+    Why this exists: bands/rows is the candidate-volume dial of the
+    whole dedup family, and getting it wrong is not a rounding error —
+    the 10M-row writer run DIED on disk at the 4-row default (818M
+    candidates) and completed in 22m30s at 8-row bands (BENCH §10M).
+    This derives the dial from the threshold instead of folklore.
+
+    Method (MMDS ch. 3, as in every LSH library): over every
+    (bands, rows) with bands*rows <= max_hashes, numerically integrate
+    the S-curve's error mass on a `grid`-point trapezoid —
+
+        fp_area = ∫_0^t      p(s) ds   (collisions below threshold)
+        fn_area = ∫_t^1  1 - p(s) ds   (misses above threshold)
+
+    — and minimize fp_weight*fp_area + fn_weight*fn_area. In THIS
+    pipeline the two error classes are not symmetric in kind: the
+    jaccard verify stage is exact, so false positives only cost
+    candidate-verify work (perf — the thing that killed the 10M run),
+    while false negatives are unrecoverable recall loss (pairs the
+    verify never sees). Default weights stay 1:1 so the curve centers
+    on the threshold; raise fn_weight when recall matters more than
+    candidate volume, fp_weight on template-heavy corpora.
+
+    Returns a dict with num_hashes/bands/rows (num_hashes = bands*rows
+    exactly — `minhash_band_index` slices disjoint row blocks, so a
+    non-multiple would silently waste signature tail), plus
+    diagnostics: p_at_threshold (candidate recall at t), s50 (the
+    Jaccard where collision probability crosses 1/2, (1/b)^(1/r)),
+    and the two error areas. Driver-side pure math — O(max_hashes
+    log(max_hashes) * grid) floats, microseconds at any real budget.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if max_hashes < 2:
+        raise ValueError(f"max_hashes must be >= 2, got {max_hashes}")
+    xs = [i / grid for i in range(grid + 1)]
+    best = None
+    for rows in range(1, max_hashes + 1):
+        for bands in range(1, max_hashes // rows + 1):
+            fp = fn = 0.0
+            for i in range(grid):
+                x0, x1 = xs[i], xs[i + 1]
+                p0 = lsh_collision_prob(x0, bands, rows)
+                p1 = lsh_collision_prob(x1, bands, rows)
+                seg = (p0 + p1) / 2.0 * (x1 - x0)
+                if x1 <= threshold:
+                    fp += seg
+                elif x0 >= threshold:
+                    fn += (x1 - x0) - seg
+                else:  # straddling segment: split at t
+                    pt = lsh_collision_prob(threshold, bands, rows)
+                    fp += (p0 + pt) / 2.0 * (threshold - x0)
+                    fn += ((x1 - threshold)
+                           - (pt + p1) / 2.0 * (x1 - threshold))
+            err = fp_weight * fp + fn_weight * fn
+            # strict < : first-found wins ties, and the loop order
+            # visits smaller band counts first at equal rows — fewer
+            # bands = fewer index rows for the same error
+            if best is None or err < best["_err"]:
+                best = {"_err": err, "bands": bands, "rows": rows,
+                        "fp_area": fp, "fn_area": fn}
+    b, r = best["bands"], best["rows"]
+    return {"num_hashes": b * r, "bands": b, "rows": r,
+            "p_at_threshold": lsh_collision_prob(threshold, b, r),
+            "s50": (1.0 / b) ** (1.0 / r),
+            "fp_area": best["fp_area"], "fn_area": best["fn_area"]}
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
     """(id, sig array<bigint>): sig[i] = min over shingles of

@@ -25,6 +25,7 @@ composes them):
         [--bpe-merges 0] [--bpe-max-words 1000000] \
         [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048] \
         [--minhash-hashes 16 --minhash-bands 4] [--max-bucket-size B]
+        [--minhash-tune T]
 
 The id column's REPRESENTATION is a first-order cost in the dedup
 stage: every candidate pair carries two ids through ~6 shuffles and
@@ -115,6 +116,16 @@ def main() -> None:
                          "88%, 8 x 4 = 52%) for an order of "
                          "magnitude fewer candidate pairs")
     ap.add_argument("--minhash-bands", type=int, default=4)
+    ap.add_argument("--minhash-tune", type=float, default=0.0,
+                    metavar="T",
+                    help="derive bands/rows from a target Jaccard "
+                         "threshold T instead of the explicit dials: "
+                         "treats --minhash-hashes as the signature "
+                         "BUDGET, picks the (bands, rows) minimizing "
+                         "the S-curve's error mass around T "
+                         "(tune_lsh; MMDS ch.3), and uses T as the "
+                         "exact-verify threshold. Overrides "
+                         "--minhash-bands; prints the chosen dial")
     ap.add_argument("--max-bucket-size", type=int, default=0,
                     help="hot-bucket valve for the near-dedup LSH "
                          "stage (0 = off): boilerplate/template "
@@ -183,9 +194,22 @@ def main() -> None:
     # survivors; keep one representative per near-dup group
     keepers = rows_in
     if not args.skip_dedup:
+        mh_hashes, mh_bands, mh_threshold = (
+            args.minhash_hashes, args.minhash_bands, 0.8)
+        if args.minhash_tune > 0.0:
+            from alegre_spark.operators.dedup import tune_lsh
+            tuned = tune_lsh(args.minhash_tune,
+                             max_hashes=args.minhash_hashes)
+            mh_hashes, mh_bands = tuned["num_hashes"], tuned["bands"]
+            mh_threshold = args.minhash_tune
+            print(f"minhash-tune t={args.minhash_tune}: "
+                  f"{mh_bands} bands x {tuned['rows']} rows "
+                  f"({mh_hashes} hashes; s50={tuned['s50']:.3f}, "
+                  f"recall@t={tuned['p_at_threshold']:.3f})")
         labels = dedup_corpus_two_phase(
             df, idc, txc,
-            num_hashes=args.minhash_hashes, bands=args.minhash_bands,
+            num_hashes=mh_hashes, bands=mh_bands,
+            threshold=mh_threshold,
             max_bucket_size=args.max_bucket_size or None)
         df = pin(df.join(
             labels.filter("is_keeper").select(F.col("id").alias(idc)),

@@ -72,6 +72,75 @@ def test_exact_dedup(spark):
     assert groups[3]["n_dups"] == 1
 
 
+def test_tune_lsh_tracks_threshold():
+    """The chosen dial's S-curve midpoint (s50) tracks the target
+    threshold, the hash budget is respected with bands*rows ==
+    num_hashes exactly (minhash_band_index slices disjoint row
+    blocks), and selectivity (rows) grows with the threshold."""
+    from alegre_spark.operators.dedup import (lsh_collision_prob,
+                                              tune_lsh)
+    picks = {}
+    for t in (0.5, 0.7, 0.8, 0.9):
+        r = tune_lsh(t, max_hashes=64)
+        assert r["num_hashes"] == r["bands"] * r["rows"] <= 64
+        assert abs(r["s50"] - t) < 0.12, (t, r)
+        assert r["p_at_threshold"] == lsh_collision_prob(
+            t, r["bands"], r["rows"])
+        picks[t] = r["rows"]
+    # a higher threshold needs a sharper (more selective) curve
+    assert picks[0.5] < picks[0.7] < picks[0.9]
+    # S-curve sanity at one dial: monotone in s, 0 at 0, 1 at 1
+    b, r = 5, 11
+    probs = [lsh_collision_prob(i / 20, b, r) for i in range(21)]
+    assert probs == sorted(probs)
+    assert probs[0] == 0.0 and probs[-1] == 1.0
+
+
+def test_tune_lsh_weights_shift_curve():
+    """fn_weight biases toward recall (s50 drops below the symmetric
+    pick; recall at threshold rises), fp_weight the other way — the
+    template-corpus candidate-flood dial."""
+    from alegre_spark.operators.dedup import tune_lsh
+    sym = tune_lsh(0.8, max_hashes=32)
+    recall = tune_lsh(0.8, max_hashes=32, fn_weight=4.0)
+    strict = tune_lsh(0.8, max_hashes=32, fp_weight=4.0)
+    assert recall["s50"] < sym["s50"] < strict["s50"]
+    assert recall["p_at_threshold"] > sym["p_at_threshold"] \
+        > strict["p_at_threshold"]
+    assert recall["fn_area"] < sym["fn_area"]
+    assert strict["fp_area"] < sym["fp_area"]
+
+
+def test_tune_lsh_validates_inputs():
+    import pytest
+
+    from alegre_spark.operators.dedup import tune_lsh
+    with pytest.raises(ValueError):
+        tune_lsh(0.0)
+    with pytest.raises(ValueError):
+        tune_lsh(1.0)
+    with pytest.raises(ValueError):
+        tune_lsh(0.8, max_hashes=1)
+
+
+def test_tune_lsh_dial_finds_near_dups(spark):
+    """The tuned dial drives the real LSH stage: a planted near-dup
+    pair above the threshold collides, an unrelated pair doesn't."""
+    from alegre_spark.operators.dedup import minhash_lsh_pairs, tune_lsh
+    dial = tune_lsh(0.7, max_hashes=32)
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark shuffle partitions " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(df, "id", "text",
+                               num_hashes=dial["num_hashes"],
+                               bands=dial["bands"]).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     from alegre_spark.operators.dedup import minhash_lsh_pairs
     base = "the quick brown fox jumps over the lazy dog " * 5
