@@ -8,6 +8,9 @@ Layout under `root`:
     keepers/        (id_col, text_col, ...)  the deduped corpus rows
     band_index/     (id, band, key)          `minhash_band_index`
     content_keys/   (id, content_key)        `content_key_index`
+    store_meta.json {num_hashes, bands, shingle_n} — the dial that
+                    built the band index; validated on every
+                    label/rollforward (see `_check_meta`)
 
 Crash/replay semantics on plain parquet (Iceberg in production makes
 each append an atomic snapshot — README §deployment): the three
@@ -33,6 +36,7 @@ silently re-ingest the whole corpus as duplicates (same reasoning as
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +64,43 @@ class CorpusStore:
         self.keepers_path = os.path.join(root, "keepers")
         self.bands_path = os.path.join(root, "band_index")
         self.keys_path = os.path.join(root, "content_keys")
+        self.meta_path = os.path.join(root, "store_meta.json")
+
+    # -- dial identity ------------------------------------------------------
+
+    def _check_meta(self) -> None:
+        """Validate the persisted minhash dial, adopting the
+        constructor's on first touch. The band index is only
+        meaningful under the EXACT (num_hashes, bands, shingle_n)
+        that built it — reopening a store with a different dial
+        would not fail anywhere visible: the band equi-join simply
+        stops colliding and every batch row silently labels "fresh"
+        (recall corruption, the worst failure mode of this store).
+        So the dial is part of the store's identity: persisted as
+        store_meta.json on the first label/rollforward (a legacy
+        store adopts its constructor dial on first touch) and
+        validated on every subsequent one. tmp+rename keeps the
+        write atomic on a plain filesystem; production Iceberg
+        carries the same facts as table properties on the snapshot
+        commit."""
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                persisted = json.load(f)
+            if persisted != self.hash_args:
+                raise ValueError(
+                    f"corpus store at {self.root} was built with "
+                    f"{persisted} but was reopened with "
+                    f"{self.hash_args}: the band index only collides "
+                    "under the dial that built it, so continuing "
+                    "would silently miss every near-duplicate. Pass "
+                    "the original dial, or rebuild/compact the store "
+                    "under the new one.")
+            return
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.hash_args, f, sort_keys=True)
+        os.replace(tmp, self.meta_path)
 
     # -- reads ------------------------------------------------------------
 
@@ -98,6 +139,7 @@ class CorpusStore:
         """`dedup_incremental` of the batch against the stored corpus
         (empty-corpus bootstrap included). Returns
         (id, keeper_id, matched_existing) per batch row."""
+        self._check_meta()
         spark = batch_df.sparkSession
         keepers, bands, keys = self.read_state(spark)
         if keepers is None:
@@ -122,6 +164,7 @@ class CorpusStore:
         this module). Appends are anti-joined against persisted ids
         (replay convergence) and ordered indexes-first, keepers-last.
         Returns the number of keeper rows appended."""
+        self._check_meta()
         spark = batch_df.sparkSession
         ids = new_keeper_ids.toDF("id")
         new_keepers = (batch_df.join(
@@ -211,6 +254,9 @@ class CorpusStore:
                 1, -(-keepers.count() // rows_per_file))
         new = CorpusStore(new_root, self.id_col, self.text_col,
                           **self.hash_args)
+        # the compacted root inherits the dial identity (a store is
+        # only reopenable under the dial that built its band index)
+        new._check_meta()
         (keepers.repartition(target_partitions, F.col(self.id_col))
          .write.mode("errorifexists").parquet(new.keepers_path))
         if bands is not None:

@@ -8,7 +8,8 @@ an eval set, and roll the corpus + its persisted indexes forward.
         --batch   /path/to/new_batch_parquet \
         --corpus  /path/to/corpus_dir \
         [--eval-set /path/to/eval_parquet] \
-        [--threshold 0.8] [--contam-n 13]
+        [--threshold 0.8] [--contam-n 13] \
+        [--num-hashes 16 --bands 4 | --minhash-tune T]
 
 `<corpus>/keepers` (doc_id, text, ...) plus the persisted artifacts
 `<corpus>/band_index` and `<corpus>/content_keys` are read if present
@@ -57,7 +58,26 @@ def main() -> None:
                     help="hot-bucket valve for the batch-internal "
                          "dedup phase (0 = off); see "
                          "minhash_lsh_pairs")
+    ap.add_argument("--minhash-tune", type=float, default=0.0,
+                    metavar="T",
+                    help="derive bands/rows from a target Jaccard "
+                         "threshold T instead of the explicit dials "
+                         "(tune_lsh; MMDS ch.3): treats --num-hashes "
+                         "as the signature BUDGET, overrides --bands, "
+                         "and uses T as the exact-verify threshold. "
+                         "Safe against an existing corpus: the store "
+                         "persists its dial (store_meta.json) and "
+                         "refuses a mismatched reopen")
     args = ap.parse_args()
+
+    num_hashes, bands, threshold = (args.num_hashes, args.bands,
+                                    args.threshold)
+    if args.minhash_tune > 0.0:
+        from alegre_spark.operators.dedup import tune_lsh
+        tuned = tune_lsh(args.minhash_tune, max_hashes=args.num_hashes)
+        num_hashes, bands = tuned["num_hashes"], tuned["bands"]
+        threshold = args.minhash_tune
+        print(json.dumps({"tuned_lsh": tuned}))
 
     from pyspark.sql import functions as F
 
@@ -72,11 +92,11 @@ def main() -> None:
     # implementation for both paths; crash/replay semantics are
     # documented in corpus_store.py
     store = CorpusStore(args.corpus, "doc_id", "text",
-                        num_hashes=args.num_hashes, bands=args.bands,
+                        num_hashes=num_hashes, bands=bands,
                         shingle_n=args.shingle_n,
                         max_bucket_size=args.max_bucket_size or None)
     bootstrap = store.read_state(spark)[0] is None
-    labels = store.label(batch, threshold=args.threshold)
+    labels = store.label(batch, threshold=threshold)
 
     if args.eval_set:
         eval_df = spark.read.parquet(args.eval_set)

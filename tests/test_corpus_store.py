@@ -182,3 +182,60 @@ def test_corpus_store_strict_read_errors(spark):
             store.read_state(spark)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_store_meta_dial_identity(spark):
+    """The store persists its minhash dial (store_meta.json) and
+    refuses a mismatched reopen — without this, a dial change
+    silently stops the band equi-join from colliding and every batch
+    row labels 'fresh' (recall corruption with no visible failure)."""
+    import json
+
+    import pytest
+
+    from alegre_spark.corpus_store import CorpusStore
+
+    work = tempfile.mkdtemp()
+    try:
+        a = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string")
+        store = CorpusStore(work, "doc_id", "text",
+                            num_hashes=8, bands=8, shingle_n=2)
+        la = store.label(a, threshold=0.6)
+        # label() stamped the dial on first touch
+        assert os.path.exists(store.meta_path)
+        store.rollforward(a, _fresh_keeper_ids(la))
+
+        # same dial reopens fine and still matches
+        again = CorpusStore(work, "doc_id", "text",
+                            num_hashes=8, bands=8, shingle_n=2)
+        assert _label_map(again.label(a, threshold=0.6)) == \
+            {1: (1, True)}
+
+        # a mismatched dial raises on BOTH paths instead of silently
+        # missing every near-duplicate
+        wrong = CorpusStore(work, "doc_id", "text",
+                            num_hashes=16, bands=4, shingle_n=2)
+        with pytest.raises(ValueError, match="band index"):
+            wrong.label(a, threshold=0.6)
+        with pytest.raises(ValueError, match="band index"):
+            wrong.rollforward(a, a.select("doc_id"))
+
+        # legacy store (pre-meta layout): adopts the constructor dial
+        # on first touch instead of failing
+        os.unlink(store.meta_path)
+        legacy = CorpusStore(work, "doc_id", "text",
+                             num_hashes=8, bands=8, shingle_n=2)
+        legacy.label(a, threshold=0.6)
+        with open(legacy.meta_path) as f:
+            assert json.load(f) == \
+                {"num_hashes": 8, "bands": 8, "shingle_n": 2}
+
+        # compaction carries the dial identity to the new root
+        new = legacy.compact_into(spark, os.path.join(work, "c1"))
+        with open(new.meta_path) as f:
+            assert json.load(f) == \
+                {"num_hashes": 8, "bands": 8, "shingle_n": 2}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
