@@ -514,6 +514,53 @@ def _label_with_sizes(labeled: DataFrame) -> DataFrame:
                     F.col("group_size").cast("int").alias("group_size")))
 
 
+def select_cluster_keepers(labels: DataFrame, scores: DataFrame,
+                           score_col: str = "score",
+                           id_col: str = "id") -> DataFrame:
+    """Re-point each duplicate cluster's keeper at its best-scoring
+    member. The dedup compositions label keeper = cluster min id —
+    deterministic, but production writers keep the best REPRESENTATIVE
+    of a near-dup cluster, not the smallest id: RefinedWeb (Penedo
+    2023 §3.3) and Gopher (Rae 2021 A.2) both pick a canonical copy,
+    and with a quality classifier in the repo the natural pick is its
+    score. This layers on top of any (id, keeper_id, is_keeper,
+    group_size) labeling without touching the cluster structure.
+
+    `scores`: one row per id, (id_col, score_col); higher wins.
+    Missing/NULL scores rank below every real score (a scored member
+    always beats an unscored one); ties — including the all-unscored
+    cluster — break to min id, so the default labeling is exactly the
+    all-scores-equal special case (determinism pinned in pytest).
+
+    Scale: one left join on id, one min(struct(-score, id)) groupBy
+    on the cluster label, one join back on the label — same
+    shuffle-count shape as `_label_with_sizes`, no per-cluster state
+    beyond the single running struct. group_size is carried through
+    unchanged (clusters don't move, only the representative)."""
+    s = scores.select(F.col(id_col).alias("id"),
+                      F.col(score_col).cast("double").alias("_score"))
+    # nanvl first: a NaN score ranks exactly as unscored (-inf) —
+    # without it, Spark's NaN-sorts-largest rule would rank a NaN
+    # member below even unscored ones, a distinction with no meaning
+    # here (both are "no usable score"; they should tie and fall to
+    # the min-id break)
+    j = (labels.join(s, "id", "left")
+         .withColumn("_score", F.coalesce(
+             F.nanvl(F.col("_score"), F.lit(None).cast("double")),
+             F.lit(float("-inf")))))
+    best = (j.groupBy(F.col("keeper_id").alias("_cluster"))
+            .agg(F.min(F.struct(
+                (-F.col("_score")).alias("_neg_score"),
+                F.col("id").alias("_id"))).alias("_best"))
+            .select("_cluster", F.col("_best._id").alias("_new_keeper")))
+    return (labels.join(best, labels["keeper_id"] == best["_cluster"])
+            .select("id",
+                    F.col("_new_keeper").alias("keeper_id"),
+                    (F.col("id") == F.col("_new_keeper"))
+                    .alias("is_keeper"),
+                    "group_size"))
+
+
 def dedup_corpus_two_phase(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 16, bands: int = 4,
                            shingle_n: int = 3, verify_n: int | None = None,

@@ -1547,3 +1547,69 @@ def test_dedup_labels_invariant_to_id_representation(spark):
                                           threshold=0.7), back)
     assert g_int == g_hex
     assert any(len(g) >= 5 for g in g_int)  # the planted dup family
+
+
+def test_select_cluster_keepers_quality_aware(spark):
+    """Quality-aware keeper re-selection over a dedup labeling: the
+    cluster keeper moves to the best-scoring member, ties (including
+    all-unscored and NaN-scored clusters) break to min id so the
+    default min-id labeling is the all-equal special case, singletons
+    keep themselves, and cluster structure / group_size are
+    untouched."""
+    from alegre_spark.operators.dedup import select_cluster_keepers
+
+    # labeling shape straight out of dedup_corpus: clusters
+    # {1,2,3} (keeper 1), {10,11} (keeper 10), singleton {20},
+    # all-unscored {30,31}, NaN-vs-unscored {40,41}
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20),
+         (30, 30), (31, 30), (40, 40), (41, 40)],
+        "id long, keeper_id long")
+    labels = labels.join(
+        labels.groupBy("keeper_id").count()
+        .withColumnRenamed("count", "group_size"), "keeper_id") \
+        .select("id", "keeper_id",
+                (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
+                F.col("group_size").cast("int").alias("group_size"))
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9),      # tie at 0.9 -> min id 2
+         (10, 0.5),                          # 11 unscored -> 10 wins
+         (40, float("nan"))],                # NaN ties unscored -> 40
+        "id long, score double")
+
+    out = {r["id"]: (r["keeper_id"], r["is_keeper"], r["group_size"])
+           for r in select_cluster_keepers(labels, scores).collect()}
+    assert out[1] == (2, False, 3)
+    assert out[2] == (2, True, 3)
+    assert out[3] == (2, False, 3)          # 0.9 tie broke to id 2
+    assert out[10] == (10, True, 2)         # scored beats unscored
+    assert out[11] == (10, False, 2)
+    assert out[20] == (20, True, 1)         # singleton unchanged
+    assert out[30] == (30, True, 2)         # all unscored -> min id
+    assert out[31] == (30, False, 2)
+    assert out[40] == (40, True, 2)         # NaN == unscored, min id
+    assert out[41] == (40, False, 2)
+    # exactly one keeper per cluster; membership partition unchanged
+    assert sum(1 for v in out.values() if v[1]) == 5
+    assert len(out) == 10
+
+
+def test_select_cluster_keepers_composes_with_dedup(spark):
+    """End-to-end over dedup_corpus output: the near-dup cluster's
+    keeper moves from min id to the best-scoring member without
+    changing membership."""
+    from alegre_spark.operators.dedup import (dedup_corpus,
+                                              select_cluster_keepers)
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark shuffle stages " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id long, text string")
+    labels = dedup_corpus(df, "id", "text", threshold=0.6)
+    scores = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5)], "id long, score double")
+    out = {r["id"]: (r["keeper_id"], r["is_keeper"])
+           for r in select_cluster_keepers(labels, scores).collect()}
+    assert out[1] == (2, False)   # best-scored member 2 takes over
+    assert out[2] == (2, True)
+    assert out[3] == (3, True)
