@@ -25,7 +25,7 @@ composes them):
         [--bpe-merges 0] [--bpe-max-words 1000000] \
         [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048] \
         [--minhash-hashes 16 --minhash-bands 4] [--max-bucket-size B]
-        [--minhash-tune T]
+        [--minhash-tune T] [--keeper-scores /path/to/scores_parquet]
 
 The id column's REPRESENTATION is a first-order cost in the dedup
 stage: every candidate pair carries two ids through ~6 shuffles and
@@ -96,6 +96,16 @@ def main() -> None:
     ap.add_argument("--num-shards", type=int, default=1024,
                     help="hash-shuffle shards (>= 2-4x executor cores)")
     ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--keeper-scores", default=None, metavar="PARQUET",
+                    help="parquet of (<id-col>, score): re-point each "
+                         "near-dup cluster's keeper at its "
+                         "best-scoring member before filtering "
+                         "(select_cluster_keepers — RefinedWeb-style "
+                         "canonical-copy choice; produce scores "
+                         "offline, e.g. score_quality_model). Ties "
+                         "and unscored ids fall back to the default "
+                         "deterministic min-id keeper. No effect "
+                         "with --skip-dedup")
     ap.add_argument("--skip-dedup", action="store_true",
                     help="input is already deduplicated (e.g. a "
                          "corpus maintained by incremental_ingest_job "
@@ -211,6 +221,12 @@ def main() -> None:
             num_hashes=mh_hashes, bands=mh_bands,
             threshold=mh_threshold,
             max_bucket_size=args.max_bucket_size or None)
+        if args.keeper_scores:
+            from alegre_spark.operators.dedup import \
+                select_cluster_keepers
+            labels = select_cluster_keepers(
+                labels, spark.read.parquet(args.keeper_scores),
+                id_col=idc)
         df = pin(df.join(
             labels.filter("is_keeper").select(F.col("id").alias(idc)),
             idc, "left_semi").select(*carry))
