@@ -1,0 +1,86 @@
+"""Marginal cost of quality-aware keeper re-selection
+(`select_cluster_keepers`) at 1M rows — the number a writer-job user
+needs to decide whether `--keeper-scores` is worth its stage.
+
+The operator consumes ONLY (labels, scores), so the labeling is
+synthesized directly (clusters of 4 consecutive ids) instead of
+paying the full dedup chain per timing run; its cost is one id join +
+one min(struct) groupBy on the cluster label + one join back,
+independent of how the labels were made. Scores are xxhash64-derived
+doubles (distinct per id — the worst case for the aggregate: no early
+tie collapse, every cluster's keeper moves with high probability).
+
+Protocol: build labels + scores once, persist + count (materialize
+off the timed path), then time a count() over the re-selected
+labeling — warmup + median-of-3 — against a count() over the plain
+labeling as the baseline action.
+
+Usage: python tools/keeper_bench.py [n_rows] [cluster_size]
+       (defaults: 1_000_000, 4)
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from alegre_spark.operators.dedup import select_cluster_keepers  # noqa: E402
+from alegre_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    csize = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark(app_name="keeper-bench", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ids = spark.range(n).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("id"),
+        (F.col("id") - F.col("id") % csize).alias("_c"))
+    labels = (ids.select(
+        "id", F.concat(F.lit("doc_"), F.col("_c")).alias("keeper_id"))
+        .withColumn("is_keeper", F.col("id") == F.col("keeper_id"))
+        .withColumn("group_size", F.lit(csize))
+        .persist())
+    labels.count()
+    scores = (ids.select(
+        "id", (F.xxhash64("id") % 1_000_000).cast("double")
+        .alias("score")).persist())
+    scores.count()
+
+    def timed(df):
+        df.count()  # warmup (plan compile + JIT)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.count()
+            runs.append(time.perf_counter() - t0)
+        return statistics.median(runs)
+
+    base = timed(labels)
+    resel = timed(select_cluster_keepers(labels, scores))
+    moved = (select_cluster_keepers(labels, scores)
+             .join(labels.select("id",
+                                 F.col("keeper_id").alias("_old")),
+                   "id")
+             .filter("keeper_id != _old")
+             .select("keeper_id").distinct().count())
+    print(json.dumps({
+        "n_rows": n, "cluster_size": csize,
+        "baseline_count_sec": round(base, 3),
+        "reselect_count_sec": round(resel, 3),
+        "marginal_sec": round(resel - base, 3),
+        "clusters_moved": moved,
+        "clusters_total": n // csize,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
