@@ -1034,8 +1034,8 @@ def strip_frequent_lines(df: DataFrame, id_col: str = "doc_id",
                          out_col: str | None = None,
                          removed_col: str = "n_lines_removed",
                          broadcast_frequent: bool | None = None,
-                         materialize_lines: bool = False
-                         ) -> DataFrame:
+                         materialize_lines: bool = False,
+                         unit: str = "line") -> DataFrame:
     """Corpus-level boilerplate strip: delete every line whose TRIMMED
     form appears in >= `min_doc_freq` DISTINCT documents (license
     headers, codegen banners, copy-pasted notices). The line-level
@@ -1066,11 +1066,26 @@ def strip_frequent_lines(df: DataFrame, id_col: str = "doc_id",
     it carries the passthrough columns). `materialize_lines=True`
     pins the exploded lines with a localCheckpoint so the split
     happens ONCE, at the cost of caching one row per line — the same
-    trade as `span_repair.materialize_fingerprints`."""
+    trade as `span_repair.materialize_fingerprints`.
+
+    `unit="paragraph"` switches the strip granularity to
+    blank-line-separated paragraphs (split on `\\n[ \\t]*\\n+`,
+    rebuilt with a normalized `"\\n\\n"` separator) — CCNet's
+    corpus-level paragraph dedup (Wenzek 2020 §4.1 deduplicates
+    repeated paragraphs by hash across shards). Same plan shape;
+    only the split regex, the join separator, and what `removed_col`
+    counts (paragraphs, not lines) change."""
+    if unit == "line":
+        split_re, join_sep = "\n", "\n"
+    elif unit == "paragraph":
+        split_re, join_sep = r"\n[ \t]*\n+", "\n\n"
+    else:
+        raise ValueError(
+            f"unit must be 'line' or 'paragraph', got {unit!r}")
     out_col = out_col or text_col + "_clean"
     lines = df.select(
         F.col(id_col).alias("_sl_id"),
-        F.posexplode(F.split(F.col(text_col), "\n"))
+        F.posexplode(F.split(F.col(text_col), split_re))
         .alias("_pos", "_line"))
     if materialize_lines:
         lines = lines.localCheckpoint(eager=True)
@@ -1091,9 +1106,10 @@ def strip_frequent_lines(df: DataFrame, id_col: str = "doc_id",
                         F.transform(
                             F.array_sort(F.collect_list(
                                 F.struct("_pos", "_line"))),
-                            lambda s: s["_line"]), "\n").alias("_clean"),
+                            lambda s: s["_line"]), join_sep)
+                    .alias("_clean"),
                     F.count("*").alias("_n_kept")))
-    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    n_lines = F.size(F.split(F.col(text_col), split_re))
     return (df.join(rebuilt, F.col(id_col) == F.col("_sl_id"), "left")
             .withColumn(out_col,
                         F.when(F.col(text_col).isNotNull(),

@@ -86,3 +86,39 @@ def test_strip_materialize_lines_identity(corpus):
     # the pinned form reads the checkpoint, not a re-split
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan
+
+
+def test_strip_frequent_paragraphs(spark):
+    """unit='paragraph': blank-line-separated paragraphs strip on
+    corpus doc-frequency (CCNet-style), survivors rejoin with a
+    normalized blank line, and a repeated LINE inside distinct
+    paragraphs is untouched (granularity really is the paragraph)."""
+    boiler = "This project is licensed under\nthe MIT license."
+    rows = [
+        (1, boiler + "\n\ndef one():\n    return 1"),
+        (2, "intro text\n\n" + boiler + "\n\n\ndef two(): pass"),
+        (3, boiler),                     # all-boilerplate doc
+        (4, "the MIT license.\n\nunique paragraph"),  # line ⊂ para
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r for r in
+           strip_frequent_lines(df, "doc_id", "content",
+                                min_doc_freq=3,
+                                unit="paragraph").collect()}
+    assert out[1]["content_clean"] == "def one():\n    return 1"
+    # doc 2's \n\n\n separator normalizes to one blank line
+    assert out[2]["content_clean"] == "intro text\n\ndef two(): pass"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[2]["n_lines_removed"] == 1
+    assert out[3]["content_clean"] == ""
+    # a frequent paragraph's LINE appearing alone is a DIFFERENT unit
+    assert out[4]["content_clean"] == rows[3][1]
+    assert out[4]["n_lines_removed"] == 0
+    assert out[5]["content_clean"] is None
+
+
+def test_strip_unit_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, content string")
+    with pytest.raises(ValueError, match="unit"):
+        strip_frequent_lines(df, "doc_id", "content", unit="word")
