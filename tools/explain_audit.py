@@ -207,6 +207,43 @@ FORBIDDEN = {
 }
 
 
+# Library operators without a contract slot whose plan shape still
+# needs pinning — built inline over the same sf tables.
+def _keeper_reselect(spark, sf):
+    from pyspark.sql import functions as F
+
+    from alegre_spark.operators.dedup import (dedup_corpus,
+                                              select_cluster_keepers)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    labels = dedup_corpus(docs, "doc_id", "text")
+    scores = docs.select(F.col("doc_id").alias("id"),
+                         F.length("text").cast("double").alias("score"))
+    return select_cluster_keepers(labels, scores)
+
+
+def _paragraph_strip(spark, sf):
+    from alegre_spark.operators.dedup import strip_frequent_lines
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return strip_frequent_lines(docs, "doc_id", "text",
+                                min_doc_freq=5, unit="paragraph")
+
+
+EXTRAS = {
+    "x_keeper_reselect": (_keeper_reselect, [
+        ("partial_min", "best-member pick is a map-side partial "
+                        "min(struct) aggregate"),
+    ], ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "x_paragraph_strip": (_paragraph_strip, [
+        ("LeftAnti", "paragraph strip is an anti-join, same as the "
+                     "line unit"),
+        ("Generate posexplode", "paragraph explode JVM-side"),
+        ("partial_count", "doc-frequency partial-aggregated"),
+    ], ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "CartesianProduct"]),
+}
+
+
 def main():
     from alegre_spark.session import get_spark
     import __spark_entry__ as e
@@ -215,6 +252,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     sf = "/root/testdata/sf0.01"
     qs = e.queries()
+    for name, (builder, rules, forbidden) in EXTRAS.items():
+        qs[name] = builder
+        CHECKS[name] = rules
+        FORBIDDEN[name] = forbidden
     failed = 0
     for name, rules in CHECKS.items():
         plan = qs[name](spark, sf)._jdf.queryExecution() \
