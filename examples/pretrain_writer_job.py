@@ -25,7 +25,8 @@ composes them):
         [--bpe-merges 0] [--bpe-max-words 1000000] \
         [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048] \
         [--minhash-hashes 16 --minhash-bands 4] [--max-bucket-size B]
-        [--minhash-tune T] [--keeper-scores /path/to/scores_parquet]
+        [--minhash-tune T] [--keeper-scores /path/to/scores_parquet] \
+        [--strip-boilerplate DF --strip-unit line|paragraph]
 
 The id column's REPRESENTATION is a first-order cost in the dedup
 stage: every candidate pair carries two ids through ~6 shuffles and
@@ -96,6 +97,18 @@ def main() -> None:
     ap.add_argument("--num-shards", type=int, default=1024,
                     help="hash-shuffle shards (>= 2-4x executor cores)")
     ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--strip-boilerplate", type=int, default=0,
+                    metavar="DF",
+                    help="before dedup, delete every line whose "
+                         "trimmed form appears in >= DF distinct "
+                         "docs (strip_frequent_lines — license "
+                         "headers, codegen banners); rows stripped "
+                         "to empty are dropped. 0 = off")
+    ap.add_argument("--strip-unit", default="line",
+                    choices=("line", "paragraph"),
+                    help="boilerplate strip granularity: 'paragraph' "
+                         "is CCNet-style blank-line-separated "
+                         "paragraph dedup")
     ap.add_argument("--keeper-scores", default=None, metavar="PARQUET",
                     help="parquet of (<id-col>, score): re-point each "
                          "near-dup cluster's keeper at its "
@@ -172,6 +185,21 @@ def main() -> None:
         df = df.filter("keep")
     rows_in = df.count()
 
+    # 0. corpus-level boilerplate strip (before dedup: stripping
+    # changes the text the shingle/sha stages see, and un-stripped
+    # boilerplate is exactly what floods LSH bands with candidates)
+    stripped_rows = rows_in
+    if args.strip_boilerplate > 0:
+        from alegre_spark.operators.dedup import strip_frequent_lines
+        df = (strip_frequent_lines(
+                  df, idc, txc,
+                  min_doc_freq=args.strip_boilerplate,
+                  unit=args.strip_unit, out_col="_stripped")
+              .withColumn(txc, F.col("_stripped"))
+              .drop("_stripped", "n_lines_removed")
+              .filter(F.length(txc) > 0))
+        stripped_rows = df.count()
+
     # Each enabled stage below is PINNED (persist, default
     # MEMORY_AND_DISK): the job takes several actions over the same
     # chain (stage counts, the vocab write, the chunks write), and
@@ -202,7 +230,7 @@ def main() -> None:
 
     # 1. two-phase dedup: exact sha groups first, LSH near-dup on the
     # survivors; keep one representative per near-dup group
-    keepers = rows_in
+    keepers = stripped_rows
     if not args.skip_dedup:
         mh_hashes, mh_bands, mh_threshold = (
             args.minhash_hashes, args.minhash_bands, 0.8)
@@ -318,7 +346,8 @@ def main() -> None:
     agg = out.agg(F.count("*").alias("n_chunks"),
                   F.sum("chunk_n_tokens").alias("n_tokens")).first()
     print(json.dumps({
-        "rows_in": rows_in, "keepers": keepers, "clean": clean,
+        "rows_in": rows_in, "after_strip": stripped_rows,
+        "keepers": keepers, "clean": clean,
         "dsir_selected": selected, "budgeted": budgeted,
         "bpe_merges": n_merges,
         "vocab_rows": vocab.count(),
