@@ -1,0 +1,167 @@
+"""Repo-level fork/mirror detection — the code-corpus dedup step ABOVE
+file granularity. Public pipelines dedup forks before anything else
+(The Stack, Kocetkov 2022 §3: near-identical forks dominate raw
+GitHub; file-level dedup alone leaves every fork's unique files and
+re-counts the shared history), and the reference has no repo-level
+notion at all (its dedup stops at per-document sha256 identity,
+`app/main/model/image.py:78-79` by analogy).
+
+A repo is treated as the SET of its file content hashes — paths and
+commit metadata are ignored, so renames/moves between forks don't
+break the match, and a fork's similarity is exactly the Jaccard of
+file-content sets. The machinery is the corpus MinHash family one
+level up: the "shingles" are file sha256 keys instead of token
+n-grams.
+
+Scale shape (every stage bounded, same discipline as `dedup.py`):
+  items        one distinct (repo, file_key) projection;
+  signatures   one explode-free groupBy(repo) min-aggregate
+               (items ARE the exploded relation already);
+  candidates   band buckets → streaming in-bucket pair generation
+               (posexplode + suffix slice — no task holds more than
+               one bucket's repo array; `max_bucket_size` valve);
+  verify       candidate-RESTRICTED intersection: two equi-joins from
+               the (small) candidate pair set into the items relation
+               — never the items self-join on file_key, whose hot
+               keys (a README shared by 10^4 repos) would explode
+               O(k^2) co-occurrence pairs for files that no candidate
+               pair needs;
+  grouping     large-star/small-star CC, O(log n) rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def repo_file_items(files: DataFrame, repo_col: str = "repo",
+                    content_col: str = "content",
+                    content_hash_col: str | None = None) -> DataFrame:
+    """(repo, file_key) distinct — each repo's file-content-hash set.
+    `content_hash_col` reuses an existing sha256 column (the pipeline
+    carries one per row) instead of re-hashing the content; the key
+    rides as one xxhash64 long either way (64-bit collisions are
+    immaterial for SET-similarity estimation — a collision perturbs
+    one set element, not an identity decision)."""
+    src = (F.col(content_hash_col) if content_hash_col
+           else F.sha2(F.col(content_col), 256))
+    return (files.select(F.col(repo_col).alias("repo"),
+                         F.xxhash64(src).alias("file_key"))
+            .distinct())
+
+
+def set_minhash_pairs(items: DataFrame, key_col: str = "repo",
+                      item_col: str = "file_key",
+                      num_hashes: int = 16, bands: int = 4,
+                      max_bucket_size: int | None = None) -> DataFrame:
+    """Candidate pairs of keys whose ITEM SETS share an LSH band —
+    `dedup.minhash_lsh_pairs` generalized to any pre-exploded
+    (key, item) relation (there the items are text shingles produced
+    by an explode; here the relation arrives exploded, so the
+    signature is one groupBy). Returns (id_a, id_b, n_bands),
+    id_a < id_b. Same streaming in-bucket pair generation and the
+    same hot-bucket valve semantics as the text form."""
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide "
+                         f"num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+    hashes = [F.min(F.xxhash64(F.lit(i), F.col(item_col))).alias(f"h{i}")
+              for i in range(num_hashes)]
+    sig = (items.groupBy(F.col(key_col).alias("id")).agg(*hashes))
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"h{b * rows_per_band + r}")
+                              for r in range(rows_per_band)])
+                 .alias("key"))
+        for b in range(bands)
+    ]
+    index = (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+             .select("id", "bk.band", "bk.key"))
+    grouped = (index.groupBy("band", "key")
+               .agg(F.array_sort(F.collect_list("id")).alias("_ids")))
+    if max_bucket_size is not None:
+        import logging
+        n_dropped = grouped.filter(
+            F.size("_ids") > max_bucket_size).count()
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "set_minhash_pairs: dropped %d buckets larger than "
+                "max_bucket_size=%d from pair generation",
+                n_dropped, max_bucket_size)
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_size)
+    member = grouped.select(
+        F.col("_ids"), F.posexplode("_ids").alias("_i", "id_a"))
+    pairs = member.select(
+        "id_a",
+        F.explode(F.slice("_ids", F.col("_i") + 2,
+                          F.size("_ids"))).alias("id_b"))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_bands")))
+
+
+def repo_fork_groups(files: DataFrame, repo_col: str = "repo",
+                     content_col: str = "content",
+                     content_hash_col: str | None = None,
+                     threshold: float = 0.8,
+                     num_hashes: int = 16, bands: int = 4,
+                     cc_max_iter: int = 30,
+                     max_bucket_size: int | None = None) -> DataFrame:
+    """Group forked/mirrored repos by file-set Jaccard >= `threshold`.
+    Returns (repo, group_repo, is_canonical, group_size) over EVERY
+    input repo — singletons are their own canonical — where
+    `group_repo` is the group's min repo name (compose with
+    `dedup.select_cluster_keepers` on per-repo scores — stars,
+    activity — to pick a better canonical, exactly as with document
+    clusters). Candidate generation is banded, the verify reads only
+    candidate-pair intersections, and grouping closes fork chains
+    (A~B, B~C) transitively."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from .components import connected_components_star
+
+    items = repo_file_items(files, repo_col, content_col,
+                            content_hash_col)
+    # pin: signatures, candidates, and the verify all read this, and
+    # it is the product of a distinct (a shuffle) over the raw files
+    items = items.localCheckpoint(eager=True)
+    sizes = items.groupBy("repo").agg(F.count("*").alias("n"))
+
+    cands = set_minhash_pairs(items, "repo", "file_key",
+                              num_hashes, bands,
+                              max_bucket_size=max_bucket_size)
+    # candidate-restricted intersection: fan each candidate pair out
+    # to its left side's keys, then probe the right side — two
+    # equi-joins, never an items self-join on file_key
+    inter = (cands
+             .join(items.select(F.col("repo").alias("id_a"),
+                                "file_key"), "id_a")
+             .join(items.select(F.col("repo").alias("id_b"),
+                                "file_key"), ["id_b", "file_key"],
+                   "left_semi")
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("_inter")))
+    verified = (inter
+                .join(sizes.select(F.col("repo").alias("id_a"),
+                                   F.col("n").alias("_na")), "id_a")
+                .join(sizes.select(F.col("repo").alias("id_b"),
+                                   F.col("n").alias("_nb")), "id_b")
+                .withColumn("jaccard",
+                            F.col("_inter") /
+                            (F.col("_na") + F.col("_nb") -
+                             F.col("_inter")))
+                .filter(F.col("jaccard") >= threshold))
+    edges = verified.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+    cc = connected_components_star(edges, max_iter=cc_max_iter)
+    labeled = (items.select("repo").distinct()
+               .join(cc.withColumnRenamed("node", "repo"),
+                     "repo", "left")
+               .select("repo", F.coalesce("component", "repo")
+                       .alias("group_repo")))
+    counts = labeled.groupBy("group_repo").agg(
+        F.count("*").alias("group_size"))
+    return (labeled.join(counts, "group_repo")
+            .select("repo", "group_repo",
+                    (F.col("repo") == F.col("group_repo"))
+                    .alias("is_canonical"),
+                    F.col("group_size").cast("int").alias("group_size")))

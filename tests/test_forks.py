@@ -1,0 +1,83 @@
+"""Repo-level fork/mirror detection (operators/forks.py): a repo is
+the SET of its file content hashes; forks group by file-set Jaccard
+with path/metadata changes invisible to the match."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.operators.forks import (repo_file_items,
+                                          repo_fork_groups,
+                                          set_minhash_pairs)
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string")
+
+
+def test_repo_fork_groups_end_to_end(spark):
+    """Exact fork (renamed paths), near-fork (one extra file,
+    j = 10/11), and a distinct repo: forks group transitively under
+    the min repo name; the distinct repo is its own canonical."""
+    content = [f"file content number {i} with enough distinct text "
+               f"to hash uniquely {i * 31}" for i in range(12)]
+    rows = []
+    rows += [("alpha", f"src/a{i}.py", content[i]) for i in range(10)]
+    # beta: byte-identical contents, completely different paths
+    rows += [("beta", f"lib/renamed_{i}.py", content[i])
+             for i in range(10)]
+    # gamma: all ten shared + one own file -> j = 10/11 ~ 0.909
+    rows += [("gamma", f"src/a{i}.py", content[i]) for i in range(10)]
+    rows += [("gamma", "src/extra.py", content[10])]
+    rows += [("delta", "main.go", content[11])]
+    out = {r["repo"]: (r["group_repo"], r["is_canonical"],
+                       r["group_size"])
+           for r in repo_fork_groups(_files(spark, rows),
+                                     threshold=0.8).collect()}
+    assert out["alpha"] == ("alpha", True, 3)
+    assert out["beta"] == ("alpha", False, 3)
+    assert out["gamma"] == ("alpha", False, 3)
+    assert out["delta"] == ("delta", True, 1)
+
+
+def test_repo_fork_groups_threshold_excludes(spark):
+    """Below-threshold overlap (j = 5/15 = 0.33) does NOT group."""
+    content = [f"shared body text variant {i} padded {i * 17}"
+               for i in range(15)]
+    rows = [("one", f"f{i}", content[i]) for i in range(10)]
+    rows += [("two", f"f{i}", content[i]) for i in range(5, 15)]
+    out = {r["repo"]: r["is_canonical"]
+           for r in repo_fork_groups(_files(spark, rows),
+                                     threshold=0.8).collect()}
+    assert out == {"one": True, "two": True}
+
+
+def test_set_minhash_pairs_identical_sets_share_all_bands(spark):
+    items = spark.createDataFrame(
+        [("a", k) for k in range(20)] + [("b", k) for k in range(20)] +
+        [("c", k) for k in range(100, 105)],
+        "repo string, file_key long")
+    pairs = {(r["id_a"], r["id_b"]): r["n_bands"]
+             for r in set_minhash_pairs(items, num_hashes=16,
+                                        bands=4).collect()}
+    assert pairs == {("a", "b"): 4}   # identical sets: every band
+
+
+def test_repo_file_items_dedups_and_reuses_hash_col(spark):
+    df = spark.createDataFrame(
+        [("r", "a.py", "x", "h1"), ("r", "b.py", "x", "h1"),
+         ("r", "c.py", "y", "h2")],
+        "repo string, path string, content string, sha string")
+    # duplicate contents collapse to one set element
+    assert repo_file_items(df).count() == 2
+    # content_hash_col path: same cardinality, no re-hash of content
+    assert repo_file_items(df, content_hash_col="sha").count() == 2
+
+
+def test_forks_validation(spark):
+    df = _files(spark, [("r", "p", "c")])
+    with pytest.raises(ValueError, match="threshold"):
+        repo_fork_groups(df, threshold=0.0)
+    items = repo_file_items(df)
+    with pytest.raises(ValueError, match="divide"):
+        set_minhash_pairs(items, num_hashes=16, bands=5)

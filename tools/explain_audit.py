@@ -228,7 +228,41 @@ def _paragraph_strip(spark, sf):
                                 min_doc_freq=5, unit="paragraph")
 
 
+def _fork_docs(spark, sf):
+    from pyspark.sql import functions as F
+    return (spark.read.parquet(f"{sf}/documents.parquet")
+            .select(F.col("source").alias("repo"),
+                    F.col("doc_id").cast("string").alias("path"),
+                    F.col("text").alias("content")))
+
+
+def _fork_candidates(spark, sf):
+    # the pre-CC subtree: repo_fork_groups' final plan reads
+    # ExistingRDD (the CC loop localCheckpoints at plan build), so
+    # the signature/banding shape is asserted on the candidate stage
+    from alegre_spark.operators.forks import (repo_file_items,
+                                              set_minhash_pairs)
+    return set_minhash_pairs(
+        repo_file_items(_fork_docs(spark, sf)))
+
+
+def _fork_groups(spark, sf):
+    from alegre_spark.operators.forks import repo_fork_groups
+    return repo_fork_groups(_fork_docs(spark, sf), threshold=0.8)
+
+
 EXTRAS = {
+    "x_fork_candidates": (_fork_candidates, [
+        ("partial_min", "set-minhash signature is a map-side partial "
+                        "min aggregate"),
+        ("Generate posexplode", "in-bucket pair generation streams "
+                                "(one row per member, not one array "
+                                "per bucket)"),
+    ], ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "x_fork_groups": (_fork_groups, [], [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "CartesianProduct", "BroadcastNestedLoopJoin"]),
     "x_keeper_reselect": (_keeper_reselect, [
         ("partial_min", "best-member pick is a map-side partial "
                         "min(struct) aggregate"),
