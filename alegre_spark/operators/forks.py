@@ -110,10 +110,17 @@ def repo_fork_groups(files: DataFrame, repo_col: str = "repo",
     """Group forked/mirrored repos by file-set Jaccard >= `threshold`.
     Returns (repo, group_repo, is_canonical, group_size) over EVERY
     input repo — singletons are their own canonical — where
-    `group_repo` is the group's min repo name (compose with
-    `dedup.select_cluster_keepers` on per-repo scores — stars,
-    activity — to pick a better canonical, exactly as with document
-    clusters). Candidate generation is banded, the verify reads only
+    `group_repo` is the group's min repo name. To pick a better
+    canonical from per-repo scores (stars, activity), rename into the
+    document-cluster contract and reuse
+    `dedup.select_cluster_keepers` (pinned in
+    tests/test_forks.py::test_fork_groups_compose_with_scored_keepers):
+
+        select_cluster_keepers(
+            groups.select(F.col("repo").alias("id"),
+                          F.col("group_repo").alias("keeper_id"),
+                          "group_size"),
+            repo_scores, id_col="repo") Candidate generation is banded, the verify reads only
     candidate-pair intersections, and grouping closes fork chains
     (A~B, B~C) transitively."""
     if not 0.0 < threshold <= 1.0:

@@ -81,3 +81,31 @@ def test_forks_validation(spark):
     items = repo_file_items(df)
     with pytest.raises(ValueError, match="divide"):
         set_minhash_pairs(items, num_hashes=16, bands=5)
+
+
+def test_fork_groups_compose_with_scored_keepers(spark):
+    """Fork groups re-pointed at the best-scored repo (stars,
+    activity) via select_cluster_keepers, through the documented
+    rename into the document-cluster contract."""
+    from alegre_spark.operators.dedup import select_cluster_keepers
+
+    content = [f"module body {i} with unique text {i * 13}"
+               for i in range(10)]
+    rows = [("upstream", f"f{i}", content[i]) for i in range(10)]
+    rows += [("aaa-mirror", f"f{i}", content[i]) for i in range(10)]
+    groups = repo_fork_groups(_files(spark, rows), threshold=0.8)
+    # min-name default: the mirror (sorts first) is canonical
+    assert {r["repo"]: r["is_canonical"] for r in groups.collect()} \
+        == {"aaa-mirror": True, "upstream": False}
+    scores = spark.createDataFrame(
+        [("upstream", 500.0), ("aaa-mirror", 3.0)],
+        "repo string, score double")
+    scored = select_cluster_keepers(
+        groups.select(F.col("repo").alias("id"),
+                      F.col("group_repo").alias("keeper_id"),
+                      "group_size"),
+        scores, id_col="repo")
+    out = {r["id"]: (r["keeper_id"], r["is_keeper"], r["group_size"])
+           for r in scored.collect()}
+    assert out["upstream"] == ("upstream", True, 2)
+    assert out["aaa-mirror"] == ("upstream", False, 2)
