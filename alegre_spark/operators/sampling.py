@@ -317,3 +317,74 @@ def mix_corpora(sources: dict, weights: dict, target_tokens: int,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def temperature_budgets(df: DataFrame, strata_col: str,
+                        total_budget: int, token_col: str,
+                        alpha: float = 0.3) -> dict:
+    """Per-stratum token budgets by EXPONENTIATED SMOOTHING — the
+    published multilingual rebalancing scheme (XLM, Conneau & Lample
+    2019 §3.1; mBERT; T5 §3.3.1): stratum i gets a share of
+    `total_budget` proportional to n_i^alpha, where n_i is its token
+    count. alpha=1 is proportional (no rebalancing); alpha->0 is
+    uniform; the published sweet spot for language mixing is 0.2-0.7.
+    Upsampling is out of scope — a share can exceed n_i, and
+    `stratified_token_budget` then honestly delivers what exists (use
+    `mix_corpora` for epoch-repeat upsampling).
+
+    Returns {stratum_value: int_budget} summing EXACTLY to
+    total_budget (largest-remainder allocation in integer math,
+    deterministic tie-break by stratum value), ready to pass as the
+    `budget` dict of `stratified_token_budget`. NULL strata are
+    excluded (the budget-dict filter drops them anyway — "unlisted
+    strata dropped").
+
+    Scale shape: ONE partial-aggregated groupBy(strata_col) whose
+    result is one row per stratum — a bounded driver collect for any
+    real corpus (languages, sources: O(10^2-10^3) strata). The
+    allocation itself is driver-side integer arithmetic."""
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    rows = (df.filter(F.col(strata_col).isNotNull())
+            .groupBy(strata_col)
+            .agg(F.sum(F.coalesce(F.col(token_col).cast("long"),
+                                  F.lit(0))).alias("_n"))
+            .collect())
+    counts = {r[0]: r["_n"] for r in rows if r["_n"] and r["_n"] > 0}
+    if not counts:
+        return {}
+    shares = {v: float(n) ** alpha for v, n in counts.items()}
+    total_s = sum(shares.values())
+    # largest-remainder: floors first, then +1 to the largest
+    # fractional remainders (ties broken by stratum value) until the
+    # budgets sum exactly to total_budget
+    quotas = {v: total_budget * s / total_s for v, s in shares.items()}
+    budgets = {v: int(q) for v, q in quotas.items()}
+    leftover = total_budget - sum(budgets.values())
+    order = sorted(quotas, key=lambda v: (-(quotas[v] - budgets[v]),
+                                          str(v)))
+    for v in order[:leftover]:
+        budgets[v] += 1
+    return budgets
+
+
+def temperature_sample(df: DataFrame, strata_col: str,
+                       total_budget: int, token_col: str,
+                       key_cols: list, alpha: float = 0.3,
+                       seed: int = 0,
+                       salt_buckets: int = 1) -> DataFrame:
+    """`temperature_budgets` composed with `stratified_token_budget`:
+    one bounded aggregate to size the quotas, one stratified window
+    pass to enforce them. Deterministic end to end — budgets are a
+    pure function of corpus totals, membership a pure function of row
+    content. A dominant-language corpus should pass salt_buckets>1
+    (the mega-stratum valve documented on stratified_token_budget)."""
+    budgets = temperature_budgets(df, strata_col, total_budget,
+                                  token_col, alpha)
+    if not budgets:
+        return df.limit(0)
+    return stratified_token_budget(df, [strata_col], budgets,
+                                   token_col, key_cols, seed=seed,
+                                   salt_buckets=salt_buckets)

@@ -22,6 +22,7 @@ composes them):
         [--eval-set /path/to/eval_parquet] [--contam-n 13] \
         [--dsir-target /path/to/target_parquet --dsir-keep K] \
         [--token-budget N_PER_LANG] [--salt-buckets 16] \
+        [--mix-alpha 0.3] \
         [--bpe-merges 0] [--bpe-max-words 1000000] \
         [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048] \
         [--minhash-hashes 16 --minhash-bands 4] [--max-bucket-size B]
@@ -89,6 +90,13 @@ def main() -> None:
                          "(0 = keep everything)")
     ap.add_argument("--salt-buckets", type=int, default=16,
                     help="mega-stratum salting for the budget window")
+    ap.add_argument("--mix-alpha", type=float, default=0.0,
+                    help="with --token-budget: treat the budget as "
+                         "the corpus TOTAL and split it per language "
+                         "by exponentiated smoothing n^alpha (the "
+                         "XLM/T5 temperature-mixing scheme; one "
+                         "bounded aggregate sizes the quotas). "
+                         "0 = off (budget is per-language)")
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="learn this many BPE merges and pack subword "
                          "ids (0 = whitespace tokens)")
@@ -298,8 +306,15 @@ def main() -> None:
     # resumes and cluster sizes)
     budgeted = selected
     if args.token_budget > 0:
+        budget = args.token_budget
+        if args.mix_alpha > 0:
+            from alegre_spark.operators.sampling import (
+                temperature_budgets)
+            budget = temperature_budgets(
+                df, args.lang_col, args.token_budget, "_n_tokens",
+                alpha=args.mix_alpha)
         df = pin(stratified_token_budget(
-            df, [args.lang_col], args.token_budget, "_n_tokens",
+            df, [args.lang_col], budget, "_n_tokens",
             key_cols=[idc], salt_buckets=args.salt_buckets)
             .select(idc, "_toks"))
         budgeted = df.count()

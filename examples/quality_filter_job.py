@@ -8,6 +8,7 @@
         --output /path/to/out_dir \
         [--salt-buckets 4096] [--max-perplexity 1e4] [--require-language]
         [--slur-lexicon words.txt] [--flag-entropy] [--scrub-ipv6]
+        [--path-gate]
         [--quality-model model.json [--model-keep-alpha 9]]
 
 Under spark-submit pass `--driver-memory` explicitly for local-mode
@@ -54,6 +55,14 @@ def main() -> None:
                          "code — see scrub.py's documented acceptance "
                          "heuristic. Forks the run_id (changes "
                          "scrubbed output, not decisions)")
+    ap.add_argument("--path-gate", action="store_true",
+                    help="annotate rows with linguist-style path "
+                         "conventions (path_drop_reasons/path_keep "
+                         "for vendored dirs, minified bundles, "
+                         "lockfiles, codegen suffixes). Pure "
+                         "Catalyst; keep/drop decisions are "
+                         "unaffected — downstream filters on "
+                         "path_keep")
     ap.add_argument("--flag-entropy", action="store_true",
                     help="annotate rows with detect-secrets-style "
                          "high-entropy flags (entropy_hits/_max/"
@@ -87,11 +96,15 @@ def main() -> None:
     files = spark.read.parquet(args.input)
 
     extra_columns: tuple[str, ...] = ()
+    if args.path_gate:
+        from alegre_spark.functions.code_quality import with_path_gate
+        files = with_path_gate(files)
+        extra_columns = ("path_drop_reasons", "path_keep")
     if args.flag_entropy:
         from alegre_spark.functions.scrub import with_entropy_flags
         files = with_entropy_flags(files)
-        extra_columns = ("entropy_hits", "entropy_max",
-                         "entropy_examples")
+        extra_columns += ("entropy_hits", "entropy_max",
+                          "entropy_examples")
 
     if args.quality_model:
         from alegre_spark.functions.quality_model import (pareto_keep,

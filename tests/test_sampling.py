@@ -295,3 +295,71 @@ def test_token_budget_salted_rejects_bad_salt(spark):
     with pytest.raises(ValueError):
         stratified_token_budget(_mega(spark, 10), ["stratum"], 10,
                                 "n_tok", ["id"], salt_buckets=0)
+
+
+def _temp_corpus(spark):
+    # three languages with strongly skewed token mass: en 8000,
+    # fr 1500, io 300 (plus a NULL stratum that must get no budget)
+    rows = []
+    for i in range(80):
+        rows.append((f"en{i}", "en", 100))
+    for i in range(30):
+        rows.append((f"fr{i}", "fr", 50))
+    for i in range(10):
+        rows.append((f"io{i}", "io", 30))
+    rows.append(("x0", None, 1000))
+    return spark.createDataFrame(rows, "id string, lang string, n_tok int")
+
+
+def test_temperature_budgets_sum_and_direction(spark):
+    from alegre_spark.operators.sampling import temperature_budgets
+    df = _temp_corpus(spark)
+    b1 = temperature_budgets(df, "lang", 1000, "n_tok", alpha=1.0)
+    # alpha=1 is proportional: shares of 8000/1500/300
+    assert sum(b1.values()) == 1000 and None not in b1
+    assert b1 == {"en": 816, "fr": 153, "io": 31}
+    b3 = temperature_budgets(df, "lang", 1000, "n_tok", alpha=0.3)
+    assert sum(b3.values()) == 1000
+    # smoothing moves budget from the head to the tail, never past
+    # uniform: en share shrinks toward 1/3, io grows toward 1/3
+    assert b3["en"] < b1["en"] and b3["io"] > b1["io"]
+    assert b3["en"] > 1000 // 3 > b3["io"]
+    # deterministic: same inputs, same dict
+    assert b3 == temperature_budgets(df, "lang", 1000, "n_tok",
+                                     alpha=0.3)
+
+
+def test_temperature_budgets_validation(spark):
+    import pytest
+    from alegre_spark.operators.sampling import temperature_budgets
+    df = _temp_corpus(spark)
+    with pytest.raises(ValueError):
+        temperature_budgets(df, "lang", 0, "n_tok")
+    with pytest.raises(ValueError):
+        temperature_budgets(df, "lang", 10, "n_tok", alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_budgets(df, "lang", 10, "n_tok", alpha=1.5)
+    # empty / all-NULL-stratum corpus -> empty dict
+    empty = df.filter("lang is null")
+    assert temperature_budgets(empty, "lang", 10, "n_tok") == {}
+
+
+def test_temperature_sample_delivers_budgets(spark):
+    from alegre_spark.operators.sampling import (temperature_budgets,
+                                                 temperature_sample)
+    df = _temp_corpus(spark)
+    out = temperature_sample(df, "lang", 1000, "n_tok", ["id"],
+                             alpha=0.3).collect()
+    budgets = temperature_budgets(df, "lang", 1000, "n_tok", alpha=0.3)
+    got = {}
+    for r in out:
+        got[r["lang"]] = got.get(r["lang"], 0) + r["n_tok"]
+    # floor semantics: delivered >= budget, overshoot < one doc
+    for lang, b in budgets.items():
+        assert b <= got[lang] < b + 101, lang
+    assert None not in got  # NULL stratum dropped
+    # empty corpus short-circuits to an empty frame, schema intact
+    empty = temperature_sample(df.filter("lang is null"), "lang",
+                               1000, "n_tok", ["id"])
+    assert empty.count() == 0
+    assert empty.columns == df.columns
