@@ -8,7 +8,7 @@
         --output /path/to/out_dir \
         [--salt-buckets 4096] [--max-perplexity 1e4] [--require-language]
         [--slur-lexicon words.txt] [--flag-entropy] [--scrub-ipv6]
-        [--path-gate]
+        [--path-gate] [--license-gate]
         [--quality-model model.json [--model-keep-alpha 9]]
 
 Under spark-submit pass `--driver-memory` explicitly for local-mode
@@ -63,6 +63,12 @@ def main() -> None:
                          "Catalyst; keep/drop decisions are "
                          "unaffected — downstream filters on "
                          "path_keep")
+    ap.add_argument("--license-gate", action="store_true",
+                    help="annotate rows with the repo's majority "
+                         "SPDX license and a permissive-allow-list "
+                         "verdict (repo_license/repo_license_keep). "
+                         "One bounded repo-dim aggregate + join; "
+                         "keep/drop decisions are unaffected")
     ap.add_argument("--flag-entropy", action="store_true",
                     help="annotate rows with detect-secrets-style "
                          "high-entropy flags (entropy_hits/_max/"
@@ -100,6 +106,18 @@ def main() -> None:
         from alegre_spark.functions.code_quality import with_path_gate
         files = with_path_gate(files)
         extra_columns = ("path_drop_reasons", "path_keep")
+    if args.license_gate:
+        from pyspark.sql import functions as F
+
+        from alegre_spark.functions.code_quality import (SPDX_PATTERN,
+                                                         repo_license_gate)
+        if "spdx_id" not in files.columns:
+            files = files.withColumn(
+                "spdx_id", F.when(F.col("content").isNotNull(),
+                                  F.regexp_extract("content",
+                                                   SPDX_PATTERN, 1)))
+        files = repo_license_gate(files)
+        extra_columns += ("repo_license", "repo_license_keep")
     if args.flag_entropy:
         from alegre_spark.functions.scrub import with_entropy_flags
         files = with_entropy_flags(files)
