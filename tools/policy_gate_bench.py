@@ -1,0 +1,97 @@
+"""Marginal cost of the corpus-policy gates at 1M files —
+`with_path_gate` (pure-Catalyst path predicates) and
+`repo_license_gate` (repo-dim majority vote + join back), the numbers
+a quality-job user needs to decide whether `--path-gate` /
+`--license-gate` are worth their stages.
+
+Both operators consume narrow columns only (path / repo+spdx_id), so
+the corpus is synthesized at exactly that shape: 10k repos x 100
+files, ~1/13 of paths hitting a planted convention (vendored dir,
+minified name, lockfile basename, codegen suffix cycling), and ~1/3
+of files declaring an SPDX id drawn per-repo so every repo has a
+clear majority. Protocol per repo convention: persist + count the
+input off the timed path, then warmup + median-of-3 of a count()
+over the gated frame vs a count() over the raw frame.
+
+Usage: python tools/policy_gate_bench.py [n_rows] [files_per_repo]
+       (defaults: 1_000_000, 100)
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from alegre_spark.functions.code_quality import (  # noqa: E402
+    repo_license_gate, with_path_gate)
+from alegre_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    per_repo = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark(app_name="policy-gate-bench", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    planted = F.element_at(
+        F.array(F.lit("vendor/lib/a.c"),
+                F.lit("dist/app.min.js"),
+                F.lit("package-lock.json"),
+                F.lit("gen/schema_pb2.py")),
+        (F.col("id") % 4 + 1).cast("int"))
+    path = F.when(F.col("id") % 13 == 0, planted).otherwise(
+        F.concat(F.lit("src/mod_"), F.col("id"), F.lit(".py")))
+    # per-repo license lean: repos cycle MIT / Apache-2.0 / GPL-3.0-only,
+    # ~1/3 of files declare; a minority dissenting vote every 7th file
+    repo_id = (F.col("id") / per_repo).cast("long")
+    lean = F.element_at(
+        F.array(F.lit("MIT"), F.lit("Apache-2.0"),
+                F.lit("GPL-3.0-only")),
+        (repo_id % 3 + 1).cast("int"))
+    spdx = F.when(F.col("id") % 3 == 0,
+                  F.when(F.col("id") % 7 == 0, F.lit("BSD-3-Clause"))
+                  .otherwise(lean)).otherwise(F.lit(""))
+    files = (spark.range(n).select(
+        F.concat(F.lit("repo_"), repo_id).alias("repo"),
+        path.alias("path"), spdx.alias("spdx_id")).persist())
+    files.count()
+
+    def timed(df):
+        df.count()  # warmup (plan compile + JIT)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.count()
+            runs.append(time.perf_counter() - t0)
+        return statistics.median(runs)
+
+    base = timed(files)
+    t_path = timed(with_path_gate(files))
+    t_lic = timed(repo_license_gate(files))
+
+    gated = with_path_gate(files)
+    n_dropped = gated.filter(~F.col("path_keep")).count()
+    lic = repo_license_gate(files)
+    n_kept_lic = lic.filter(F.col("repo_license_keep")).count()
+
+    print(json.dumps({
+        "n_rows": n, "n_repos": n // per_repo,
+        "baseline_count_s": round(base, 3),
+        "path_gate_s": round(t_path, 3),
+        "path_gate_marginal_s": round(t_path - base, 3),
+        "path_dropped": n_dropped,
+        "license_gate_s": round(t_lic, 3),
+        "license_gate_marginal_s": round(t_lic - base, 3),
+        "license_kept_rows": n_kept_lic,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
