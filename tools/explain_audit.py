@@ -251,6 +251,21 @@ def _fork_groups(spark, sf):
     return repo_fork_groups(_fork_docs(spark, sf), threshold=0.8)
 
 
+def _path_gate(spark, sf):
+    from alegre_spark.functions.code_quality import with_path_gate
+    return with_path_gate(_fork_docs(spark, sf))
+
+
+def _license_gate(spark, sf):
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.code_quality import (SPDX_PATTERN,
+                                                     repo_license_gate)
+    docs = _fork_docs(spark, sf).withColumn(
+        "spdx_id", F.regexp_extract("content", SPDX_PATTERN, 1))
+    return repo_license_gate(docs)
+
+
 EXTRAS = {
     "x_fork_candidates": (_fork_candidates, [
         ("partial_min", "set-minhash signature is a map-side partial "
@@ -275,6 +290,19 @@ EXTRAS = {
         ("partial_count", "doc-frequency partial-aggregated"),
     ], ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "CartesianProduct"]),
+    # path gate: four per-row predicates, nothing else — any Exchange
+    # or Python node means the "prune before content decode" promise
+    # is broken
+    "x_path_gate": (_path_gate, [], [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "CartesianProduct", "BroadcastNestedLoopJoin", "Exchange"]),
+    "x_license_gate": (_license_gate, [
+        ("partial_count", "per-(repo,license) vote tally is "
+                          "partial-aggregated"),
+        ("partial_min", "majority vote is a map-side partial "
+                        "min(struct) aggregate"),
+    ], ["ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
