@@ -1,0 +1,125 @@
+"""Corpus data-card report — the one-page summary a curation run
+hands off with its output (the "datasheet" practice of Gebru 2018 /
+The Stack's dataset cards; the reference has no corpus-level
+reporting surface at all — its closest analog is the per-request ES
+count in `app/main/lib/similarity.py`).
+
+Two inputs, two cost profiles:
+
+- the METRICS table (`{out}/metrics`) is already the per-bucket
+  rollup the lineage layer commits — O(salt_buckets) rows per run —
+  so run totals, drop-reason and scrub-category breakdowns are a
+  driver-cheap re-aggregation of commit markers, no corpus scan.
+  Rows are grouped by `run_id`: an output dir that accumulated
+  several configs reports each run separately instead of silently
+  double-counting.
+- the FILTERED table profile is one pass of mergeable sketches
+  (HLL distinct, GK quantiles — `operators/stats.py`) plus one
+  groupBy over the bounded language dimension. At 10^12 rows that
+  is the same shape as any other aggregate in this repo: partial
+  map-side sketches, one reduce, no Python, no driver data beyond
+  the language dim.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.stats import corpus_stats, per_group_stats
+
+
+def summarize_metrics(metrics: DataFrame) -> list[dict]:
+    """Per-run totals from the commit markers: bucket count, row
+    totals, merged drop-reason map, merged scrub-category map.
+    Map merging explodes the bounded per-bucket maps and re-sums per
+    key — the key domains (rule names, scrub categories) are
+    compile-time small, so each merge is one tiny aggregation."""
+    totals = (metrics.groupBy("run_id")
+              .agg(F.count("*").alias("n_buckets"),
+                   F.sum("input_rows").alias("input_rows"),
+                   F.sum("kept_rows").alias("kept_rows"),
+                   F.sum("dropped_rows").alias("dropped_rows"),
+                   F.sum("scrub_hits").alias("scrub_hits")))
+
+    def _merged_map(col: str) -> DataFrame:
+        return (metrics
+                .select("run_id", F.explode_outer(col).alias("k", "v"))
+                .filter(F.col("k").isNotNull())
+                .groupBy("run_id", "k").agg(F.sum("v").alias("n"))
+                .groupBy("run_id")
+                .agg(F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("k", "n"))))
+                    .alias(col)))
+
+    out = (totals
+           .join(_merged_map("drop_reasons"), "run_id", "left")
+           .join(_merged_map("scrub_by_category"), "run_id", "left"))
+    return [{
+        "run_id": r["run_id"],
+        "n_buckets": r["n_buckets"],
+        "input_rows": r["input_rows"],
+        "kept_rows": r["kept_rows"],
+        "dropped_rows": r["dropped_rows"],
+        "keep_rate": round(r["kept_rows"] / r["input_rows"], 6)
+        if r["input_rows"] else None,
+        "scrub_hits": r["scrub_hits"],
+        "drop_reasons": dict(r["drop_reasons"] or {}),
+        "scrub_by_category": dict(r["scrub_by_category"] or {}),
+    } for r in out.collect()]
+
+
+def profile_filtered(filtered: DataFrame, text_col: str = "content",
+                     lang_col: str = "language",
+                     rsd: float = 0.02) -> dict:
+    """Kept-set profile: global sketch stats, perplexity quantiles
+    (when the pipeline annotated them), and the per-language table
+    with token mass — the numbers a `temperature_budgets` /
+    `mix_corpora` caller sizes quotas from."""
+    kept = filtered.filter("keep")
+    g = corpus_stats(kept, text_col=text_col).first()
+    prof = {
+        "kept_rows": g["n_rows"],
+        "approx_repos": g["approx_repos"],
+        "approx_distinct_contents": g["approx_distinct_contents"],
+        "len_p50_p90_p99": list(g["len_p50_p90_p99"] or []),
+        "len_max": g["len_max"],
+        "avg_tokens": g["avg_tokens"],
+    }
+    if "perplexity" in kept.columns:
+        ppl = kept.agg(F.percentile_approx(
+            "perplexity", [0.5, 0.9, 0.99], 10_000)).first()[0]
+        prof["perplexity_p50_p90_p99"] = [
+            round(v, 4) for v in ppl] if ppl else None
+    n_tokens = F.size(F.split(F.col(text_col), r"\s+"))
+    langs = (per_group_stats(kept, lang_col, text_col=text_col)
+             .join(kept.groupBy(lang_col)
+                   .agg(F.sum(n_tokens).alias("approx_tokens")),
+                   lang_col)
+             .orderBy(F.desc("n_rows")))
+    prof["languages"] = [{
+        "language": r[lang_col], "n_rows": r["n_rows"],
+        "approx_distinct_contents": r["approx_distinct_contents"],
+        "len_p50": r["len_p50"], "approx_tokens": r["approx_tokens"],
+    } for r in langs.collect()]
+    return prof
+
+
+def build_report(spark: SparkSession, out_dir: str,
+                 text_col: str = "content") -> dict:
+    """Data card for a `run_with_resume` output directory: per-run
+    lineage totals + kept-set profile. Raises if the directory has
+    no metrics table (nothing ever committed = nothing to report);
+    an output dir whose runs kept zero rows still reports (empty
+    filtered table -> zeroed profile)."""
+    metrics = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    runs = summarize_metrics(metrics)
+    from pyspark.errors import AnalysisException
+    try:
+        filtered = spark.read.parquet(os.path.join(out_dir, "filtered"))
+        profile = profile_filtered(filtered, text_col=text_col)
+    except AnalysisException:
+        profile = {"kept_rows": 0, "languages": []}
+    return {"output": out_dir, "runs": runs, "filtered": profile}

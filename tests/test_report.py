@@ -1,0 +1,83 @@
+"""Data-card report: run totals must re-derive exactly from the
+filtered table, maps must merge across buckets, and multiple runs in
+one output dir must stay separate."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from alegre_spark.corpus import generate_corpus
+from alegre_spark.lineage import run_with_resume
+from alegre_spark.pipeline import PipelineConfig
+from alegre_spark.report import build_report, summarize_metrics
+
+
+@pytest.fixture(scope="module")
+def report_dir(spark):
+    d = tempfile.mkdtemp()
+    files = generate_corpus(spark, 300, partitions=8)
+    run_with_resume(spark, files, d, PipelineConfig(salt_buckets=16))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_report_totals_match_filtered(spark, report_dir):
+    rep = build_report(spark, report_dir)
+    filtered = spark.read.parquet(f"{report_dir}/filtered")
+    assert len(rep["runs"]) == 1
+    run = rep["runs"][0]
+    assert run["input_rows"] == 300 == filtered.count()
+    kept = filtered.filter("keep").count()
+    assert run["kept_rows"] == kept == rep["filtered"]["kept_rows"]
+    assert run["kept_rows"] + run["dropped_rows"] == 300
+    assert run["keep_rate"] == round(kept / 300, 6)
+    # drop-reason map re-derives from the row-level column
+    reasons = {r["drop_reason"]: r["n"] for r in
+               filtered.filter(~F.col("keep"))
+               .groupBy("drop_reason").agg(F.count("*").alias("n"))
+               .collect()}
+    assert run["drop_reasons"] == reasons and reasons
+    # scrub totals re-derive the same way
+    scrub_total = filtered.agg(F.sum(F.aggregate(
+        F.map_values("scrub_counts"), F.lit(0),
+        lambda a, x: a + x))).first()[0]
+    assert run["scrub_hits"] == scrub_total
+    assert sum(run["scrub_by_category"].values()) == scrub_total
+
+
+def test_report_language_profile(spark, report_dir):
+    rep = build_report(spark, report_dir)
+    prof = rep["filtered"]
+    langs = {row["language"]: row for row in prof["languages"]}
+    filtered = spark.read.parquet(f"{report_dir}/filtered")
+    expected = {r["language"]: r["n"] for r in
+                filtered.filter("keep").groupBy("language")
+                .agg(F.count("*").alias("n")).collect()}
+    assert {k: v["n_rows"] for k, v in langs.items()} == expected
+    # ordered by size, token mass positive, quantiles present
+    sizes = [row["n_rows"] for row in prof["languages"]]
+    assert sizes == sorted(sizes, reverse=True)
+    assert all(row["approx_tokens"] > 0 for row in prof["languages"])
+    assert len(prof["len_p50_p90_p99"]) == 3
+    assert prof["perplexity_p50_p90_p99"] is not None
+
+
+def test_report_separates_runs(spark, report_dir):
+    # a second config in the same dir forks the run_id; the report
+    # must NOT sum across runs
+    files = generate_corpus(spark, 300, partitions=8)
+    run_with_resume(spark, files, report_dir,
+                    PipelineConfig(salt_buckets=16,
+                                   max_perplexity=123.0))
+    metrics = spark.read.parquet(f"{report_dir}/metrics")
+    runs = summarize_metrics(metrics)
+    assert len(runs) == 2
+    assert all(r["input_rows"] == 300 for r in runs)
+    assert len({r["run_id"] for r in runs}) == 2
+
+
+def test_report_is_json_serializable(spark, report_dir):
+    import json
+    json.dumps(build_report(spark, report_dir))

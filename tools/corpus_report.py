@@ -1,0 +1,29 @@
+"""Print the data-card report for a quality-filter output directory.
+
+Usage: python tools/corpus_report.py /path/to/out_dir
+       (the dir `run_with_resume` / quality_filter_job wrote:
+        {out}/filtered + {out}/metrics)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from alegre_spark.report import build_report  # noqa: E402
+from alegre_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    if len(sys.argv) != 2:
+        sys.exit(__doc__)
+    spark = get_spark(app_name="corpus-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(build_report(spark, sys.argv[1]), indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
