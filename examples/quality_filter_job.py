@@ -8,7 +8,7 @@
         --output /path/to/out_dir \
         [--salt-buckets 4096] [--max-perplexity 1e4] [--require-language]
         [--slur-lexicon words.txt] [--flag-entropy] [--scrub-ipv6]
-        [--path-gate] [--license-gate]
+        [--path-gate] [--license-gate] [--flag-lang-mismatch]
         [--quality-model model.json [--model-keep-alpha 9]]
 
 Under spark-submit pass `--driver-memory` explicitly for local-mode
@@ -63,6 +63,12 @@ def main() -> None:
                          "Catalyst; keep/drop decisions are "
                          "unaffected — downstream filters on "
                          "path_keep")
+    ap.add_argument("--flag-lang-mismatch", action="store_true",
+                    help="annotate rows whose path extension "
+                         "contradicts the claimed lang column "
+                         "(lang_mismatch boolean; NULL = unknown "
+                         "extension, no verdict). One codegen map "
+                         "lookup; decisions unaffected")
     ap.add_argument("--license-gate", action="store_true",
                     help="annotate rows with the repo's majority "
                          "SPDX license and a permissive-allow-list "
@@ -106,6 +112,11 @@ def main() -> None:
         from alegre_spark.functions.code_quality import with_path_gate
         files = with_path_gate(files)
         extra_columns = ("path_drop_reasons", "path_keep")
+    if args.flag_lang_mismatch:
+        from alegre_spark.functions.code_quality import (
+            with_lang_consistency)
+        files = with_lang_consistency(files)
+        extra_columns += ("lang_mismatch",)
     if args.license_gate:
         from pyspark.sql import functions as F
 
