@@ -123,3 +123,59 @@ def build_report(spark: SparkSession, out_dir: str,
     except AnalysisException:
         profile = {"kept_rows": 0, "languages": []}
     return {"output": out_dir, "runs": runs, "filtered": profile}
+
+
+def compare_profiles(before: dict, after: dict) -> dict:
+    """Drift between two kept-set profiles (`profile_filtered` /
+    `build_report()['filtered']` dicts — i.e. two saved data cards:
+    pre- vs post-filter, or two corpus snapshots). Pure dict math, no
+    Spark: cards are tiny and diffing saved JSON must not need a
+    cluster.
+
+    Reports row/token deltas per language (languages present on one
+    side only show with the other side zeroed) and the Jensen-Shannon
+    divergence of the language TOKEN distribution — symmetric and
+    finite on disjoint supports (KL is not), 0 = identical mix,
+    ln 2 ≈ 0.693 = fully disjoint. A monitoring caller alerts on
+    jsd above a chosen threshold."""
+    import math
+
+    def _tokens(prof):
+        return {row["language"]: row["approx_tokens"]
+                for row in prof.get("languages", [])}
+
+    def _rows(prof):
+        return {row["language"]: row["n_rows"]
+                for row in prof.get("languages", [])}
+
+    tb, ta = _tokens(before), _tokens(after)
+    rb, ra = _rows(before), _rows(after)
+    langs = sorted(set(tb) | set(ta), key=str)
+    per_lang = [{
+        "language": lang,
+        "rows_before": rb.get(lang, 0), "rows_after": ra.get(lang, 0),
+        "tokens_before": tb.get(lang, 0),
+        "tokens_after": ta.get(lang, 0),
+    } for lang in langs]
+
+    sb, sa = float(sum(tb.values())), float(sum(ta.values()))
+    jsd = None
+    if sb > 0 and sa > 0:
+        jsd = 0.0
+        for lang in langs:
+            p = tb.get(lang, 0) / sb
+            q = ta.get(lang, 0) / sa
+            m = (p + q) / 2
+            if p:
+                jsd += p / 2 * math.log(p / m)
+            if q:
+                jsd += q / 2 * math.log(q / m)
+        jsd = round(jsd, 6)
+
+    return {
+        "rows_before": before.get("kept_rows"),
+        "rows_after": after.get("kept_rows"),
+        "tokens_before": int(sb), "tokens_after": int(sa),
+        "language_jsd": jsd,
+        "languages": per_lang,
+    }

@@ -81,3 +81,32 @@ def test_report_separates_runs(spark, report_dir):
 def test_report_is_json_serializable(spark, report_dir):
     import json
     json.dumps(build_report(spark, report_dir))
+
+
+def test_compare_profiles_identity_and_shift():
+    from alegre_spark.report import compare_profiles
+    base = {"kept_rows": 100, "languages": [
+        {"language": "en", "n_rows": 80, "approx_tokens": 8000},
+        {"language": "fr", "n_rows": 20, "approx_tokens": 2000},
+    ]}
+    same = compare_profiles(base, base)
+    assert same["language_jsd"] == 0.0
+    assert same["tokens_before"] == same["tokens_after"] == 10000
+    # a language vanishing entirely: finite JSD, zeroed after side
+    after = {"kept_rows": 80, "languages": [
+        {"language": "en", "n_rows": 80, "approx_tokens": 8000},
+    ]}
+    d = compare_profiles(base, after)
+    assert 0 < d["language_jsd"] < 0.6932  # bounded by ln 2
+    fr = [r for r in d["languages"] if r["language"] == "fr"][0]
+    assert fr["tokens_before"] == 2000 and fr["tokens_after"] == 0
+    # fully disjoint mixes hit the ln 2 ceiling
+    dis = compare_profiles(
+        {"kept_rows": 1, "languages": [
+            {"language": "en", "n_rows": 1, "approx_tokens": 10}]},
+        {"kept_rows": 1, "languages": [
+            {"language": "fr", "n_rows": 1, "approx_tokens": 10}]})
+    assert abs(dis["language_jsd"] - 0.693147) < 1e-5
+    # an empty side yields no divergence verdict, not a crash
+    assert compare_profiles(base, {"kept_rows": 0, "languages": []})[
+        "language_jsd"] is None
