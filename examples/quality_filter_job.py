@@ -9,6 +9,7 @@
         [--salt-buckets 4096] [--max-perplexity 1e4] [--require-language]
         [--slur-lexicon words.txt] [--flag-entropy] [--scrub-ipv6]
         [--path-gate] [--license-gate] [--flag-lang-mismatch]
+        [--extract-notebooks]
         [--quality-model model.json [--model-keep-alpha 9]]
 
 Under spark-submit pass `--driver-memory` explicitly for local-mode
@@ -63,6 +64,14 @@ def main() -> None:
                          "Catalyst; keep/drop decisions are "
                          "unaffected — downstream filters on "
                          "path_keep")
+    ap.add_argument("--extract-notebooks", action="store_true",
+                    help="replace .ipynb rows' content with their "
+                         "concatenated code cells (markdown/outputs/"
+                         "metadata dropped) BEFORE the pipeline, so "
+                         "notebooks dedup and score on code, not "
+                         "JSON framing. Unparseable notebooks pass "
+                         "through unchanged. Changes content (and "
+                         "so the run_id) for notebook rows")
     ap.add_argument("--flag-lang-mismatch", action="store_true",
                     help="annotate rows whose path extension "
                          "contradicts the claimed lang column "
@@ -106,6 +115,11 @@ def main() -> None:
     # get_spark only fills in the AQE/Arrow defaults it always sets
     spark = get_spark(app_name="alegre-quality-filter")
     files = spark.read.parquet(args.input)
+
+    if args.extract_notebooks:
+        from alegre_spark.functions.code_quality import (
+            with_notebook_source)
+        files = with_notebook_source(files)
 
     extra_columns: tuple[str, ...] = ()
     if args.path_gate:
