@@ -343,16 +343,30 @@ def temperature_budgets(df: DataFrame, strata_col: str,
     result is one row per stratum — a bounded driver collect for any
     real corpus (languages, sources: O(10^2-10^3) strata). The
     allocation itself is driver-side integer arithmetic."""
-    if total_budget <= 0:
-        raise ValueError("total_budget must be positive")
-    if not 0.0 < alpha <= 1.0:
-        raise ValueError("alpha must be in (0, 1]")
+    counts = _stratum_token_counts(df, strata_col, token_col)
+    return _temperature_allocate(counts, total_budget, alpha)
+
+
+def _stratum_token_counts(df: DataFrame, strata_col: str,
+                          token_col: str) -> dict:
+    """{stratum: token_total} over non-NULL strata with positive
+    mass — ONE partial-aggregated groupBy, bounded driver collect."""
     rows = (df.filter(F.col(strata_col).isNotNull())
             .groupBy(strata_col)
             .agg(F.sum(F.coalesce(F.col(token_col).cast("long"),
                                   F.lit(0))).alias("_n"))
             .collect())
-    counts = {r[0]: r["_n"] for r in rows if r["_n"] and r["_n"] > 0}
+    return {r[0]: r["_n"] for r in rows if r["_n"] and r["_n"] > 0}
+
+
+def _temperature_allocate(counts: dict, total_budget: int,
+                          alpha: float) -> dict:
+    """The allocation half of `temperature_budgets` (driver-side
+    integer arithmetic over the collected counts)."""
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
     if not counts:
         return {}
     shares = {v: float(n) ** alpha for v, n in counts.items()}
@@ -388,3 +402,50 @@ def temperature_sample(df: DataFrame, strata_col: str,
     return stratified_token_budget(df, [strata_col], budgets,
                                    token_col, key_cols, seed=seed,
                                    salt_buckets=salt_buckets)
+
+
+def temperature_mix(df: DataFrame, strata_col: str,
+                    target_tokens: int, token_col: str,
+                    key_cols: list, alpha: float = 0.3,
+                    seed: int = 0,
+                    epoch_col: str = "epoch") -> DataFrame:
+    """Temperature mixing WITH upsampling — the full XLM/T5 scheme:
+    each stratum's delivered token mass targets its n^alpha share of
+    `target_tokens`, REPEATING small strata for multiple epochs when
+    their share exceeds their size (GPT-3's Wikipedia ~3.4x) instead
+    of `temperature_sample`'s honest under-delivery.
+
+    Semantics per stratum with quota q and token mass n: f = q/n;
+    every row appears floor(f) times (epoch_col = 0..floor(f)-1) plus
+    a content-addressed remainder draw at rate f - floor(f)
+    (epoch_col = floor(f)) — expected delivered tokens = q exactly,
+    and membership is a pure function of row content (stable across
+    resumes, partitioning, cluster sizes). NULL/unlisted strata drop.
+
+    The per-stratum composition of `mix_corpora` would re-scan the
+    corpus once per stratum (one totals job per source); this is the
+    one-scan form: ONE bounded groupBy for the counts, the (stratum,
+    epochs, remainder) dim broadcast-joined back, one explode. No
+    shuffle of corpus rows at all. The remainder draw hashes the
+    stratum value alongside the row keys with a tagged seed, so draws
+    are decorrelated across strata AND from any upstream hash_sample
+    on the same keys (`mix_corpora`'s derived-seed rationale)."""
+    counts = _stratum_token_counts(df, strata_col, token_col)
+    quotas = _temperature_allocate(counts, target_tokens, alpha)
+    if not quotas:
+        return df.limit(0).withColumn(epoch_col, F.lit(0))
+    dim = df.sparkSession.createDataFrame(
+        [(v, int(q // counts[v]),
+          float((q % counts[v]) / counts[v])) for v, q in quotas.items()],
+        f"`{strata_col}` {df.schema[strata_col].dataType.simpleString()}"
+        ", _tm_full long, _tm_rem double")
+    u = _unit_interval(list(key_cols) + [F.col(strata_col)],
+                       seed ^ 0x7E3A41C5)
+    n_epochs = (F.col("_tm_full")
+                + (u < F.col("_tm_rem")).cast("long"))
+    return (df.join(F.broadcast(dim), strata_col)
+            .withColumn("_tm_n", n_epochs)
+            .filter(F.col("_tm_n") > 0)
+            .withColumn(epoch_col, F.explode(
+                F.sequence(F.lit(0), F.col("_tm_n") - 1)))
+            .drop("_tm_full", "_tm_rem", "_tm_n"))

@@ -363,3 +363,61 @@ def test_temperature_sample_delivers_budgets(spark):
                                1000, "n_tok", ["id"])
     assert empty.count() == 0
     assert empty.columns == df.columns
+
+
+def test_temperature_mix_upsamples_and_is_deterministic(spark):
+    from alegre_spark.operators.sampling import (temperature_budgets,
+                                                 temperature_mix)
+    df = _temp_corpus(spark)
+    target = 20_000  # ~2x the corpus: the tail must repeat epochs
+    out = temperature_mix(df, "lang", target, "n_tok", ["id"],
+                          alpha=0.5, seed=7)
+    rows = out.collect()
+    quotas = temperature_budgets(df, "lang", target, "n_tok",
+                                 alpha=0.5)
+    got_tok, max_epoch = {}, {}
+    for r in rows:
+        got_tok[r["lang"]] = got_tok.get(r["lang"], 0) + r["n_tok"]
+        max_epoch[r["lang"]] = max(max_epoch.get(r["lang"], 0),
+                                   r["epoch"])
+    # per-stratum delivery: full epochs exact, remainder is one
+    # content-addressed Bernoulli pass -> within a few docs of quota
+    corpus_tok = {"en": 8000, "fr": 1500, "io": 300}
+    doc_tok = {"en": 100, "fr": 50, "io": 30}
+    for lang, q in quotas.items():
+        n = corpus_tok[lang]
+        full, rem = divmod(q, n)
+        assert max_epoch[lang] == full  # remainder epoch present
+        slack = 4 * doc_tok[lang]  # stochastic remainder tolerance
+        assert abs(got_tok[lang] - q) <= slack, (lang, got_tok[lang], q)
+        assert got_tok[lang] >= full * n  # full epochs always whole
+    assert None not in got_tok
+    # a given (row, epoch) appears exactly once; epochs are dense 0..max
+    ids = [(r["id"], r["epoch"]) for r in rows]
+    assert len(ids) == len(set(ids))
+    # deterministic across re-execution
+    again = {(r["id"], r["epoch"]) for r in
+             temperature_mix(df, "lang", target, "n_tok", ["id"],
+                             alpha=0.5, seed=7).collect()}
+    assert set(ids) == again
+    # different seed redraws the remainder membership
+    other = {(r["id"], r["epoch"]) for r in
+             temperature_mix(df, "lang", target, "n_tok", ["id"],
+                             alpha=0.5, seed=8).collect()}
+    assert set(ids) != other
+
+
+def test_temperature_mix_plan_and_empty(spark):
+    from alegre_spark.operators.sampling import temperature_mix
+    df = _temp_corpus(spark)
+    out = temperature_mix(df, "lang", 1000, "n_tok", ["id"])
+    # one-scan shape: broadcast dim join + explode, NO shuffle of
+    # corpus rows (the only Exchange allowed is the broadcast side)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", "")
+    # all-NULL strata -> empty frame with the epoch column
+    empty = temperature_mix(df.filter("lang is null"), "lang",
+                            1000, "n_tok", ["id"])
+    assert empty.count() == 0 and "epoch" in empty.columns
