@@ -410,3 +410,72 @@ def test_winnow_deterministic_any_unicode(s):
     assert np.array_equal(h1, h2) and np.array_equal(p1, p2)
     if len(s.encode("utf-8")) < k:
         assert len(h1) == 0
+
+
+# -- temperature allocation -------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=8),
+                       st.integers(min_value=1, max_value=10**12),
+                       min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=10**12),
+       st.floats(min_value=0.01, max_value=1.0))
+def test_temperature_allocation_invariants(counts, budget, alpha):
+    """For ANY counts/budget/alpha: budgets sum EXACTLY to the
+    budget, every stratum gets a non-negative integer, monotonicity
+    in the counts holds up to the +/-1 largest-remainder step, and
+    the allocation is deterministic."""
+    from alegre_spark.operators.sampling import _temperature_allocate
+    b = _temperature_allocate(counts, budget, alpha)
+    assert sum(b.values()) == budget
+    assert set(b) == set(counts)
+    assert all(isinstance(v, int) and v >= 0 for v in b.values())
+    for x in counts:
+        for y in counts:
+            if counts[x] > counts[y]:
+                # shares are ordered; integer rounding moves at most 1
+                assert b[x] >= b[y] - 1
+    assert b == _temperature_allocate(dict(counts), budget, alpha)
+
+
+# -- notebook extraction ----------------------------------------------------
+
+_nb_source = st.one_of(
+    st.lists(st.text(max_size=20), max_size=5),   # nbformat-4 fragments
+    st.text(max_size=60),                          # plain-string writers
+)
+_nb_cell = st.fixed_dictionaries(
+    {"cell_type": st.sampled_from(["code", "markdown", "raw"]),
+     "source": _nb_source})
+_nb_doc = st.fixed_dictionaries({"cells": st.lists(_nb_cell, max_size=8)})
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs=st.lists(_nb_doc, min_size=1, max_size=6))
+def test_notebook_extraction_matches_python_reference(spark, docs):
+    """The JVM-side from_json/zip_with extraction must equal a plain
+    Python reference over arbitrary cell structures and both source
+    shapes. (session-scoped spark fixture: allowed with hypothesis —
+    only function-scoped fixtures are reset between examples)"""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from alegre_spark.functions.code_quality import notebook_to_source
+
+    def reference(doc):
+        parts = []
+        for cell in doc["cells"]:
+            if cell["cell_type"] != "code":
+                continue
+            src = cell["source"]
+            parts.append("".join(src) if isinstance(src, list) else src)
+        return "\n\n".join(parts)
+
+    rows = [(i, json.dumps(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "i long, nb string")
+    got = {r["i"]: r["src"] for r in
+           df.select("i", notebook_to_source(F.col("nb")).alias("src"))
+           .collect()}
+    for i, d in enumerate(docs):
+        assert got[i] == reference(d), d
