@@ -1,0 +1,84 @@
+"""temperature_mix at 1M rows / many strata — evidence for the
+one-scan claim: cost must look like ONE corpus pass + a bounded
+counts aggregate, independent of the stratum count (the
+mix_corpora-per-language composition would pay one totals job per
+stratum).
+
+Zipf-ish language skew (lang_k mass ~ 1/(k+1)) over `n_langs`
+strata; the 2x-corpus target forces real epoch upsampling on the
+tail. Protocol per repo convention: persist + count the input off
+the timed path, warmup + median-of-3 of a count() over the mixed
+frame vs a raw count baseline.
+
+Usage: python tools/mix_bench.py [n_rows] [n_langs]
+       (defaults: 1_000_000, 100)
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from alegre_spark.operators.sampling import temperature_mix  # noqa: E402
+from alegre_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_langs = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark(app_name="mix-bench", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # skewed stratum sizes: row i belongs to lang floor(sqrt of a
+    # scaled hash) — approximated simply: lang = id % n_langs weighted
+    # by repetition of low ids via (id * id) % shaping is overkill;
+    # pmod of xxhash gives uniform, so shape the skew via a power map
+    u = (F.pmod(F.xxhash64("id"), F.lit(1 << 20)) /
+         F.lit(float(1 << 20)))
+    lang = F.concat(F.lit("lang_"),
+                    F.floor(F.pow(u, F.lit(3.0)) * n_langs).cast("int"))
+    df = (spark.range(n).select(
+        F.concat(F.lit("doc_"), F.col("id")).alias("id"),
+        lang.alias("lang"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(400)) + 20)
+        .alias("n_tok")).persist())
+    df.count()
+    total_tok = df.agg(F.sum("n_tok")).first()[0]
+
+    def timed(frame):
+        frame.count()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            frame.count()
+            runs.append(time.perf_counter() - t0)
+        return statistics.median(runs)
+
+    base = timed(df)
+    mixed = temperature_mix(df, "lang", int(2 * total_tok), "n_tok",
+                            ["id"], alpha=0.3)
+    t_mix = timed(mixed)
+    out_rows = mixed.count()
+    delivered = mixed.agg(F.sum("n_tok")).first()[0]
+
+    print(json.dumps({
+        "n_rows": n, "n_langs": n_langs, "corpus_tokens": total_tok,
+        "target_tokens": int(2 * total_tok),
+        "delivered_tokens": delivered,
+        "delivery_ratio": round(delivered / (2 * total_tok), 6),
+        "out_rows": out_rows,
+        "baseline_count_s": round(base, 3),
+        "mix_s": round(t_mix, 3),
+        "mix_marginal_s": round(t_mix - base, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
