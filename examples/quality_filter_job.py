@@ -9,7 +9,7 @@
         [--salt-buckets 4096] [--max-perplexity 1e4] [--require-language]
         [--slur-lexicon words.txt] [--flag-entropy] [--scrub-ipv6]
         [--path-gate] [--license-gate] [--flag-lang-mismatch]
-        [--extract-notebooks]
+        [--extract-notebooks] [--report]
         [--quality-model model.json [--model-keep-alpha 9]]
 
 Under spark-submit pass `--driver-memory` explicitly for local-mode
@@ -89,6 +89,10 @@ def main() -> None:
                          "high-entropy flags (entropy_hits/_max/"
                          "_examples columns in the filtered output; "
                          "keep/drop decisions are unaffected)")
+    ap.add_argument("--report", action="store_true",
+                    help="after the run, build the data-card report "
+                         "(per-run lineage totals + kept-set sketch "
+                         "profile) and write it to <out>/report.json")
     ap.add_argument("--quality-model", default=None, metavar="JSON",
                     help="learned quality classifier artifact (the "
                          "dict fit_quality_classifier returns): "
@@ -184,6 +188,21 @@ def main() -> None:
                 .filter("keep").count())
     except AnalysisException:
         kept = 0
+    if args.report:
+        from alegre_spark.report import build_report
+        try:
+            report = build_report(spark, args.output)
+        except AnalysisException:
+            # vacuous run (empty input): no metrics were ever
+            # committed — an empty card, not a crash
+            report = {"output": args.output, "runs": [],
+                      "filtered": {"kept_rows": 0, "languages": []}}
+        import os
+        os.makedirs(args.output, exist_ok=True)
+        with open(f"{args.output}/report.json", "w") as fh:
+            json.dump(report, fh, indent=2)
+        summary = {**summary, "report": f"{args.output}/report.json"}
+
     print(json.dumps({**summary, "kept_total": kept,
                       "output": args.output}))
     spark.stop()
