@@ -67,6 +67,13 @@ def compute_run_id(input_fingerprint: str, cfg: PipelineConfig,
         # same contract: scrubbed output changes, decisions don't;
         # key only present when enabled so pre-existing ids hold
         payload_dict["scrub_ipv6"] = True
+    if getattr(cfg, "path_gate", False):
+        # DECISION knob: must fork; key only present when enabled
+        payload_dict["path_gate"] = True
+    if getattr(cfg, "license_gate", False):
+        payload_dict["license_gate"] = {
+            "allow": sorted(cfg.license_allow),
+            "allow_unlicensed": cfg.allow_unlicensed}
     payload = json.dumps(payload_dict, sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

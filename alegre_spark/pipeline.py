@@ -95,6 +95,20 @@ class PipelineConfig:
     # Off by default — '::' is a scope-resolution token in C-family
     # code. Forks the run_id when enabled (changes scrubbed output).
     scrub_ipv6: bool = False
+    # opt-in corpus-policy DECISION gates (off by default so existing
+    # decisions and run_ids hold; each forks the run_id when enabled).
+    # path_gate drops by linguist/Stack path convention
+    # (code_quality.with_path_gate; reason "path:<rule>");
+    # license_gate drops every file of a repo whose majority SPDX
+    # license is outside license_allow (code_quality.repo_license_gate;
+    # reason "license"). Both run BEFORE the content rules in the
+    # first-match-wins reason chain — the published ordering (path
+    # prunes before content is read; licensing is a corpus decision,
+    # not a quality one).
+    path_gate: bool = False
+    license_gate: bool = False
+    license_allow: tuple[str, ...] = ()  # () = PERMISSIVE_LICENSES
+    allow_unlicensed: bool = False
 
     def threshold_for(self, key: str) -> float:
         if self.per_rule_threshold and key in self.per_rule_threshold:
@@ -140,7 +154,10 @@ def effective_allowed(langs) -> list[str]:
 
 def with_decision(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """keep boolean + drop_reason, first-match-wins:
-    quality rule -> perplexity gate -> language gate."""
+    [path gate -> license gate ->] quality rule -> perplexity gate
+    -> language gate (the bracketed corpus-policy gates only when
+    enabled in cfg; their annotation columns must then be present —
+    `run_pipeline` adds them)."""
     lang_known = F.col("language").isin(
         effective_allowed(cfg.allowed_languages))
     lang_conf_ok = F.col("language_confidence") >= F.lit(
@@ -151,8 +168,20 @@ def with_decision(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
     ppl_fail = F.col("perplexity") > F.lit(cfg.max_perplexity)
 
+    reason = F.when(F.lit(False), F.lit(None).cast("string"))
+    if cfg.path_gate:
+        # NULL path -> empty reasons -> no drop (feature NULL contract)
+        reason = reason.when(
+            F.size("path_drop_reasons") > 0,
+            F.concat(F.lit("path:"),
+                     F.element_at("path_drop_reasons", 1)))
+    if cfg.license_gate:
+        # repo_license_keep is non-NULL by construction
+        reason = reason.when(~F.col("repo_license_keep"),
+                             F.lit("license"))
     reason = (
-        F.when(~F.col("quality_pass"), F.col("quality_drop_reason"))
+        reason
+         .when(~F.col("quality_pass"), F.col("quality_drop_reason"))
          .when(ppl_fail, F.lit("perplexity"))
          .when(lang_fail & F.lit(cfg.require_language), F.lit("language"))
          .otherwise(F.lit(None).cast("string"))
@@ -242,6 +271,22 @@ def run_pipeline(df: DataFrame, cfg: PipelineConfig | None = None,
     cfg = cfg or PipelineConfig()
     df = with_doc_id(df)
     df = salt_repartition(df, cfg.salt_buckets)
+    if cfg.path_gate:
+        from .functions.code_quality import with_path_gate
+        df = with_path_gate(df)
+    if cfg.license_gate:
+        from .functions.code_quality import (PERMISSIVE_LICENSES,
+                                             SPDX_PATTERN,
+                                             repo_license_gate)
+        if "spdx_id" not in df.columns:
+            df = df.withColumn(
+                "spdx_id", F.when(F.col("content").isNotNull(),
+                                  F.regexp_extract("content",
+                                                   SPDX_PATTERN, 1)))
+        df = repo_license_gate(
+            df, allowed=(tuple(cfg.license_allow)
+                         or PERMISSIVE_LICENSES),
+            allow_unlicensed=cfg.allow_unlicensed)
     df = annotate_fused(df, "content", lm, cfg.slur_lexicon,
                         cfg.scrub_ipv6)
     df = with_quality(df, "content", cfg.quality)

@@ -10,6 +10,8 @@
         [--slur-lexicon words.txt] [--flag-entropy] [--scrub-ipv6]
         [--path-gate] [--license-gate] [--flag-lang-mismatch]
         [--extract-notebooks] [--report]
+        [--enforce-path-gate] [--enforce-license-gate
+         [--allow-unlicensed]]
         [--quality-model model.json [--model-keep-alpha 9]]
 
 Under spark-submit pass `--driver-memory` explicitly for local-mode
@@ -89,6 +91,23 @@ def main() -> None:
                          "high-entropy flags (entropy_hits/_max/"
                          "_examples columns in the filtered output; "
                          "keep/drop decisions are unaffected)")
+    ap.add_argument("--enforce-path-gate", action="store_true",
+                    help="make path conventions a DECISION: rows in "
+                         "vendored dirs / minified bundles / "
+                         "lockfiles / codegen suffixes DROP with "
+                         "drop_reason 'path:<rule>' (first in the "
+                         "reason chain). Forks the run_id. Implies "
+                         "the --path-gate annotation columns")
+    ap.add_argument("--enforce-license-gate", action="store_true",
+                    help="make the repo-license vote a DECISION: "
+                         "every file of a repo whose majority SPDX "
+                         "license is outside the permissive "
+                         "allow-list drops with drop_reason "
+                         "'license'. Forks the run_id. Implies the "
+                         "--license-gate annotation columns")
+    ap.add_argument("--allow-unlicensed", action="store_true",
+                    help="with --enforce-license-gate: keep repos "
+                         "with no declared license (default: drop)")
     ap.add_argument("--report", action="store_true",
                     help="after the run, build the data-card report "
                          "(per-run lineage totals + kept-set sketch "
@@ -126,7 +145,10 @@ def main() -> None:
         files = with_notebook_source(files)
 
     extra_columns: tuple[str, ...] = ()
-    if args.path_gate:
+    if args.enforce_path_gate:
+        # run_pipeline adds the annotation columns; carry them through
+        extra_columns += ("path_drop_reasons", "path_keep")
+    elif args.path_gate:
         from alegre_spark.functions.code_quality import with_path_gate
         files = with_path_gate(files)
         extra_columns = ("path_drop_reasons", "path_keep")
@@ -135,7 +157,9 @@ def main() -> None:
             with_lang_consistency)
         files = with_lang_consistency(files)
         extra_columns += ("lang_mismatch",)
-    if args.license_gate:
+    if args.enforce_license_gate:
+        extra_columns += ("repo_license", "repo_license_keep")
+    elif args.license_gate:
         from pyspark.sql import functions as F
 
         from alegre_spark.functions.code_quality import (SPDX_PATTERN,
@@ -176,7 +200,10 @@ def main() -> None:
                          max_perplexity=args.max_perplexity,
                          require_language=args.require_language,
                          slur_lexicon=lexicon,
-                         scrub_ipv6=args.scrub_ipv6)
+                         scrub_ipv6=args.scrub_ipv6,
+                         path_gate=args.enforce_path_gate,
+                         license_gate=args.enforce_license_gate,
+                         allow_unlicensed=args.allow_unlicensed)
     summary = run_with_resume(spark, files, args.output, cfg,
                               extra_columns=extra_columns)
 

@@ -256,3 +256,63 @@ def test_resume_idempotent_catalog_tables(spark):
         import shutil
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_policy_gates_as_decisions(spark):
+    """cfg.path_gate / cfg.license_gate turn the corpus-policy
+    annotations into first-in-chain drop decisions; defaults leave
+    every existing decision byte-identical."""
+    rows = [
+        # r_mit declares MIT -> license-kept; one vendored path
+        ("r_mit", "src/good.py", "c0", "python",
+         "# SPDX-License-Identifier: MIT\n"
+         "def add(first_value, second_value):\n"
+         "    return first_value + second_value\n"),
+        ("r_mit", "vendor/dep.py", "c0", "python",
+         "def vendored_helper(input_value):\n"
+         "    return input_value * 2\n"),
+        # r_gpl majority GPL -> every file drops under license_gate
+        ("r_gpl", "src/lib.py", "c0", "python",
+         "# SPDX-License-Identifier: GPL-3.0-only\n"
+         "def multiply(first_value, second_value):\n"
+         "    return first_value * second_value\n"),
+    ]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+
+    # defaults: gates off, everything here keeps
+    base = {r["path"]: r for r in
+            run_pipeline(files, PipelineConfig(salt_buckets=4))
+            .collect()}
+    assert all(r["keep"] for r in base.values())
+
+    cfg = PipelineConfig(salt_buckets=4, path_gate=True,
+                         license_gate=True)
+    out = {r["path"]: r for r in run_pipeline(files, cfg).collect()}
+    assert out["src/good.py"]["keep"] is True
+    assert out["vendor/dep.py"]["drop_reason"] == "path:vendored"
+    assert out["src/lib.py"]["drop_reason"] == "license"
+    # annotation columns ride along for lineage/extra_columns
+    assert out["src/lib.py"]["repo_license"] == "GPL-3.0-only"
+    assert out["vendor/dep.py"]["path_keep"] is False
+    # allow_unlicensed + custom allow-list flip the license verdict
+    cfg2 = PipelineConfig(salt_buckets=4, license_gate=True,
+                          license_allow=("GPL-3.0-only",))
+    out2 = {r["path"]: r for r in run_pipeline(files, cfg2).collect()}
+    assert out2["src/lib.py"]["keep"] is True
+    assert out2["src/good.py"]["drop_reason"] == "license"
+
+
+def test_policy_gates_fork_run_id():
+    from alegre_spark.lineage import compute_run_id
+    base = compute_run_id("fp", PipelineConfig())
+    assert compute_run_id("fp", PipelineConfig(path_gate=True)) != base
+    lic = compute_run_id("fp", PipelineConfig(license_gate=True))
+    assert lic != base
+    assert compute_run_id(
+        "fp", PipelineConfig(license_gate=True,
+                             allow_unlicensed=True)) != lic
+    # off-by-default knobs add NO payload keys: ids from before the
+    # knobs existed still resolve
+    assert compute_run_id("fp", PipelineConfig()) == base
