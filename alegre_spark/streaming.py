@@ -31,7 +31,14 @@ def stream_quality_filter(spark: SparkSession, input_dir: str,
                           trigger_available_now: bool = True,
                           max_files_per_trigger: int = 64):
     """readStream(files) -> run_pipeline per micro-batch -> append
-    output + metrics. Returns the started StreamingQuery."""
+    output + metrics. Returns the started StreamingQuery.
+
+    Corpus-policy caveat: with `cfg.license_gate` the repo-license
+    vote sees only THIS micro-batch's slice of each repo — a repo
+    split across batches can vote differently per batch (and a
+    batch's slice may have no declared file at all). Path gating is
+    per-row and batch-safe; license gating is a CORPUS decision —
+    run it in the batch job, or ingest whole repos per trigger."""
     cfg = cfg or PipelineConfig()
     output_path = os.path.join(out_dir, "filtered")
     metrics_path = os.path.join(out_dir, "metrics")
