@@ -22,7 +22,7 @@ composes them):
         [--eval-set /path/to/eval_parquet] [--contam-n 13] \
         [--dsir-target /path/to/target_parquet --dsir-keep K] \
         [--token-budget N_PER_LANG] [--salt-buckets 16] \
-        [--mix-alpha 0.3] \
+        [--mix-alpha 0.3 [--mix-upsample]] \
         [--bpe-merges 0] [--bpe-max-words 1000000] \
         [--vocab-size 65536] [--num-shards 1024] [--seq-len 2048] \
         [--minhash-hashes 16 --minhash-bands 4] [--max-bucket-size B]
@@ -97,6 +97,13 @@ def main() -> None:
                          "XLM/T5 temperature-mixing scheme; one "
                          "bounded aggregate sizes the quotas). "
                          "0 = off (budget is per-language)")
+    ap.add_argument("--mix-upsample", action="store_true",
+                    help="with --token-budget: FILL each language's "
+                         "n^alpha quota by epoch-repeating small "
+                         "languages (temperature_mix; the epoch is "
+                         "woven into the doc id). Without it, "
+                         "budgets only downsample and tail quotas "
+                         "under-fill")
     ap.add_argument("--bpe-merges", type=int, default=0,
                     help="learn this many BPE merges and pack subword "
                          "ids (0 = whitespace tokens)")
@@ -305,7 +312,22 @@ def main() -> None:
     # 3. per-language token budget (content-addressed: stable across
     # resumes and cluster sizes)
     budgeted = selected
-    if args.token_budget > 0:
+    if args.token_budget > 0 and args.mix_upsample:
+        # full temperature mixing: small languages epoch-repeat to
+        # FILL their n^alpha quota (downsample-only budgets under-fill
+        # them). Runs after dedup, so the copies it makes are the
+        # deliberate upsampling kind; the epoch is woven into the doc
+        # id so every downstream key (encode join, md5 shuffle, chunk
+        # ids) stays unique and content-addressed.
+        from alegre_spark.operators.sampling import temperature_mix
+        df = pin(temperature_mix(
+            df, args.lang_col, args.token_budget, "_n_tokens",
+            key_cols=[idc], alpha=args.mix_alpha or 0.3)
+            .withColumn(idc, F.concat_ws("#", F.col(idc),
+                                         F.col("epoch")))
+            .select(idc, "_toks"))
+        budgeted = df.count()
+    elif args.token_budget > 0:
         budget = args.token_budget
         if args.mix_alpha > 0:
             from alegre_spark.operators.sampling import (
