@@ -421,3 +421,21 @@ def test_temperature_mix_plan_and_empty(spark):
     empty = temperature_mix(df.filter("lang is null"), "lang",
                             1000, "n_tok", ["id"])
     assert empty.count() == 0 and "epoch" in empty.columns
+
+
+def test_temperature_mix_hostile_stratum_values(spark):
+    # stratum values with separators/quotes are plain data to the
+    # equality join and the hash; allocation and delivery unaffected
+    from alegre_spark.operators.sampling import temperature_mix
+    rows = [(f"id{i}", 'we"ird#lang\\x', 10) for i in range(50)]
+    rows += [(f"jd{i}", "normal", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "id string, lang string, n_tok int")
+    out = temperature_mix(df, "lang", 2000, "n_tok", ["id"],
+                          alpha=1.0).collect()
+    per = {}
+    for r in out:
+        per[r["lang"]] = per.get(r["lang"], 0) + r["n_tok"]
+    # equal masses, alpha=1 -> each delivers ~1000 of the 2000
+    assert set(per) == {'we"ird#lang\\x', "normal"}
+    for v in per.values():
+        assert 900 <= v <= 1100
