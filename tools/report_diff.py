@@ -1,0 +1,35 @@
+"""Diff two saved data cards (report.json files) — drift monitoring
+without a cluster.
+
+Usage: python tools/report_diff.py before.json after.json
+Prints the `compare_profiles` dict (per-language row/token deltas +
+language-mix Jensen-Shannon divergence) as one JSON document. Accepts
+either a full `build_report` card (uses its 'filtered' profile) or a
+bare profile dict.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from alegre_spark.report import compare_profiles  # noqa: E402
+
+
+def _profile(path: str) -> dict:
+    with open(path) as fh:
+        doc = json.load(fh)
+    return doc.get("filtered", doc)
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    print(json.dumps(compare_profiles(_profile(sys.argv[1]),
+                                      _profile(sys.argv[2])), indent=2))
+
+
+if __name__ == "__main__":
+    main()
