@@ -9,6 +9,7 @@
         [--salt-buckets 4096] [--max-perplexity 1e4] [--require-language]
         [--slur-lexicon words.txt] [--flag-entropy] [--scrub-ipv6]
         [--path-gate] [--license-gate] [--flag-lang-mismatch]
+        [--flag-test-paths]
         [--extract-notebooks] [--report]
         [--enforce-path-gate] [--enforce-license-gate
          [--allow-unlicensed]]
@@ -74,6 +75,11 @@ def main() -> None:
                          "JSON framing. Unparseable notebooks pass "
                          "through unchanged. Changes content (and "
                          "so the run_id) for notebook rows")
+    ap.add_argument("--flag-test-paths", action="store_true",
+                    help="annotate rows whose path matches a "
+                         "test-file convention (is_test_path "
+                         "boolean; never a drop — mixing/eval "
+                         "tooling filters on it downstream)")
     ap.add_argument("--flag-lang-mismatch", action="store_true",
                     help="annotate rows whose path extension "
                          "contradicts the claimed lang column "
@@ -152,6 +158,13 @@ def main() -> None:
         from alegre_spark.functions.code_quality import with_path_gate
         files = with_path_gate(files)
         extra_columns = ("path_drop_reasons", "path_keep")
+    if args.flag_test_paths:
+        from pyspark.sql import functions as F
+
+        from alegre_spark.functions.code_quality import is_test_path
+        files = files.withColumn("is_test_path",
+                                 is_test_path(F.col("path")))
+        extra_columns += ("is_test_path",)
     if args.flag_lang_mismatch:
         from alegre_spark.functions.code_quality import (
             with_lang_consistency)
