@@ -441,3 +441,37 @@ def test_stream_compact_swap_converges(spark):
             == len(want[1])
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_inherits_path_gate_decisions(spark):
+    # cfg.path_gate flows through run_pipeline into the micro-batch:
+    # a vendored row drops with the path reason in stream output AND
+    # stream metrics (per-row gates are batch-safe; the license
+    # gate's per-batch-vote caveat is documented on the function)
+    work = tempfile.mkdtemp()
+    inp = os.path.join(work, "incoming")
+    out = os.path.join(work, "out")
+    try:
+        files = generate_corpus(spark, 100, partitions=2)
+        planted = spark.createDataFrame(
+            [("r_v", "vendor/dep.py", "c0", "python",
+              "def vendored_helper(value):\n    return value * 2\n")],
+            files.schema)
+        files.unionByName(planted).write.mode("overwrite").parquet(inp)
+
+        q = stream_quality_filter(
+            spark, inp, out, PipelineConfig(salt_buckets=8,
+                                            path_gate=True))
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(f"{out}/filtered")
+        assert got.count() == 101
+        row = got.filter("path = 'vendor/dep.py'").first()
+        assert row["keep"] is False
+        assert row["drop_reason"] == "path:vendored"
+        m = spark.read.parquet(f"{out}/metrics")
+        reasons = {k: v for r in m.select("drop_reasons").collect()
+                   if r[0] for k, v in r[0].items()}
+        assert reasons.get("path:vendored") == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
